@@ -1,0 +1,71 @@
+"""Benchmark harness — runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+A plain ``count()`` would let Catalyst prune the output columns, so
+each query is forced by aggregating ``xxhash64`` over every output
+column — all columns are computed, nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from pygr_spark.queries import QUERIES
+from pygr_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "top_orders_per_cust",
+    "market_share_cube",
+    "overlap_join",
+    "sessionize_events",
+    "coverage_segments",
+    "dedup_exact",
+    "text_stats",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = QUERIES[name](spark, sf_dir)
+    # force full computation of every output column without collecting:
+    # xxhash64 over all columns -> single long aggregate
+    df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("h")).agg(
+        F.expr("bit_xor(h)")
+    ).collect()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("pygr_spark_bench")
+    # JVM/codegen warmup on the smallest table; excluded from timings
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run_query(spark, name, sf_dir), 4)
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

