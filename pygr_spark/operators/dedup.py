@@ -1,0 +1,317 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup is a hash-groupBy; near-dup comes in three flavors:
+
+- **n-gram Jaccard** (exact): explode word shingles, equi-join on the
+  shingle, count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
+  Exactly SQL-expressible → oracle-checked. The shingle equi-join is
+  the shuffle; frequent-shingle skew is bounded by dropping shingles
+  that occur in more than ``max_shingle_freq`` docs (a standard
+  trick — such shingles barely discriminate anyway and AQE handles
+  the residual skew).
+- **MinHash + LSH** (approximate, the 100 TB path): per doc compute a
+  k-perm MinHash signature over xxhash64'd shingles (all JVM-side
+  array expressions — no UDFs), split into bands, explode band
+  hashes, self-join on (band, band_hash) to get candidate pairs, then
+  verify candidates with exact Jaccard. Cost is O(candidates), not
+  O(n²).
+- **SimHash**: 64-bit signature via bitwise majority vote of token
+  hashes; near-dups = pairs within Hamming distance d, found by
+  banding the 64 bits into (d+1) chunks (pigeonhole: any pair within
+  distance d agrees exactly on at least one chunk).
+
+All permutation hashing uses h(x) = (a·(x mod p) + b) mod p with
+p = 2^31 - 1 so products stay within int64 under ANSI mode.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of distinct n-word shingles of a whitespace-tokenized text."""
+    toks = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One canonical row per identical text: (doc_id=min, n_copies)."""
+    return df.groupBy(text).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join
+# ---------------------------------------------------------------------------
+
+
+def jaccard_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs Jaccard over word shingles. Returns
+    (id_a, id_b, inter, size_a, size_b) with id_a < id_b and
+    Jaccard >= threshold, expressed as the exact integer predicate
+    ``inter * (1) >= threshold * union`` to stay float-robust.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text), n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    sizes = sh.select("_id", F.size("_sh").alias("_sz"))
+    exploded = sh.select("_id", F.explode("_sh").alias("_s"))
+    if max_shingle_freq is not None:
+        freq = exploded.groupBy("_s").agg(F.count(F.lit(1)).alias("_f"))
+        exploded = exploded.join(
+            F.broadcast(freq.filter(F.col("_f") > max_shingle_freq)),
+            "_s",
+            "left_anti",
+        )
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "_s")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("_id", "id_a"), "id_a")
+        .withColumnRenamed("_sz", "size_a")
+        .join(
+            sizes.withColumnRenamed("_id", "id_b").withColumnRenamed(
+                "_sz", "size_b"
+            ),
+            "id_b",
+        )
+    )
+    union = F.col("size_a") + F.col("size_b") - F.col("inter")
+    return out.filter(F.col("inter") >= F.lit(threshold) * union).select(
+        "id_a", "id_b", "inter", "size_a", "size_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>[num_perm], n_shingles). Pure array
+    expressions: shingles → xxhash64 → per-perm min of (a·x+b) mod p.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text), n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    hashes = F.transform(F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                hashes, lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P))
+            )
+        )
+        for a, b in _perm_params(num_perm, seed)
+    ]
+    return sh.select(
+        F.col("_id").alias(id_col),
+        F.array(*sig_cols).alias("sig"),
+        F.size("_sh").alias("n_shingles"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band.
+    Shuffle key is (band_idx, band_hash) — hot texts spread across
+    bands; a group of m identical docs costs m²/2 pairs only within
+    its own buckets, which is the irreducible output size.
+    """
+    rows = num_perm // num_bands
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bh"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → band join →
+    exact-Jaccard verification of the candidates only. Returns
+    (id_a, id_b, inter, size_a, size_b) like jaccard_join, but with
+    O(candidate) instead of O(all-pairs-sharing-a-shingle) cost.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text), n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    sigs = minhash_signatures(df, id_col, text, n, num_perm, seed)
+    cand = lsh_candidate_pairs(sigs, id_col, num_perm, num_bands)
+    withsets = (
+        cand.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+        ).join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    size_a, size_b = F.size("sh_a"), F.size("sh_b")
+    union = size_a + size_b - inter
+    return (
+        withsets.withColumn("inter", inter)
+        .withColumn("size_a", size_a)
+        .withColumn("size_b", size_b)
+        .filter(F.col("inter") >= F.lit(threshold) * union)
+        .select("id_a", "id_b", "inter", "size_a", "size_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: bit b of the signature is
+    the majority vote of bit b across xxhash64(token) for all tokens.
+    Computed as a left-fold over the token-hash array with a 64-long
+    accumulator (JVM-side, no UDF)."""
+    toks = F.split(F.trim(F.col(text)), r"\s+")
+    hashes = F.transform(toks, lambda x: F.xxhash64(x))
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+
+    def bit_votes(h: Column) -> Column:
+        # static unroll: shift amounts must be Python ints
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for b in range(64)
+            ]
+        )
+
+    votes = F.aggregate(
+        hashes, zero, lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v)
+    )
+    base = df.filter(F.length(F.trim(F.col(text))) > 0).select(
+        F.col(id_col), votes.alias("_votes")
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        mask = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit of int64
+        sig = sig.bitwiseOR(
+            F.when(F.element_at("_votes", b + 1) > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return base.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming, found
+    by pigeonhole banding: split 64 bits into (max_hamming+1) chunks;
+    any qualifying pair matches exactly on >= 1 chunk → equi-join per
+    chunk, union, verify with bit_count(xor)."""
+    s = simhash(df, id_col, text)
+    nb = max_hamming + 1
+    width = 64 // nb
+    banded = s.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(nb)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "chunk"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", dist).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,110 @@
+"""Text analysis operators: token counting, quality scoring,
+language-ID heuristic, document fingerprinting (north-star text ops).
+
+All integer-first so the DuckDB oracle hashes identically; ratios are
+emitted as exact-integer pairs plus a derived double (deterministic:
+one division of exact ints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny embedded stopword lists for the n-gram language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit", "auf", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"],
+    "es": ["el", "la", "de", "que", "los", "una", "es", "por", "con", "para"],
+}
+
+FP_P = 1_000_000_007  # fingerprint modulus (fits long under ANSI math)
+FP_B = 131            # rolling-hash base
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Counts a tokenizer-level pipeline needs: chars, tokens, distinct
+    tokens, mean token length (exact ints + derived double)."""
+    t = tokens(F.col(text))
+    total_len = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return df.filter(F.length(F.trim(F.col(text))) > 0).select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_types"),
+        total_len.alias("sum_token_len"),
+        (total_len.cast("double") / F.size(t)).alias("mean_token_len"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Heuristic quality signals (Gopher/C4-style): length, type/token
+    ratio, punctuation density, longest word, all as exact ints."""
+    t = tokens(F.col(text))
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    longest = F.array_max(F.transform(t, F.length))
+    return df.filter(F.length(F.trim(F.col(text))) > 0).select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        F.size(t).cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        longest.cast("long").alias("longest_token"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_types"),
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+def language_scores(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Stopword-hit counts per candidate language + argmax label.
+    A real pipeline would use char n-gram profiles; the relational
+    shape (per-language token-membership counts + argmax) is identical
+    and that is what the oracle certifies."""
+    t = tokens(F.col(text))
+    out = df.filter(F.length(F.trim(F.col(text))) > 0).select(F.col(id_col), t.alias("_t"))
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out = out.withColumn(
+            f"hits_{lang}",
+            F.size(F.filter(F.col("_t"), lambda x: F.array_contains(arr, x))).cast(
+                "long"
+            ),
+        )
+    langs = list(STOPWORDS)
+    # argmax with deterministic tiebreak: language order as listed
+    best = F.greatest(*[F.col(f"hits_{la}") for la in langs])
+    label = F.coalesce(
+        *[F.when(F.col(f"hits_{la}") == best, F.lit(la)) for la in langs]
+    )
+    return out.select(
+        id_col,
+        *[f"hits_{la}" for la in langs],
+        F.when(best > 0, label).otherwise(F.lit("und")).alias("lang_guess"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Polynomial rolling hash over token xxhashes, mod FP_P — a
+    64-bit-safe portable document fingerprint (same value computable
+    in any engine with a left fold)."""
+    t = tokens(F.col(text))
+    fp = F.aggregate(
+        F.transform(t, lambda x: F.pmod(F.xxhash64(x), F.lit(FP_P))),
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * FP_B + h, F.lit(FP_P)),
+    )
+    return df.filter(F.length(F.trim(F.col(text))) > 0).select(
+        F.col(id_col), fp.alias("fingerprint")
+    )

@@ -1,0 +1,109 @@
+"""Event-stream operators: tumbling/sliding/session windows with
+watermarked late-data handling, plus a bounded-run helper.
+
+The reference has no streaming engine (SURVEY.md §2.9); its closest
+analogs are block-buffered iteration (cnestedlist.pyx:242-270) and the
+restartable-iterator protocol (tests/restartIterator_megatest.py).
+Structured Streaming supersedes both: checkpointed offsets give
+restartability, micro-batches give block buffering. pygr's maxgap
+gap-merge (cnestedlist.pyx:800-840) in the time domain is exactly
+``session_window(ts, gap)`` — asserted against the batch gap_merge in
+tests/test_streaming.py.
+
+At scale: state store is keyed by (user, window); watermarks bound the
+state; these run unchanged on a real cluster with a durable
+checkpoint location.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's events.parquet with a
+    proper event-time column (nanos → timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(src)
+    # the file source requires a directory — expose the single driver
+    # file through a temp dir of symlinks (testdata is read-only)
+    d = tempfile.mkdtemp(prefix="pygr_spark_stream_")
+    os.symlink(src, os.path.join(d, "events.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    return stream.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per event_type counts in tumbling event-time windows."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows — pygr's maxgap merge in time domain."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked exactly-once by event_id (late-data dedup policy)."""
+    return events.withWatermark("event_time", watermark).dropDuplicates(
+        ["event_id"]
+    )
+
+
+def run_stream_to_table(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Run a (bounded) streaming query to completion into an in-memory
+    sink and return the materialized batch DataFrame. Uses
+    Trigger.AvailableNow so the file source drains and stops."""
+    name = "s" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="pygr_spark_ckpt_")
+    mode = "append" if df.isStreaming and not _has_aggregation(df) else "complete"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan

@@ -1,0 +1,42 @@
+import random
+
+from pyspark.sql import functions as F
+
+from pygr_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+
+def _vecs(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in base]))
+    # vec 100: near-copy of vec 0
+    v0 = rows[0][1]
+    rows.append((100, [x + 0.01 for x in v0]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark):
+    vecs = _vecs(spark)
+    queries = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(vecs, queries, k=3).collect()
+    assert len(out) == 3
+    best = sorted(out, key=lambda r: r.rank)[0]
+    assert best.vec_id == 100           # the planted near-copy wins
+    assert best.cos_sim > 0.999
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_lsh_ann_finds_planted_neighbor(spark):
+    rng = random.Random(3)
+    planes = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(6)]
+    vecs = _vecs(spark)
+    queries = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_ann_topk(vecs, queries, planes, k=3).collect()
+    # the near-copy of v0 lands in the same bucket with certainty ~1
+    assert any(r.vec_id == 100 and r.rank == 1 for r in out)
