@@ -29,6 +29,14 @@ HEADLINE = [
     "coverage_segments",
     "dedup_exact",
     "text_stats",
+    "order_fill_counts",
+    "triangle_motif",
+    "ngram_jaccard",
+    "minhash_near_dups",
+    "cosine_topk",
+    "doc_quality",
+    "fingerprint_chars",
+    "event_windows",
 ]
 
 

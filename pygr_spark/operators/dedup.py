@@ -34,10 +34,24 @@ from pyspark.sql import functions as F
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition to cluster parallelism before heavy per-row array
+    work. A small parquet arrives as ONE partition and would pin all
+    shingling/hashing to a single core; at real scale the scan already
+    has many partitions and this is a cheap hash exchange on the id."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of distinct n-word shingles of a whitespace-tokenized text."""
-    toks = F.split(F.trim(text), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    # guard: Spark sequence(1, 0) DESCENDS — short docs must yield []
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )
@@ -70,11 +84,16 @@ def jaccard_join(
     Jaccard >= threshold, expressed as the exact integer predicate
     ``inter * (1) >= threshold * union`` to stay float-robust.
     """
-    sh = df.select(
+    sh = _spread(df, id_col).select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text), n).alias("_sh")
     ).filter(F.size("_sh") > 0)
-    sizes = sh.select("_id", F.size("_sh").alias("_sz"))
-    exploded = sh.select("_id", F.explode("_sh").alias("_s"))
+    # carry the set size through the explode: the pair aggregation can
+    # then group on (ids, sizes) directly — no extra size joins, and
+    # the self-join's two sides share an identical plan so Catalyst
+    # reuses one shuffle exchange for both (ReusedExchange)
+    exploded = sh.select(
+        "_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("_s")
+    )
     if max_shingle_freq is not None:
         freq = exploded.groupBy("_s").agg(F.count(F.lit(1)).alias("_f"))
         exploded = exploded.join(
@@ -86,21 +105,16 @@ def jaccard_join(
         exploded.alias("a")
         .join(exploded.alias("b"), "_s")
         .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sz").alias("size_a"),
+            F.col("b._sz").alias("size_b"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
-        pairs.join(sizes.withColumnRenamed("_id", "id_a"), "id_a")
-        .withColumnRenamed("_sz", "size_a")
-        .join(
-            sizes.withColumnRenamed("_id", "id_b").withColumnRenamed(
-                "_sz", "size_b"
-            ),
-            "id_b",
-        )
-    )
     union = F.col("size_a") + F.col("size_b") - F.col("inter")
-    return out.filter(F.col("inter") >= F.lit(threshold) * union).select(
+    return pairs.filter(F.col("inter") >= F.lit(threshold) * union).select(
         "id_a", "id_b", "inter", "size_a", "size_b"
     )
 
@@ -129,22 +143,32 @@ def minhash_signatures(
     """(id, sig: array<long>[num_perm], n_shingles). Pure array
     expressions: shingles → xxhash64 → per-perm min of (a·x+b) mod p.
     """
-    sh = df.select(
+    sh = _spread(df, id_col).select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text), n).alias("_sh")
     ).filter(F.size("_sh") > 0)
-    hashes = F.transform(F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
+    # materialize the shingle-hash array ONCE — referencing it as a
+    # column keeps the num_perm min-transforms from each recomputing
+    # xxhash64 over every shingle (Catalyst does not CSE lambdas)
+    hashed = sh.select(
+        "_id",
+        F.size("_sh").alias("_n"),
+        F.transform(
+            F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
+        ).alias("_h"),
+    )
     sig_cols = [
         F.array_min(
             F.transform(
-                hashes, lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P))
+                F.col("_h"),
+                lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P)),
             )
         )
         for a, b in _perm_params(num_perm, seed)
     ]
-    return sh.select(
+    return hashed.select(
         F.col("_id").alias(id_col),
         F.array(*sig_cols).alias("sig"),
-        F.size("_sh").alias("n_shingles"),
+        F.col("_n").alias("n_shingles"),
     )
 
 
@@ -204,10 +228,29 @@ def minhash_near_dups(
     (id_a, id_b, inter, size_a, size_b) like jaccard_join, but with
     O(candidate) instead of O(all-pairs-sharing-a-shingle) cost.
     """
-    sh = df.select(
+    # one shared shingle projection: signatures AND verification sets
+    # derive from the same plan so the expensive shingling is planned
+    # once per consumer with exchange reuse, not rebuilt from the scan
+    sh = _spread(df, id_col).select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text), n).alias("_sh")
     ).filter(F.size("_sh") > 0)
-    sigs = minhash_signatures(df, id_col, text, n, num_perm, seed)
+    hashed = sh.select(
+        "_id",
+        "_sh",
+        F.transform(
+            F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
+        ).alias("_h"),
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("_h"),
+                lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P)),
+            )
+        )
+        for a, b in _perm_params(num_perm, seed)
+    ]
+    sigs = hashed.select(F.col("_id").alias(id_col), F.array(*sig_cols).alias("sig"))
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, num_bands)
     withsets = (
         cand.join(
@@ -240,6 +283,7 @@ def simhash(
     the majority vote of bit b across xxhash64(token) for all tokens.
     Computed as a left-fold over the token-hash array with a 64-long
     accumulator (JVM-side, no UDF)."""
+    df = _spread(df, id_col)
     toks = F.split(F.trim(F.col(text)), r"\s+")
     hashes = F.transform(toks, lambda x: F.xxhash64(x))
     zero = F.array_repeat(F.lit(0).cast("long"), 64)

@@ -382,6 +382,423 @@ FROM documents WHERE length(trim(text)) > 0
 
 
 # ---------------------------------------------------------------------------
+# relational completeness: anti/outer joins, set ops, pivot (§7.1 step 6)
+# ---------------------------------------------------------------------------
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (the reference's KeyError/EmptySlice path ≈ anti)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+Q_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_order_fill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + group: per order its item count (0 kept)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").cast("long").alias("n_items"),
+            F.coalesce(F.sum(cents(F.col("l_extendedprice"))), F.lit(0))
+            .cast("long")
+            .alias("items_value_c"),
+        )
+    )
+
+
+Q_ORDER_FILL_SQL = """
+SELECT o_orderkey,
+  CAST(COUNT(l_orderkey) AS BIGINT) AS n_items,
+  CAST(COALESCE(SUM(CAST(round(l_extendedprice*100) AS BIGINT)), 0) AS BIGINT) AS items_value_c
+FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status (fixed status set)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"n_{s}")
+            for s in ["F", "O", "P"]
+        ],
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect/except surface (U-group; Spark natives)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    both = cust.intersect(supp).withColumn("tag", F.lit("both"))
+    only_cust = cust.subtract(supp).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(only_cust)
+
+
+Q_SETOPS_SQL = """
+SELECT CAST(nationkey AS BIGINT) AS nationkey, 'both' AS tag FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT CAST(nationkey AS BIGINT) AS nationkey, 'cust_only' AS tag FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey FROM supplier
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph motif on a derived graph (J7)
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed triangles a→b→c, a→c in an orders-derived graph, via
+    the motif_query join-chain compiler."""
+    from pygr_spark.operators.motif import motif_query
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        orders.select(
+            (F.col("o_custkey") % 1999).cast("long").alias("src"),
+            (F.col("o_orderkey") % 1999).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return motif_query(edges, {0: {1: None, 2: None}, 1: {2: None}}, edge=None)
+
+
+Q_TRIANGLE_SQL = """
+WITH e AS (
+  SELECT DISTINCT CAST(o_custkey % 1999 AS BIGINT) AS src,
+                  CAST(o_orderkey % 1999 AS BIGINT) AS dst
+  FROM orders WHERE o_custkey % 1999 != o_orderkey % 1999
+)
+SELECT e1.src AS q_0, e1.dst AS q_1, e2.dst AS q_2
+FROM e e1
+JOIN e e2 ON e2.src = e1.dst
+JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+WHERE e1.src != e1.dst AND e1.src != e2.dst AND e1.dst != e2.dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# annotation projection (J9/F4/S2) on documents
+# ---------------------------------------------------------------------------
+
+
+def q_doc_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation → sequence projection: derived typed intervals on
+    documents, clipped at construction (sequence.py:302-306), letters
+    via substring, plus a translate(reverse()) demo of the revcomp
+    idiom (F1/F4)."""
+    docs = _t(spark, sf_dir, "documents")
+    annots = docs.select(
+        F.col("doc_id"),
+        ((F.col("doc_id") * 13) % 40).cast("long").alias("start"),
+        ((F.col("doc_id") * 13) % 40 + 1 + (F.col("doc_id") * 7) % 20)
+        .cast("long")
+        .alias("stop"),
+    )
+    joined = annots.join(docs.select("doc_id", "text", "n_chars"), "doc_id")
+    clipped = joined.withColumn(
+        "stop_c", F.least(F.col("stop"), F.col("n_chars"))
+    ).filter(F.col("start") < F.col("stop_c"))
+    letters = F.expr("substring(text, CAST(start+1 AS INT), CAST(stop_c-start AS INT))")
+    return clipped.select(
+        "doc_id",
+        "start",
+        F.col("stop_c").alias("stop"),
+        letters.alias("letters"),
+        F.translate(F.reverse(letters), "abcde", "vwxyz").alias("rev_xlat"),
+    )
+
+
+Q_DOC_SLICES_SQL = """
+WITH a AS (
+  SELECT doc_id, CAST((doc_id*13) % 40 AS BIGINT) AS start,
+         CAST((doc_id*13) % 40 + 1 + (doc_id*7) % 20 AS BIGINT) AS stop
+  FROM documents
+)
+SELECT d.doc_id, a.start, LEAST(a.stop, d.n_chars) AS stop,
+  substr(d.text, CAST(a.start+1 AS INT), CAST(LEAST(a.stop, d.n_chars)-a.start AS INT)) AS letters,
+  translate(reverse(substr(d.text, CAST(a.start+1 AS INT), CAST(LEAST(a.stop, d.n_chars)-a.start AS INT))), 'abcde', 'vwxyz') AS rev_xlat
+FROM a JOIN documents d ON a.doc_id = d.doc_id
+WHERE a.start < LEAST(a.stop, d.n_chars)
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM ops with oracles: n-gram Jaccard, cosine top-k, quality, lang, fp
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygr_spark.operators.dedup import jaccard_join
+
+    docs = _t(spark, sf_dir, "documents")
+    # n=5 shingles: the driver's synthetic docs use a tiny vocabulary,
+    # so 3-grams collide massively (1.1M candidate pairs at sf0.1 vs
+    # 1.5k with 5-grams, identical final pairs) — shingle width is the
+    # lever that keeps the equi-join candidate set near the output size
+    return jaccard_join(docs, n=5, threshold=0.2).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("inter").cast("long").alias("inter"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+    )
+
+
+Q_NGRAM_JACCARD_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(t)-3),
+                  i -> array_to_string(list_slice(t, i, i+4), ' '))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0)
+  WHERE len(t) >= 5
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sz FROM sh)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, inter,
+       a.sz AS size_a, b.sz AS size_b
+FROM pairs JOIN sz a ON id_a = a.doc_id JOIN sz b ON id_b = b.doc_id
+WHERE inter >= 0.2 * (a.sz + b.sz - inter)
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygr_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+        "rank",
+    )
+
+
+Q_COSINE_SQL = """
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS q
+  FROM embeddings
+), n AS (
+  SELECT vec_id, q,
+    list_reduce(list_transform(range(1, len(q)+1), i -> q[i]*q[i]), (x,y) -> x+y) AS nn
+  FROM v
+), qs AS (SELECT vec_id AS query_id, q AS qq, nn AS qn FROM n WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT qs.query_id, n.vec_id,
+    list_reduce(list_transform(range(1, len(n.q)+1), i -> n.q[i]*qs.qq[i]), (x,y) -> x+y)
+      / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(qs.qn AS DOUBLE))) AS sim
+  FROM n CROSS JOIN qs WHERE n.vec_id != qs.query_id
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       round(sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygr_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+Q_DOC_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+  CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS longest_token,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio
+FROM t
+"""
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygr_spark.operators.textstats import language_scores
+
+    return language_scores(_t(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    from pygr_spark.operators.textstats import STOPWORDS
+
+    hits = []
+    for lang, words in STOPWORDS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        hits.append(
+            f"CAST(len(list_filter(toks, x -> list_contains([{arr}], x))) AS BIGINT) AS hits_{lang}"
+        )
+    langs = list(STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"hits_{la}" for la in langs) + ")"
+    label = "CASE " + " ".join(
+        f"WHEN hits_{la} = {best} THEN '{la}'" for la in langs
+    ) + " END"
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), h AS (
+  SELECT doc_id, {', '.join(hits)} FROM t
+)
+SELECT doc_id, {', '.join(f'hits_{la}' for la in langs)},
+  CASE WHEN {best} > 0 THEN {label} ELSE 'und' END AS lang_guess
+FROM h
+"""
+
+
+def q_fingerprint_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable per-char polynomial fingerprint (engine-independent —
+    same fold in the oracle; the xxhash64 token variant in
+    textstats.fingerprint is Spark-side only)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * 131 + F.ascii(c), F.lit(1_000_000_007)),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+Q_FINGERPRINT_SQL = """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(list_filter(regexp_split_to_array(text, ''), c -> c != ''),
+                     c -> ascii(c)::BIGINT)),
+    (acc, c) -> (acc*131 + c) % 1000000007) AS fingerprint
+FROM documents WHERE length(trim(text)) > 0
+"""
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (batch form of the streaming op)."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts_ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("sum_value_c"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).cast("long").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value_c",
+        )
+    )
+
+
+Q_EVENT_WINDOWS_SQL = """
+SELECT CAST((epoch_ns(ts) // 1000000000) // 300 * 300 AS BIGINT) AS win_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (no SQL oracle — non-SQL-expressible or engine-hash
+# based; the driver records the weaker rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygr_spark.operators.dedup import minhash_near_dups
+
+    return minhash_near_dups(_t(spark, sf_dir, "documents"), n=5, threshold=0.2)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygr_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import random
+
+    from pygr_spark.operators.similarity import lsh_ann_topk
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(emb, queries, planes, k=5)
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming run (availableNow) materialized."""
+    from pygr_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+        session_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(session_counts(stream, gap="30 minutes"), spark)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -395,6 +812,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "coverage_segments": q_coverage_segments,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
+    "customers_without_orders": q_customers_without_orders,
+    "order_fill_counts": q_order_fill_counts,
+    "pivot_status": q_pivot_status,
+    "setops_nations": q_setops_nations,
+    "triangle_motif": q_triangle_motif,
+    "doc_slices": q_doc_slices,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_topk": q_cosine_topk,
+    "doc_quality": q_doc_quality,
+    "lang_guess": q_lang_guess,
+    "fingerprint_chars": q_fingerprint_chars,
+    "event_windows": q_event_windows,
+    # rows-only (no oracle)
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "lsh_ann": q_lsh_ann,
+    "stream_sessions": q_stream_sessions,
 }
 
 ORACLES: dict[str, str] = {
@@ -407,4 +841,16 @@ ORACLES: dict[str, str] = {
     "coverage_segments": Q_COVERAGE_SQL,
     "dedup_exact": Q_DEDUP_SQL,
     "text_stats": Q_TEXT_STATS_SQL,
+    "customers_without_orders": Q_ANTI_SQL,
+    "order_fill_counts": Q_ORDER_FILL_SQL,
+    "pivot_status": Q_PIVOT_SQL,
+    "setops_nations": Q_SETOPS_SQL,
+    "triangle_motif": Q_TRIANGLE_SQL,
+    "doc_slices": Q_DOC_SLICES_SQL,
+    "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+    "cosine_topk": Q_COSINE_SQL,
+    "doc_quality": Q_DOC_QUALITY_SQL,
+    "lang_guess": _lang_sql(),
+    "fingerprint_chars": Q_FINGERPRINT_SQL,
+    "event_windows": Q_EVENT_WINDOWS_SQL,
 }
