@@ -1,0 +1,143 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, processed via Arrow-batched mapInPandas (north star).
+
+The Spark-side plumbing — schema, partitioning, UDF signature, batch
+shapes — is real and tested; the decode kernels are deterministic
+fakes behind ``FAKE_DECODERS`` because codec libraries are not in this
+container. Swapping a fake for a real decoder (PIL/librosa/av) changes
+ONE dict entry and nothing else: the contract is
+bytes → dict of features per row, applied per Arrow batch.
+
+Scale notes: binary payloads ride the normal shuffle paths; keep
+``spark.sql.files.maxPartitionBytes`` sized so a partition of blobs
+fits executor memory, and push metadata-only filters BEFORE the
+decode stage (Catalyst prunes the binary column entirely for
+metadata-only queries — binary columns are only deserialized in the
+mapInPandas stage that uses them).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_image_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for image decode + feature extraction.
+    Real impl: PIL.Image.open → resize → channel means. STUBBED: the
+    container has no codec libs; geometry derives from a stable hash."""
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + h[0] % 64,
+        "height": 64 + h[1] % 64,
+        "duration_ms": None,
+        "feature": [b / 255.0 for b in h[:8]],
+    }
+
+
+def _fake_audio_decode(payload: bytes) -> dict:
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": None,
+        "height": None,
+        "duration_ms": 1000 + int.from_bytes(h[2:4], "big"),
+        "feature": [b / 255.0 for b in h[8:16]],
+    }
+
+
+def _fake_video_decode(payload: bytes) -> dict:
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 160 + h[4] % 96,
+        "height": 90 + h[5] % 54,
+        "duration_ms": 5000 + int.from_bytes(h[6:8], "big"),
+        "feature": [b / 255.0 for b in h[16:24]],
+    }
+
+
+FAKE_DECODERS: dict[str, Callable[[bytes], dict]] = {
+    "image": _fake_image_decode,
+    "audio": _fake_audio_decode,
+    "video": _fake_video_decode,
+}
+
+
+def extract_features(
+    media: DataFrame,
+    decoders: dict[str, Callable[[bytes], dict]] | None = None,
+) -> DataFrame:
+    """Decode/feature-extract via mapInPandas: one Python worker per
+    partition, Arrow batches in/out, no driver involvement."""
+    decoders = decoders or FAKE_DECODERS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                dec = decoders.get(r["kind"])
+                if dec is None:
+                    raise NotImplementedError(f"no decoder for kind={r['kind']!r}")
+                feats = dec(payload)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "n_bytes": len(payload),
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                        "width": feats["width"],
+                        "height": feats["height"],
+                        "duration_ms": feats["duration_ms"],
+                        "feature": feats["feature"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in FEATURE_SCHEMA.fields],
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per planned frame
+    timestamp (decode stubbed). Explodes timestamps JVM-side so the
+    expensive Python stage only sees (media_id, frame_ts) work items."""
+    feats = extract_features(media.filter(F.col("kind") == "video"))
+    n_frames = F.floor(F.col("duration_ms") / every_ms).cast("int")
+    idx = F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return feats.select(
+        "media_id", F.explode(idx).alias("frame_no")
+    ).withColumn("frame_ts_ms", F.col("frame_no").cast("long") * every_ms)
