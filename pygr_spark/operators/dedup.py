@@ -45,15 +45,39 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of distinct n-word shingles of a whitespace-tokenized text."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Array of distinct n-word shingles from a MATERIALIZED token-array
+    column. ``toks`` must be a bound column reference, not a compound
+    expression: the transform lambda below evaluates its argument once
+    per index element, so passing ``split(...)`` directly would
+    re-tokenize the document once per shingle (~50× slowdown measured).
+    """
     # guard: Spark sequence(1, 0) DESCENDS — short docs must yield []
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Shingles straight from a text column — convenience form for
+    small inputs/tests; hot paths materialize tokens first (see
+    shingles_from_tokens)."""
+    return shingles_from_tokens(F.split(F.trim(F.lower(text)), r"\s+"), n)
+
+
+def _sharded_shingles(df: DataFrame, id_col: str, text: str, n: int) -> DataFrame:
+    """(_id, _sh) with tokens materialized before shingling."""
+    return (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.split(F.trim(F.lower(F.col(text))), r"\s+").alias("_toks"),
+        )
+        .select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
+        .filter(F.size("_sh") > 0)
     )
 
 
@@ -84,9 +108,7 @@ def jaccard_join(
     Jaccard >= threshold, expressed as the exact integer predicate
     ``inter * (1) >= threshold * union`` to stay float-robust.
     """
-    sh = _spread(df, id_col).select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text), n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
+    sh = _sharded_shingles(df, id_col, text, n)
     # carry the set size through the explode: the pair aggregation can
     # then group on (ids, sizes) directly — no extra size joins, and
     # the self-join's two sides share an identical plan so Catalyst
@@ -143,31 +165,25 @@ def minhash_signatures(
     """(id, sig: array<long>[num_perm], n_shingles). Pure array
     expressions: shingles → xxhash64 → per-perm min of (a·x+b) mod p.
     """
-    sh = _spread(df, id_col).select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text), n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
-    # materialize the shingle-hash array ONCE — referencing it as a
-    # column keeps the num_perm min-transforms from each recomputing
-    # xxhash64 over every shingle (Catalyst does not CSE lambdas)
-    hashed = sh.select(
-        "_id",
-        F.size("_sh").alias("_n"),
-        F.transform(
-            F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
-        ).alias("_h"),
-    )
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col("_h"),
-                lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P)),
+    # explode + hash-aggregate formulation: scalar min() aggregates
+    # are whole-stage-codegen'd, ~10× faster than the equivalent
+    # array_min(transform(...)) higher-order expressions, which Spark
+    # interprets per element. Same result, one shuffle on the doc id.
+    ex = _sharded_shingles(df, id_col, text, n).select(
+        "_id", F.explode("_sh").alias("_s")
+    ).select("_id", F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_P)).alias("_h"))
+    mins = ex.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(MERSENNE_P))).alias(
+                f"_m{i}"
             )
-        )
-        for a, b in _perm_params(num_perm, seed)
-    ]
-    return hashed.select(
+            for i, (a, b) in enumerate(_perm_params(num_perm, seed))
+        ],
+    )
+    return mins.select(
         F.col("_id").alias(id_col),
-        F.array(*sig_cols).alias("sig"),
+        F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig"),
         F.col("_n").alias("n_shingles"),
     )
 
@@ -228,29 +244,8 @@ def minhash_near_dups(
     (id_a, id_b, inter, size_a, size_b) like jaccard_join, but with
     O(candidate) instead of O(all-pairs-sharing-a-shingle) cost.
     """
-    # one shared shingle projection: signatures AND verification sets
-    # derive from the same plan so the expensive shingling is planned
-    # once per consumer with exchange reuse, not rebuilt from the scan
-    sh = _spread(df, id_col).select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text), n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
-    hashed = sh.select(
-        "_id",
-        "_sh",
-        F.transform(
-            F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
-        ).alias("_h"),
-    )
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col("_h"),
-                lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P)),
-            )
-        )
-        for a, b in _perm_params(num_perm, seed)
-    ]
-    sigs = hashed.select(F.col("_id").alias(id_col), F.array(*sig_cols).alias("sig"))
+    sh = _sharded_shingles(df, id_col, text, n)
+    sigs = minhash_signatures(df, id_col, text, n, num_perm, seed)
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, num_bands)
     withsets = (
         cand.join(

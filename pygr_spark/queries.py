@@ -34,6 +34,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism — used ONLY where
+    heavy work runs before any shuffle (e.g. the probe side of a
+    broadcast join): the driver's single-row-group parquet cannot be
+    split by the scanner, so such stages would otherwise run on one
+    core. Queries whose first operation is already a shuffle
+    (groupBy/sort-merge join) must NOT pay this extra exchange.
+    At production scale scans arrive multi-split and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
     reader rejects; read ns-as-long (runtime conf, safe to set in the
@@ -240,7 +254,9 @@ _LINEITEM_IVALS_SQL = f"""
 def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: interval overlap join (binned strategy — the scale path)."""
     left = _order_ivals(spark, sf_dir)
-    right = _lineitem_ivals(spark, sf_dir)
+    # lineitem is the probe side of a broadcast join — it never
+    # shuffles, so spread it for parallelism (see _spread)
+    right = _spread(_lineitem_ivals(spark, sf_dir))
     out = overlap_join(left, right, strategy="binned", bin_width=32)
     return out.select(
         F.col("id"),
