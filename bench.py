@@ -37,6 +37,11 @@ HEADLINE = [
     "doc_quality",
     "fingerprint_chars",
     "event_windows",
+    "two_hop_align",
+    "splice_graph",
+    "letter_identity",
+    "rollup_dates",
+    "pagerank",
 ]
 
 

@@ -1,0 +1,202 @@
+"""Graph layer: edge-DataFrame utilities (J4/J5/U6/U8), splice-graph
+construction (J11), and iterative analytics (PageRank, connected
+components) — the "GraphX for analytics" directive of BASELINE.json
+realized as DataFrame iterations (no GraphFrames dependency in this
+container; the algorithms are the standard Pregel-style message
+rounds expressed as join+groupBy, which is exactly what GraphX
+compiles to).
+
+Reference mapping:
+  - graph[src][dst] = edge over dict/shelve/SQL (mapping.py:137-195,
+    sqlgraph.py:1391-1554) → one DataFrame (src, dst, edge);
+  - inversion __invert__ (sqlgraph.py:1466-1480, mapping.py:521-529)
+    → column swap;
+  - ForeignKeyGraph (sqlgraph.py:1797-1881) → equi-join on the FK;
+  - splice graph (apps/splicegraph.py:6-48, 83-204) → coordinate
+    equi-joins; alt5/alt3 = self-joins on shared start (end).
+
+Scale: each analytics iteration is one shuffle keyed on node id;
+lineage is truncated with localCheckpoint every few rounds so plans
+stay bounded; AQE handles hub-node skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def invert(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """U8: transpose the graph (pygr ~graph)."""
+    cols = [c for c in edges.columns if c not in (src, dst)]
+    return edges.select(
+        F.col(dst).alias(src), F.col(src).alias(dst), *cols
+    )
+
+
+def foreign_key_graph(
+    source: DataFrame,
+    target: DataFrame,
+    source_key: str,
+    target_fk: str,
+    how: str = "inner",
+) -> DataFrame:
+    """J4: 1:many edge-less graph source → target rows whose FK matches
+    (ForeignKeyGraph, sqlgraph.py:1797-1881). ``how='left'`` keeps
+    sources with no targets (the None case)."""
+    return source.join(target, source[source_key] == target[target_fk], how)
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_deg = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return out_deg.join(in_deg, "node", "full").select(
+        "node",
+        F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+    )
+
+
+def nodes_of(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    return (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank: rank_{t+1}(v) = (1-d) + d·Σ
+    rank_t(u)/out_deg(u) over in-edges. One shuffle per round;
+    lineage cut every 3 rounds."""
+    e = edges.select(src, dst).distinct()
+    out_deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    e = e.join(out_deg, src)
+    nodes = nodes_of(e, src, dst)
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for i in range(n_iter):
+        contribs = (
+            e.join(ranks, e[src] == ranks["node"])
+            .select(F.col(dst).alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(1 - damping) + damping * F.coalesce("_sum", F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Label propagation: every node takes the min label among itself
+    and its neighbors until fixpoint (undirected view). Returns
+    (node, component). Converges in O(diameter) rounds."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = nodes_of(edges, src, dst).withColumn("component", F.col("node"))
+    for i in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und["a"] == labels["node"])
+            .select(F.col("b").alias("node"), F.col("component").alias("_nc"))
+            .groupBy("node")
+            .agg(F.min("_nc").alias("_nmin"))
+        )
+        new_labels = labels.join(neighbor_min, "node", "left").select(
+            "node", F.least(F.col("component"), F.coalesce("_nmin", F.col("component"))).alias("component")
+        )
+        if (i + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def splice_graph(
+    exons: DataFrame,
+    splices: DataFrame,
+    cluster: str = "cluster_id",
+) -> dict[str, DataFrame]:
+    """J11 (apps/splicegraph.py:6-48): exon→splice→exon coordinate
+    equi-joins build the splice graph; alt5/alt3 = exon pairs sharing
+    genomic_start (genomic_end) with distinct ids.
+
+    exons: (exon_id, cluster_id, genomic_start, genomic_end)
+    splices: (splice_id, cluster_id, ver_gen_start, ver_gen_end)
+    """
+    e1 = exons.select(
+        F.col("exon_id").alias("from_exon"),
+        F.col(cluster),
+        F.col("genomic_end").alias("_donor"),
+    )
+    e2 = exons.select(
+        F.col("exon_id").alias("to_exon"),
+        F.col(cluster).alias("_c2"),
+        F.col("genomic_start").alias("_acceptor"),
+    )
+    sp = splices.select(
+        "splice_id",
+        F.col(cluster).alias("_cs"),
+        F.col("ver_gen_start").alias("_ss"),
+        F.col("ver_gen_end").alias("_se"),
+    )
+    splice_edges = (
+        e1.join(sp, (F.col(cluster) == F.col("_cs")) & (F.col("_donor") == F.col("_ss")))
+        .join(e2, (F.col("_c2") == F.col("_cs")) & (F.col("_acceptor") == F.col("_se")))
+        .select(cluster, "from_exon", "splice_id", "to_exon")
+    )
+
+    def _alt(col: str, out: str) -> DataFrame:
+        a = exons.select(
+            F.col("exon_id").alias("exon_a"), F.col(cluster), F.col(col).alias("_p")
+        )
+        b = exons.select(
+            F.col("exon_id").alias("exon_b"),
+            F.col(cluster).alias("_cb"),
+            F.col(col).alias("_pb"),
+        )
+        return (
+            a.join(
+                b,
+                (F.col(cluster) == F.col("_cb"))
+                & (F.col("_p") == F.col("_pb"))
+                & (F.col("exon_a") < F.col("exon_b")),
+            )
+            .select(cluster, "exon_a", "exon_b", F.col("_p").alias(out))
+        )
+
+    return {
+        "splice_edges": splice_edges,
+        "alt5": _alt("genomic_start", "shared_start"),
+        "alt3": _alt("genomic_end", "shared_end"),
+    }

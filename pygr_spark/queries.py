@@ -771,9 +771,279 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# two-hop MSA join (J2), splice graph (J11), letter identity (A7/J10)
+# ---------------------------------------------------------------------------
+
+_ALN_SQL = f"""
+  SELECT 'o' || CAST(o_orderkey % 23 AS VARCHAR) AS src_id,
+    CAST(date_diff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE)) AS BIGINT) AS src_start,
+    CAST(date_diff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE)) + 1 + o_orderkey % 13 AS BIGINT) AS src_stop,
+    CAST((o_orderkey * 7) % 5000 AS BIGINT) AS mid_start,
+    CAST((o_orderkey * 7) % 5000 + 1 + o_orderkey % 13 AS BIGINT) AS mid_stop
+  FROM orders
+"""
+
+
+def _derived_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit(EPOCH).cast("date"))
+    span = 1 + F.col("o_orderkey") % 13
+    return orders.select(
+        F.concat(F.lit("o"), (F.col("o_orderkey") % 23).cast("string")).alias("src_id"),
+        day.cast("long").alias("src_start"),
+        (day + span).cast("long").alias("src_stop"),
+        ((F.col("o_orderkey") * 7) % 5000).cast("long").alias("mid_start"),
+        ((F.col("o_orderkey") * 7) % 5000 + span).cast("long").alias("mid_stop"),
+    )
+
+
+def q_two_hop_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: query → LPO → all aligned sequences, on a derived MSA."""
+    from pygr_spark.operators.alignments import two_hop_join
+
+    aln = _derived_alignment(spark, sf_dir)
+    query = aln.filter(F.col("mid_start") % 97 == 0).select(
+        F.col("src_id").alias("id"),
+        F.col("src_start").alias("start"),
+        F.col("src_stop").alias("stop"),
+    )
+    return two_hop_join(query, aln)
+
+
+Q_TWO_HOP_SQL = f"""
+WITH aln AS ({_ALN_SQL}),
+q AS (SELECT src_id AS id, src_start AS start, src_stop AS stop
+      FROM aln WHERE mid_start % 97 = 0),
+h1 AS (
+  SELECT q.id AS q_id,
+    GREATEST(q.start, a.src_start) AS h1_start,
+    LEAST(q.stop, a.src_stop) AS h1_stop,
+    a.mid_start + GREATEST(q.start, a.src_start) - a.src_start AS m_start,
+    a.mid_start + LEAST(q.stop, a.src_stop) - a.src_start AS m_stop
+  FROM q JOIN aln a ON q.id = a.src_id
+    AND q.start < a.src_stop AND a.src_start < q.stop
+),
+h2 AS (
+  SELECT h1.q_id,
+    h1.h1_start + (GREATEST(h1.m_start, a2.mid_start) - h1.m_start) AS q_start,
+    h1.h1_start + (LEAST(h1.m_stop, a2.mid_stop) - h1.m_start) AS q_stop,
+    a2.src_id AS dst_id,
+    a2.src_start + (GREATEST(h1.m_start, a2.mid_start) - a2.mid_start) AS dst_start,
+    a2.src_start + (LEAST(h1.m_stop, a2.mid_stop) - a2.mid_start) AS dst_stop
+  FROM h1 JOIN aln a2 ON h1.m_start < a2.mid_stop AND a2.mid_start < h1.m_stop
+)
+SELECT * FROM h2 WHERE q_id != dst_id OR q_start != dst_start
+"""
+
+
+def q_splice_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: exon→splice→exon coordinate equi-joins on derived tables."""
+    from pygr_spark.operators.graphs import splice_graph
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    oday = F.datediff(F.col("o_orderdate").cast("date"), F.lit(EPOCH).cast("date"))
+    lday = F.datediff(F.col("l_shipdate").cast("date"), F.lit(EPOCH).cast("date"))
+    exons = orders.select(
+        F.col("o_orderkey").alias("exon_id"),
+        (F.col("o_orderkey") % 500).cast("long").alias("cluster_id"),
+        oday.cast("long").alias("genomic_start"),
+        (oday + 5).cast("long").alias("genomic_end"),
+    )
+    splices = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("splice_id"),
+        (F.col("l_orderkey") % 500).cast("long").alias("cluster_id"),
+        lday.cast("long").alias("ver_gen_start"),
+        (lday + 3).cast("long").alias("ver_gen_end"),
+    )
+    return splice_graph(exons, splices)["splice_edges"]
+
+
+Q_SPLICE_SQL = f"""
+WITH exons AS (
+  SELECT o_orderkey AS exon_id, CAST(o_orderkey % 500 AS BIGINT) AS cluster_id,
+    CAST(date_diff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE)) AS BIGINT) AS gs,
+    CAST(date_diff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE)) + 5 AS BIGINT) AS ge
+  FROM orders
+), splices AS (
+  SELECT l_orderkey*10 + l_linenumber AS splice_id,
+    CAST(l_orderkey % 500 AS BIGINT) AS cluster_id,
+    CAST(date_diff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) AS BIGINT) AS ss,
+    CAST(date_diff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) + 3 AS BIGINT) AS se
+  FROM lineitem
+)
+SELECT e1.cluster_id, e1.exon_id AS from_exon, s.splice_id, e2.exon_id AS to_exon
+FROM exons e1
+JOIN splices s ON e1.cluster_id = s.cluster_id AND e1.ge = s.ss
+JOIN exons e2 ON e2.cluster_id = s.cluster_id AND s.se = e2.gs
+"""
+
+
+def q_letter_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/J10: per-letter identity between paired documents' prefixes."""
+    from pygr_spark.operators.alignments import identity_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 30)
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.substring("text", 1, 30).alias("src_letters")
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.substring("text", 1, 30).alias("dst_letters"),
+    )
+    edges = a.join(b, "id_a")
+    return identity_stats(edges).select(
+        "id_a",
+        "id_b",
+        F.col("n_identity").cast("long").alias("n_identity"),
+        F.col("n_aligned").cast("long").alias("n_aligned"),
+        F.round("p_identity", 6).alias("p_identity"),
+    )
+
+
+Q_LETTER_IDENTITY_SQL = """
+WITH d AS (SELECT doc_id, substr(text, 1, 30) AS s FROM documents WHERE n_chars >= 30)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(list_sum(list_transform(range(1, 31),
+       i -> CASE WHEN lower(substr(a.s, CAST(i AS INT), 1)) = lower(substr(b.s, CAST(i AS INT), 1))
+                 THEN 1 ELSE 0 END)) AS BIGINT) AS n_identity,
+  CAST(30 AS BIGINT) AS n_aligned,
+  round(CAST(list_sum(list_transform(range(1, 31),
+       i -> CASE WHEN lower(substr(a.s, CAST(i AS INT), 1)) = lower(substr(b.s, CAST(i AS INT), 1))
+                 THEN 1 ELSE 0 END)) AS DOUBLE) / 30, 6) AS p_identity
+FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational sampler: rollup, scalar subquery, string/date functions
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(
+            F.year(d).cast("long").alias("yr"), F.month(d).cast("long").alias("mo"),
+            "o_totalprice",
+        )
+        .rollup("yr", "mo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias("total_c"),
+        )
+        .select(
+            F.coalesce("yr", F.lit(-1)).alias("yr"),
+            F.coalesce("mo", F.lit(-1)).alias("mo"),
+            "n_orders",
+            "total_c",
+        )
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT COALESCE(yr, -1) AS yr, COALESCE(mo, -1) AS mo,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+FROM (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+             CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+             o_totalprice FROM orders)
+GROUP BY ROLLUP (yr, mo)
+"""
+
+
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape, made float-exact: price·n > total (all
+    integer cents — no average rounding to disagree on)."""
+    orders = _t(spark, sf_dir, "orders")
+    totals = orders.agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("_total_c"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(totals))
+        .filter(cents(F.col("o_totalprice")) * F.col("_n") > F.col("_total_c"))
+        .select("o_orderkey", cents(F.col("o_totalprice")).alias("price_c"))
+    )
+
+
+Q_ABOVE_AVG_SQL = """
+SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+FROM orders
+WHERE CAST(round(o_totalprice*100) AS BIGINT) *
+      (SELECT COUNT(*) FROM orders) >
+      (SELECT SUM(CAST(round(o_totalprice*100) AS BIGINT)) FROM orders)
+"""
+
+
+def q_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function sampler (§2.8 surface beyond the reference)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 4).alias("name_pre"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_pad"),
+        F.instr(F.col("c_name"), "1").cast("long").alias("pos_one"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+    )
+
+
+Q_STRING_SQL = """
+SELECT c_custkey,
+  upper(c_name) AS name_upper,
+  CAST(length(c_name) AS BIGINT) AS name_len,
+  substr(c_name, 1, 4) AS name_pre,
+  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+  CAST(instr(c_name, '1') AS BIGINT) AS pos_one,
+  reverse(c_mktsegment) AS seg_rev,
+  c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS seg_nation
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
 # rows-only entries (no SQL oracle — non-SQL-expressible or engine-hash
 # based; the driver records the weaker rows-only check)
 # ---------------------------------------------------------------------------
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank on the orders-derived graph (GraphX-style
+    analytics; iterative → no single SQL oracle)."""
+    from pygr_spark.operators.graphs import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        orders.select(
+            (F.col("o_custkey") % 1999).cast("long").alias("src"),
+            (F.col("o_orderkey") % 1999).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank(edges, n_iter=6)
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygr_spark.operators.graphs import connected_components
+
+    ev = read_events(spark, sf_dir)
+    edges = (
+        ev.select(
+            (F.col("user_id") % 997).cast("long").alias("src"),
+            (F.col("event_id") % 997).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return connected_components(edges, max_iter=10)
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,11 +1110,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_guess": q_lang_guess,
     "fingerprint_chars": q_fingerprint_chars,
     "event_windows": q_event_windows,
+    "two_hop_align": q_two_hop_align,
+    "splice_graph": q_splice_graph,
+    "letter_identity": q_letter_identity,
+    "rollup_dates": q_rollup_dates,
+    "above_avg_orders": q_above_avg_orders,
+    "string_date_funcs": q_string_date_funcs,
     # rows-only (no oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "lsh_ann": q_lsh_ann,
     "stream_sessions": q_stream_sessions,
+    "pagerank": q_pagerank,
+    "connected_components": q_connected_components,
 }
 
 ORACLES: dict[str, str] = {
@@ -869,4 +1147,10 @@ ORACLES: dict[str, str] = {
     "lang_guess": _lang_sql(),
     "fingerprint_chars": Q_FINGERPRINT_SQL,
     "event_windows": Q_EVENT_WINDOWS_SQL,
+    "two_hop_align": Q_TWO_HOP_SQL,
+    "splice_graph": Q_SPLICE_SQL,
+    "letter_identity": Q_LETTER_IDENTITY_SQL,
+    "rollup_dates": Q_ROLLUP_SQL,
+    "above_avg_orders": Q_ABOVE_AVG_SQL,
+    "string_date_funcs": Q_STRING_SQL,
 }
