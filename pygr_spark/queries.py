@@ -1008,6 +1008,63 @@ FROM customer
 """
 
 
+def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column functions (engine surface beyond the reference —
+    SURVEY.md §2.8 'Spark builtins cover them')."""
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+        )
+    )
+
+
+Q_JSON_SQL = """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+  CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_interval_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: broadcast interval-mask semijoin with clipping."""
+    from pygr_spark.operators.annotation import interval_mask
+
+    ivals = _order_ivals(spark, sf_dir).select("id", "o_orderkey", "start", "stop")
+    mask = (
+        spark.range(0, 97)
+        .select(
+            F.col("id"),
+            (F.col("id") * 25 % 2000).alias("start"),
+            (F.col("id") * 25 % 2000 + 400).alias("stop"),
+        )
+    )
+    return interval_mask(ivals, mask, ["id"])
+
+
+Q_INTERVAL_MASK_SQL = f"""
+WITH iv AS ({_ORDER_IVALS_SQL}),
+mask AS (
+  SELECT CAST(i AS BIGINT) AS id, CAST(i*25 % 2000 AS BIGINT) AS ms,
+         CAST(i*25 % 2000 + 400 AS BIGINT) AS me
+  FROM range(0, 97) t(i)
+)
+SELECT iv.id, iv.o_orderkey,
+  GREATEST(iv.start, mask.ms) AS start,
+  LEAST(iv.stop, mask.me) AS stop
+FROM iv JOIN mask ON iv.id = mask.id AND iv.start < mask.me AND mask.ms < iv.stop
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries (no SQL oracle — non-SQL-expressible or engine-hash
 # based; the driver records the weaker rows-only check)
@@ -1116,6 +1173,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_dates": q_rollup_dates,
     "above_avg_orders": q_above_avg_orders,
     "string_date_funcs": q_string_date_funcs,
+    "json_events": q_json_events,
+    "interval_mask": q_interval_mask,
     # rows-only (no oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -1153,4 +1212,6 @@ ORACLES: dict[str, str] = {
     "rollup_dates": Q_ROLLUP_SQL,
     "above_avg_orders": Q_ABOVE_AVG_SQL,
     "string_date_funcs": Q_STRING_SQL,
+    "json_events": Q_JSON_SQL,
+    "interval_mask": Q_INTERVAL_MASK_SQL,
 }

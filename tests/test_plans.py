@@ -1,0 +1,56 @@
+"""Plan-quality regression tests: assert the physical plans keep the
+properties the 100 TB design depends on (SURVEY.md §4) — filter/column
+pushdown into the parquet scan, broadcast joins for small dims, no
+nested-loop joins in keyed paths, whole-stage codegen presence.
+"""
+
+from pyspark.sql import functions as F
+
+from pygr_spark.queries import QUERIES
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.filter(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity")
+    p = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in p
+    # column pruning: scan schema carries only the two referenced cols
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    p = plan_of(QUERIES["q5_revenue_by_nation"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3  # customer, supplier, nation
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_overlap_join_is_hash_join_on_bins(spark, sf_dir):
+    p = plan_of(QUERIES["overlap_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p  # binned equi-join, not a theta join
+
+
+def test_two_hop_has_no_nested_loop(spark, sf_dir):
+    p = plan_of(QUERIES["two_hop_align"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q1_uses_hash_aggregate(spark, sf_dir):
+    # AQE prints codegen stages only in the final plan, so assert the
+    # aggregate strategy (hash, not sort) — the codegen-able shape
+    p = plan_of(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "HashAggregate" in p
+    assert "SortAggregate" not in p
+
+
+def test_text_stats_prunes_columns(spark, sf_dir):
+    p = plan_of(QUERIES["text_stats"](spark, sf_dir))
+    # only doc_id + text should be read, not lang/source/n_chars
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p

@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) — randomized invariants the
+reference never had (SURVEY.md §5 'Absent: property-based testing').
+
+Strategy sizes are kept small: each example builds DataFrames on a
+live local SparkSession, so we bound examples and rely on breadth of
+structure rather than volume.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pygr_spark.operators.groupmerge import gap_merge
+from pygr_spark.operators.overlap import overlap_join
+from pygr_spark.operators.sweep import coverage_segments
+
+ivals = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=300),
+        st.integers(min_value=1, max_value=60),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(
+        [(i, s, s + ln) for (i, s, ln) in data], ["id", "start", "stop"]
+    )
+
+
+def _pairs(df):
+    return sorted(
+        tuple(r) for r in df.select("id", "start", "stop", "start_r", "stop_r").collect()
+    )
+
+
+@given(left=ivals, right=ivals)
+@SET
+def test_binned_equals_range(spark, left, right):
+    l, r = _df(spark, left), _df(spark, right)
+    base = _pairs(overlap_join(l, r, strategy="range"))
+    for width in (7, 64):
+        assert _pairs(overlap_join(l, r, strategy="binned", bin_width=width)) == base
+
+
+@given(data=ivals)
+@SET
+def test_overlap_matches_bruteforce(spark, data):
+    df = _df(spark, data)
+    got = _pairs(overlap_join(df, df, strategy="range"))
+    rows = [(i, s, s + ln) for (i, s, ln) in data]
+    want = sorted(
+        (i1, s1, e1, s2, e2)
+        for (i1, s1, e1) in rows
+        for (i2, s2, e2) in rows
+        if i1 == i2 and s1 < e2 and s2 < e1
+    )
+    assert got == want
+
+
+@given(data=ivals)
+@SET
+def test_gap_merge_invariants(spark, data):
+    df = _df(spark, data)
+    merged = gap_merge(df, ["id"], maxgap=0).collect()
+    rows = [(i, s, s + ln) for (i, s, ln) in data]
+    # 1) total interval mass preserved as coverage: merged spans are
+    #    disjoint per id and cover every input interval
+    by_id = {}
+    for r in merged:
+        by_id.setdefault(r.id, []).append((r.start, r.stop))
+    for _, spans in by_id.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2  # disjoint with a real gap
+    for i, s, e in rows:
+        assert any(ms <= s and e <= me for (ms, me) in by_id[i])
+    # 2) merging twice is a fixpoint
+    again = gap_merge(
+        gap_merge(df, ["id"], maxgap=0), ["id"], maxgap=0
+    ).drop("n_merged").collect()
+    assert sorted((r.id, r.start, r.stop) for r in again) == sorted(
+        (r.id, r.start, r.stop) for r in merged
+    )
+
+
+@given(data=ivals)
+@SET
+def test_coverage_mass_conservation(spark, data):
+    df = _df(spark, data)
+    segs = coverage_segments(df, ["id"]).collect()
+    # Σ coverage·seg_len == Σ interval lengths per id
+    got = {}
+    for r in segs:
+        got[r.id] = got.get(r.id, 0) + r.coverage * (r.seg_stop - r.seg_start)
+    want = {}
+    for i, s, ln in data:
+        want[i] = want.get(i, 0) + ln
+    assert got == want
