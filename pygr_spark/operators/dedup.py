@@ -40,7 +40,14 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     shingling/hashing to a single core; at real scale the scan already
     has many partitions and this is a cheap hash exchange on the id."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # cheap probe: .rdd.getNumPartitions() costs ~0.8s of plan
+        # conversion per call; inputFiles() is metadata-only. Few
+        # files ⇒ few scan partitions (single-row-group driver files).
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target, key)
     return df
 

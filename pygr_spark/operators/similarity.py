@@ -78,6 +78,77 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Same contract as cosine_topk, computed with one Arrow-batched
+    NumPy matmul per partition instead of per-pair interpreted array
+    expressions — the '10-100× via Pandas UDF' path for the hot loop.
+
+    The query matrix collects to the driver (small by contract) and
+    ships inside the closure; each corpus batch does quantized-int64
+    matmul → float64 cosine, preserving the exact-integer determinism
+    of the expression version (identical results, including ranking).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array(
+        [np.round(np.asarray(r[1], dtype=np.float64) * SCALE) for r in q_rows],
+        dtype=np.int64,
+    )
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype(np.float64))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(
+                [
+                    np.round(np.asarray(v, dtype=np.float64) * SCALE)
+                    for v in pdf[vec_col]
+                ],
+                dtype=np.int64,
+            )
+            norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+            sims = (mat @ q_mat.T).astype(np.float64) / np.outer(norms, q_norm)
+            n_c, n_q = sims.shape
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids[None, :], n_c, 0).ravel(),
+                    "vec_id": np.repeat(ids, n_q),
+                    "cos_sim": sims.ravel(),
+                }
+            )
+            yield out[out["query_id"] != out["vec_id"]]
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """b-bit bucket id: bit i = sign(vec · plane_i). Planes are plain
     Python lists (broadcast as literals into the plan)."""

@@ -43,7 +43,11 @@ def _spread(df: DataFrame) -> DataFrame:
     (groupBy/sort-merge join) must NOT pay this extra exchange.
     At production scale scans arrive multi-split and this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 
@@ -276,6 +280,82 @@ SELECT o.id, o.o_orderkey, o.start AS o_start, o.stop AS o_stop,
 FROM ({_ORDER_IVALS_SQL}) o
 JOIN ({_LINEITEM_IVALS_SQL}) l
   ON o.id = l.id AND o.start < l.stop AND l.start < o.stop
+"""
+
+
+def q_overlap_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with pygr's sign-convention orientation (SURVEY.md §7.3: the
+    highest-corruption-risk semantic): negative coords = reverse
+    strand; overlap decided on absolute coords; hits reoriented to the
+    query strand (reference tests/nlmsa_test.py:14-22 semantics, here
+    under the driver's oracle gate)."""
+    from pygr_spark.operators.overlap import overlap_join_signed
+
+    li = _t(spark, sf_dir, "lineitem")
+    day = F.datediff(F.col("l_shipdate").cast("date"), F.lit(EPOCH).cast("date"))
+    astart = day.cast("long")
+    astop = (day + 1 + F.col("l_partkey") % 7).cast("long")
+    neg = F.col("l_linenumber") % 2 == 1
+    db = li.select(
+        (F.col("l_orderkey") % 53).cast("long").alias("id"),
+        F.when(neg, -astop).otherwise(astart).alias("start"),
+        F.when(neg, -astart).otherwise(astop).alias("stop"),
+        F.col("l_partkey").alias("target_id"),
+        (F.col("l_suppkey") % 1000).cast("long").alias("target_start"),
+        (F.col("l_suppkey") % 1000 + 10).cast("long").alias("target_stop"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    oday = F.datediff(F.col("o_orderdate").cast("date"), F.lit(EPOCH).cast("date"))
+    oastart = oday.cast("long")
+    oastop = (oday + 15).cast("long")
+    oneg = F.col("o_orderkey") % 2 == 1
+    query = orders.filter(F.col("o_orderkey") % 71 == 0).select(
+        (F.col("o_custkey") % 53).cast("long").alias("id"),
+        F.when(oneg, -oastop).otherwise(oastart).alias("start"),
+        F.when(oneg, -oastart).otherwise(oastop).alias("stop"),
+    )
+    return overlap_join_signed(query, db, with_id=True)
+
+
+Q_OVERLAP_SIGNED_SQL = f"""
+WITH db AS (
+  SELECT CAST(l_orderkey % 53 AS BIGINT) AS id,
+    CASE WHEN l_linenumber % 2 = 1
+         THEN -(CAST(date_diff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) + 1 + l_partkey % 7 AS BIGINT))
+         ELSE CAST(date_diff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) AS BIGINT) END AS start,
+    CASE WHEN l_linenumber % 2 = 1
+         THEN -(CAST(date_diff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) AS BIGINT))
+         ELSE CAST(date_diff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) + 1 + l_partkey % 7 AS BIGINT) END AS stop,
+    l_partkey AS target_id,
+    CAST(l_suppkey % 1000 AS BIGINT) AS target_start,
+    CAST(l_suppkey % 1000 + 10 AS BIGINT) AS target_stop
+  FROM lineitem
+), q AS (
+  SELECT CAST(o_custkey % 53 AS BIGINT) AS id,
+    CASE WHEN o_orderkey % 2 = 1
+         THEN -(CAST(date_diff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE)) + 15 AS BIGINT))
+         ELSE CAST(date_diff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE)) AS BIGINT) END AS start,
+    CASE WHEN o_orderkey % 2 = 1
+         THEN -(CAST(date_diff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE)) AS BIGINT))
+         ELSE CAST(date_diff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE)) + 15 AS BIGINT) END AS stop
+  FROM orders WHERE o_orderkey % 71 = 0
+), j AS (
+  SELECT q.id AS q_id, q.start AS q_start, q.stop AS q_stop,
+         (q.start < 0) != (db.start < 0) AS flip,
+         db.start, db.stop, db.target_id, db.target_start, db.target_stop
+  FROM q JOIN db ON q.id = db.id
+    AND (CASE WHEN q.start < 0 THEN -q.stop ELSE q.start END)
+        < (CASE WHEN db.start < 0 THEN -db.start ELSE db.stop END)
+    AND (CASE WHEN db.start < 0 THEN -db.stop ELSE db.start END)
+        < (CASE WHEN q.start < 0 THEN -q.start ELSE q.stop END)
+)
+SELECT q_id, q_start, q_stop,
+  CASE WHEN flip THEN -stop ELSE start END AS start,
+  CASE WHEN flip THEN -start ELSE stop END AS stop,
+  target_id,
+  CASE WHEN flip THEN -target_stop ELSE target_start END AS target_start,
+  CASE WHEN flip THEN -target_start ELSE target_stop END AS target_stop
+FROM j
 """
 
 
@@ -623,13 +703,13 @@ WHERE inter >= 0.2 * (a.sz + b.sz - inter)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pygr_spark.operators.similarity import cosine_topk
+    from pygr_spark.operators.similarity import cosine_topk_vectorized
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk(emb, queries, k=5).select(
+    return cosine_topk_vectorized(emb, queries, k=5).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
         F.round("cos_sim", 6).alias("cos_sim"),
@@ -1151,6 +1231,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "market_share_cube": q_market_share_cube,
     "overlap_join": q_overlap_join,
+    "overlap_signed": q_overlap_signed,
     "sessionize_events": q_sessionize_events,
     "coverage_segments": q_coverage_segments,
     "dedup_exact": q_dedup_exact,
@@ -1190,6 +1271,7 @@ ORACLES: dict[str, str] = {
     "top_orders_per_cust": Q_TOPK_SQL,
     "market_share_cube": Q_CUBE_SQL,
     "overlap_join": Q_OVERLAP_SQL,
+    "overlap_signed": Q_OVERLAP_SIGNED_SQL,
     "sessionize_events": Q_SESSION_SQL,
     "coverage_segments": Q_COVERAGE_SQL,
     "dedup_exact": Q_DEDUP_SQL,
