@@ -1,0 +1,121 @@
+"""Partitioning strategies for 100 TB joins: salting for skewed keys,
+bucketing for shuffle-free co-located joins, and chunked random access
+for genome-length strings.
+
+These are the knobs SURVEY.md §4 maps from the reference's hand-built
+physical tricks (manual coordinate-system partitioning at int32
+overflow, cnestedlist.pyx:1437-1444; clustered prefetch,
+sqlgraph.py:992-1031) onto Spark's:
+
+- **salted_join**: a hot key (one sequence id owning most intervals,
+  one document template duplicated millions of times) turns a shuffle
+  partition into a straggler. Salting splits the hot side's key into
+  ``salt`` sub-keys and replicates the other side ``salt``-ways —
+  bounded memory, even partitions. AQE's skew-join handles moderate
+  skew automatically; salting is for the pathological tail.
+
+- **write_bucketed / bucketed_table**: pre-shuffle a fact table ONCE
+  into hash buckets on its join key; every later equi-join or
+  aggregation on that key reads co-located buckets with NO exchange
+  (asserted in tests/test_partitioning.py by plan inspection). This
+  replaces the reference's union/LPO coordinate partitioning as the
+  "reuse a partitioning across stages" primitive.
+
+- **slice_from_chunks**: random-access substring over sequences
+  stored as fixed-width chunk rows (sources.fasta.chunked) — the
+  fseek-into-.pureseq path (seqdb.py:458-472) as a pruned chunk scan:
+  only the chunks overlapping [start, stop) are read (range predicate
+  on chunk_start → parquet row-group pruning at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to heavy key skew on ``skewed``: its rows get
+    a deterministic sub-key in [0, salt); ``other`` is replicated once
+    per sub-key; the join key becomes (key, salt) so a hot key spreads
+    over ``salt`` partitions. Join columns/semantics match a plain
+    ``skewed.join(other, key, how)``."""
+    s = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    o = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(salt)]))
+    )
+    return s.join(o, [key, "_salt"], how).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort_by: str | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) on ``key``
+    — the write-once pre-shuffle that later joins/aggregations on
+    ``key`` reuse without an Exchange."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
+def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def slice_from_chunks(
+    chunks: DataFrame,
+    seq_id: str,
+    start: int,
+    stop: int,
+    chunk: int = 1_000_000,
+    id_col: str = "id",
+) -> DataFrame:
+    """Reassemble substring [start, stop) of one sequence from its
+    chunk rows, reading only overlapping chunks (predicate prunes the
+    scan). Returns a 1-row DataFrame (id, start, stop, letters)."""
+    first = start // chunk
+    last = (stop - 1) // chunk
+    hit = chunks.filter(
+        (F.col(id_col) == seq_id)
+        & (F.col("chunk_no") >= first)
+        & (F.col("chunk_no") <= last)
+    )
+    clipped = hit.select(
+        id_col,
+        "chunk_no",
+        F.substring(
+            F.col("chunk"),
+            (F.greatest(F.lit(start) - F.col("chunk_start"), F.lit(0)) + 1).cast("int"),
+            (
+                F.least(F.lit(stop) - F.col("chunk_start"), F.length("chunk"))
+                - F.greatest(F.lit(start) - F.col("chunk_start"), F.lit(0))
+            ).cast("int"),
+        ).alias("piece"),
+    )
+    return (
+        clipped.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(F.struct("chunk_no", "piece"))), lambda x: x["piece"])
+            ).alias("letters")
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.lit(start).alias("start"),
+            F.lit(stop).alias("stop"),
+            "letters",
+        )
+    )
