@@ -42,7 +42,13 @@ HEADLINE = [
     "letter_identity",
     "rollup_dates",
     "pagerank",
+    "overlap_signed",
+    "json_events",
 ]
+
+#: timings are min-of-N to damp shared-machine noise (observed ±50%
+#: run-to-run variance on identical plans)
+RUNS_PER_QUERY = 2
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
@@ -65,7 +71,9 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        times[name] = round(run_query(spark, name, sf_dir), 4)
+        times[name] = round(
+            min(run_query(spark, name, sf_dir) for _ in range(RUNS_PER_QUERY)), 4
+        )
     total = round(sum(times.values()), 4)
     print(
         json.dumps(

@@ -77,6 +77,101 @@ def gap_merge(
     return out.withColumnRenamed("_grp", target)
 
 
+def group_by_intervals_exact(
+    df: DataFrame,
+    keys: list[str],
+    src_start: str = "src_start",
+    src_stop: str = "src_stop",
+    dst_start: str = "dst_start",
+    dst_stop: str = "dst_stop",
+    maxgap: int = 0,
+    maxinsert: int = 0,
+    mininsert: int = 0,
+    maxsize: int = -1,
+) -> DataFrame:
+    """Reference-exact groupByIntervals via applyInPandas — the
+    sequential per-group merge loop (cnestedlist.pyx:800-840) runs as
+    an Arrow-batched grouped-map UDF, one group per key. This is the
+    ``maxsize``-faithful variant: the span bound applies to the run
+    accumulated SO FAR within the current group, which a single window
+    pass cannot express (the window form approximates it against the
+    partition start). Use the window ``group_by_intervals`` when
+    maxsize < 0 (identical results, no Python in the path).
+
+    This is also the template for the reference's pluggable
+    ``ivalMethod`` hook (cnestedlist.pyx:801-804): swap the inner loop
+    for a custom merger without touching the distribution strategy.
+    """
+    import pandas as pd
+
+    key_fields = ", ".join(
+        f"`{k}` {dict(df.dtypes)[k]}" for k in keys
+    )
+    schema = (
+        f"{key_fields}, {src_start} long, {src_stop} long, "
+        f"{dst_start} long, {dst_stop} long, n_merged long"
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([src_start, dst_start])
+        out = []
+        cur = None
+        for r in pdf.itertuples(index=False):
+            row = r._asdict()
+            if cur is None:
+                cur = _new_group(row, src_start, src_stop, dst_start, dst_stop)
+                continue
+            gap = row[src_start] - cur["ss_max"]
+            insert = row[dst_start] - cur["prev_de"]
+            new_span = max(cur["se"], row[src_stop]) - cur["ss"]
+            split = (
+                (maxgap >= 0 and gap > maxgap)
+                or (maxinsert >= 0 and insert > maxinsert)
+                or insert < mininsert
+                or (maxsize >= 0 and new_span > maxsize)
+            )
+            if split:
+                out.append(cur)
+                cur = _new_group(row, src_start, src_stop, dst_start, dst_stop)
+            else:
+                cur["se"] = max(cur["se"], row[src_stop])
+                cur["ss_max"] = max(cur["ss_max"], row[src_stop])
+                cur["ds"] = min(cur["ds"], row[dst_start])
+                cur["de"] = max(cur["de"], row[dst_stop])
+                cur["prev_de"] = row[dst_stop]
+                cur["n"] += 1
+        if cur is not None:
+            out.append(cur)
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            [
+                {
+                    **{k: first[k] for k in keys},
+                    src_start: g["ss"],
+                    src_stop: g["se"],
+                    dst_start: g["ds"],
+                    dst_stop: g["de"],
+                    "n_merged": g["n"],
+                }
+                for g in out
+            ]
+        )
+
+    return df.groupBy(*keys).applyInPandas(merge, schema)
+
+
+def _new_group(row, src_start, src_stop, dst_start, dst_stop):
+    return {
+        "ss": row[src_start],
+        "se": row[src_stop],
+        "ss_max": row[src_stop],
+        "ds": row[dst_start],
+        "de": row[dst_stop],
+        "prev_de": row[dst_stop],
+        "n": 1,
+    }
+
+
 def group_by_intervals(
     df: DataFrame,
     keys: list[str],

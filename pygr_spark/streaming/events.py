@@ -78,6 +78,27 @@ def session_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in window/slide
+    overlapping windows)."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window, slide), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Watermarked exactly-once by event_id (late-data dedup policy)."""
     return events.withWatermark("event_time", watermark).dropDuplicates(
