@@ -69,6 +69,16 @@ class Catalog:
     def schema_edges(self) -> list[SchemaEdge]:
         return list(self._edges.values())
 
+    def add_view(self, name: str, sql: str, spark=None) -> None:
+        """MapView/GraphView analog (reference sqlgraph.py:2223-2290):
+        a resource defined by an arbitrary SQL query over registered
+        temp views — evaluated lazily at access, like viewSQL."""
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        self._resources[name] = lambda s=spark, q=sql: s.sql(q)
+
     def auto_join(self, source: str, attr: str) -> DataFrame:
         """Resolve source.attr through the schema graph: emits
         source ⋈ target on the declared keys — the relational form of
