@@ -81,7 +81,9 @@ def pagerank(
     lineage cut every 3 rounds."""
     e = edges.select(src, dst).distinct()
     out_deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
-    e = e.join(out_deg, src)
+    # edges feed every iteration: materialize once instead of
+    # replaying scan+distinct per round
+    e = e.join(out_deg, src).localCheckpoint(eager=False)
     nodes = nodes_of(e, src, dst)
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(n_iter):
@@ -115,6 +117,7 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     labels = nodes_of(edges, src, dst).withColumn("component", F.col("node"))
     for i in range(max_iter):

@@ -594,6 +594,8 @@ def q_triangle_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        # three join legs reuse the edge table: materialize it once
+        .localCheckpoint(eager=False)
     )
     return motif_query(edges, {0: {1: None, 2: None}, 1: {2: None}}, edge=None)
 
@@ -1209,6 +1211,19 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries, planes, k=5)
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list ANN over embeddings (rows-only: centroid
+    assignment is data-dependent; exactness asserted in unit tests at
+    full probe)."""
+    from pygr_spark.operators.similarity import ivf_topk
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, n_centroids=16, n_probe=4, k=5)
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real Structured Streaming run (availableNow) materialized."""
     from pygr_spark.streaming.events import (
@@ -1260,6 +1275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "stream_sessions": q_stream_sessions,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,

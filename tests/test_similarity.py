@@ -40,3 +40,22 @@ def test_lsh_ann_finds_planted_neighbor(spark):
     out = lsh_ann_topk(vecs, queries, planes, k=3).collect()
     # the near-copy of v0 lands in the same bucket with certainty ~1
     assert any(r.vec_id == 100 and r.rank == 1 for r in out)
+
+
+def test_ivf_topk(spark):
+    from pygr_spark.operators.similarity import ivf_topk
+
+    vecs = _vecs(spark)
+    queries = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(vecs, queries, n_centroids=8, n_probe=8, k=3).collect()
+    # full probe (n_probe == n_centroids) is exact: planted near-copy wins
+    assert any(r.vec_id == 100 and r.rank == 1 for r in out)
+    exact = cosine_topk(vecs, queries, k=3).collect()
+    assert sorted((r.vec_id, r.rank) for r in out) == sorted(
+        (r.vec_id, r.rank) for r in exact
+    )
+    # partial probe still finds the planted neighbor (same list w.h.p.)
+    part = ivf_topk(vecs, queries, n_centroids=8, n_probe=3, k=3).collect()
+    assert any(r.vec_id == 100 and r.rank == 1 for r in part)
