@@ -30,6 +30,8 @@ sqlgraph.py:992-1031) onto Spark's:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -65,6 +67,15 @@ def write_bucketed(
     """Persist ``df`` hash-bucketed (and optionally sorted) on ``key``
     — the write-once pre-shuffle that later joins/aggregations on
     ``key`` reuse without an Exchange."""
+    spark = df.sparkSession
+    # a previous session may have left the managed location behind
+    # without a catalog entry; overwrite can't recover from that
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort_by:
         w = w.sortBy(sort_by)
