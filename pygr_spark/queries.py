@@ -1090,6 +1090,157 @@ FROM customer
 """
 
 
+def q_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 full form: merge aligned PAIRS per key with maxgap+maxinsert
+    rules (groupByIntervals) on the derived alignment."""
+    from pygr_spark.operators.groupmerge import group_by_intervals
+
+    aln = _derived_alignment(spark, sf_dir).select(
+        "src_id",
+        F.col("src_start"),
+        F.col("src_stop"),
+        F.col("mid_start").alias("dst_start"),
+        F.col("mid_stop").alias("dst_stop"),
+    )
+    out = group_by_intervals(
+        aln, ["src_id"], maxgap=3, maxinsert=-1, mininsert=-(10**9), maxsize=-1
+    )
+    return out.select(
+        "src_id",
+        "src_start",
+        "src_stop",
+        "dst_start",
+        "dst_stop",
+        F.col("n_merged").cast("long").alias("n_merged"),
+    )
+
+
+Q_MERGE_PAIRS_SQL = f"""
+WITH aln AS (
+  SELECT src_id, src_start, src_stop,
+         mid_start AS dst_start, mid_stop AS dst_stop
+  FROM ({_ALN_SQL})
+), w AS (
+  SELECT *,
+    MAX(src_stop) OVER (PARTITION BY src_id ORDER BY src_start, dst_start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM aln
+), flagged AS (
+  SELECT *, CASE WHEN prev_max IS NULL OR src_start - prev_max > 3
+                 THEN 1 ELSE 0 END AS flag
+  FROM w
+), grp AS (
+  SELECT *, SUM(flag) OVER (PARTITION BY src_id ORDER BY src_start, dst_start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM flagged
+)
+SELECT src_id, CAST(MIN(src_start) AS BIGINT) AS src_start,
+       CAST(MAX(src_stop) AS BIGINT) AS src_stop,
+       CAST(MIN(dst_start) AS BIGINT) AS dst_start,
+       CAST(MAX(dst_stop) AS BIGINT) AS dst_stop,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM grp GROUP BY src_id, g
+"""
+
+
+def q_coverage_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 masking: regions covered by >= 2 intervals, re-merged."""
+    from pygr_spark.operators.sweep import sweep_coverage_mask
+
+    out = sweep_coverage_mask(
+        _order_ivals(spark, sf_dir).select("id", "start", "stop"),
+        ["id"],
+        min_aligned=2,
+    )
+    return out.select(
+        "id", "start", "stop", F.col("n_merged").cast("long").alias("n_merged")
+    )
+
+
+Q_COVERAGE_MASK_SQL = f"""
+WITH iv AS ({_ORDER_IVALS_SQL}),
+ev AS (
+  SELECT id, start AS pos, 1 AS delta FROM iv
+  UNION ALL SELECT id, stop, -1 FROM iv
+), net AS (SELECT id, pos, SUM(delta) AS delta FROM ev GROUP BY id, pos),
+seg AS (
+  SELECT id, pos AS s, LEAD(pos) OVER (PARTITION BY id ORDER BY pos) AS e,
+    SUM(delta) OVER (PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov
+  FROM net
+), kept AS (
+  SELECT id, s, e FROM seg WHERE e IS NOT NULL AND e > s AND cov >= 2
+), w AS (
+  SELECT *, MAX(e) OVER (PARTITION BY id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM kept
+), grp AS (
+  SELECT *, SUM(CASE WHEN prev_max IS NULL OR s - prev_max > 0 THEN 1 ELSE 0 END)
+       OVER (PARTITION BY id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM w
+)
+SELECT id, CAST(MIN(s) AS BIGINT) AS start, CAST(MAX(e) AS BIGINT) AS stop,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM grp GROUP BY id, g
+"""
+
+
+def q_letter_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letter-graph adjacency (§2.5) over bounded document prefixes."""
+    from pygr_spark.operators.alignments import letter_graph
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 12).select(
+        F.col("doc_id").alias("id"), F.col("text").alias("seq")
+    )
+    out = letter_graph(docs, start=0, stop=12)
+    return out.select(
+        "id",
+        F.col("pos").cast("long").alias("pos"),
+        "letter",
+        F.col("next_pos").cast("long").alias("next_pos"),
+        "next_letter",
+    )
+
+
+Q_LETTER_GRAPH_SQL = """
+WITH d AS (SELECT doc_id AS id, substr(text, 1, 12) AS s FROM documents WHERE n_chars >= 12),
+pos AS (
+  SELECT id, CAST(i - 1 AS BIGINT) AS pos, substr(s, CAST(i AS INT), 1) AS letter
+  FROM d, UNNEST(range(1, 13)) AS t(i)
+)
+SELECT id, pos, letter,
+  LEAD(pos) OVER (PARTITION BY id ORDER BY pos) AS next_pos,
+  LEAD(letter) OVER (PARTITION BY id ORDER BY pos) AS next_letter
+FROM pos
+"""
+
+
+def q_conserved_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 conservation filter on letter-identity edges (>= 60%)."""
+    from pygr_spark.operators.alignments import conservation_filter
+
+    stats = q_letter_identity(spark, sf_dir)
+    return conservation_filter(
+        stats.withColumn("n_aligned", F.col("n_aligned")), p_identity_min=0.6
+    ).select("id_a", "id_b", "n_identity", "p_identity")
+
+
+Q_CONSERVED_SQL = """
+WITH d AS (SELECT doc_id, substr(text, 1, 30) AS s FROM documents WHERE n_chars >= 30),
+stats AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(list_sum(list_transform(range(1, 31),
+         i -> CASE WHEN lower(substr(a.s, CAST(i AS INT), 1)) = lower(substr(b.s, CAST(i AS INT), 1))
+                   THEN 1 ELSE 0 END)) AS BIGINT) AS n_identity
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+)
+SELECT id_a, id_b, n_identity,
+       round(CAST(n_identity AS DOUBLE) / 30, 6) AS p_identity
+FROM stats WHERE CAST(n_identity AS DOUBLE) / 30 >= 0.6
+"""
+
+
 def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON column functions (engine surface beyond the reference —
     SURVEY.md §2.8 'Spark builtins cover them')."""
@@ -1271,6 +1422,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_date_funcs": q_string_date_funcs,
     "json_events": q_json_events,
     "interval_mask": q_interval_mask,
+    "merge_pairs": q_merge_pairs,
+    "coverage_mask": q_coverage_mask,
+    "letter_graph": q_letter_graph,
+    "conserved_pairs": q_conserved_pairs,
     # rows-only (no oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -1312,4 +1467,8 @@ ORACLES: dict[str, str] = {
     "string_date_funcs": Q_STRING_SQL,
     "json_events": Q_JSON_SQL,
     "interval_mask": Q_INTERVAL_MASK_SQL,
+    "merge_pairs": Q_MERGE_PAIRS_SQL,
+    "coverage_mask": Q_COVERAGE_MASK_SQL,
+    "letter_graph": Q_LETTER_GRAPH_SQL,
+    "conserved_pairs": Q_CONSERVED_SQL,
 }

@@ -63,3 +63,17 @@ def test_simhash_near_dups(spark):
     assert pairs[(1, 2)] == 0  # identical text, identical simhash
     assert (1, 3) in pairs     # one-token change: small hamming distance
     assert (1, 4) not in pairs
+
+
+def test_jaccard_max_shingle_freq(spark):
+    # the frequency cap drops ubiquitous shingles from the pair count
+    out_capped = jaccard_join(
+        _docs(spark), threshold=0.1, max_shingle_freq=2
+    )
+    out_plain = jaccard_join(_docs(spark), threshold=0.1)
+    # capping never invents pairs
+    capped = {(r.id_a, r.id_b) for r in out_capped.collect()}
+    plain = {(r.id_a, r.id_b) for r in out_plain.collect()}
+    assert capped <= plain
+    # exact duplicates share only <=2-doc shingles, so they survive
+    assert (1, 2) in capped

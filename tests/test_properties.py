@@ -105,3 +105,56 @@ def test_coverage_mass_conservation(spark, data):
     for i, s, ln in data:
         want[i] = want.get(i, 0) + ln
     assert got == want
+
+
+signed_ivals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100),
+        st.integers(min_value=1, max_value=30),
+        st.booleans(),
+        st.integers(min_value=1, max_value=3),   # target id
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(db=signed_ivals, q=st.tuples(
+    st.integers(0, 100), st.integers(1, 30), st.booleans()))
+@SET
+def test_overlap_signed_matches_bruteforce(spark, db, q):
+    from pygr_spark.operators.overlap import overlap_join_signed
+
+    def signed(a, ln, neg):
+        s, e = a, a + ln
+        return (-e, -s) if neg else (s, e)
+
+    rows = [
+        (*signed(a, ln, neg), tid, tid * 100, tid * 100 + ln)
+        for (a, ln, neg, tid) in db
+    ]
+    dbdf = spark.createDataFrame(
+        rows, ["start", "stop", "target_id", "target_start", "target_stop"]
+    )
+    qs, qe = signed(q[0], q[1], q[2])
+    qdf = spark.createDataFrame([(qs, qe)], ["start", "stop"])
+    got = sorted(
+        (r.start, r.stop, r.target_id, r.target_start, r.target_stop)
+        for r in overlap_join_signed(qdf, dbdf).collect()
+    )
+
+    # brute force: absolute-coord overlap, reorient to query strand
+    def absify(s, e):
+        return (-e, -s) if s < 0 else (s, e)
+
+    qa, qb = absify(qs, qe)
+    want = []
+    for (s, e, tid, ts, te) in rows:
+        a, b = absify(s, e)
+        if a < qb and qa < b:
+            flip = (s < 0) != (qs < 0)
+            if flip:
+                want.append((-e, -s, tid, -te, -ts))
+            else:
+                want.append((s, e, tid, ts, te))
+    assert got == sorted(want)
