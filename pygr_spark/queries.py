@@ -1375,6 +1375,18 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, n_centroids=16, n_probe=4, k=5)
 
 
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (§2.4: absent in the reference, native
+    in Spark). Rows-only: HLL/quantile sketches are engine-specific."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.approx_count_distinct("l_partkey").cast("long").alias("approx_parts"),
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("median_price_approx"),
+    )
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real Structured Streaming run (availableNow) materialized."""
     from pygr_spark.streaming.events import (
@@ -1431,6 +1443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dups": q_simhash_near_dups,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
+    "approx_aggs": q_approx_aggs,
     "stream_sessions": q_stream_sessions,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,

@@ -106,13 +106,21 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
-def run_stream_to_table(df: DataFrame, spark: SparkSession) -> DataFrame:
+def run_stream_to_table(
+    df: DataFrame, spark: SparkSession, mode: str | None = None
+) -> DataFrame:
     """Run a (bounded) streaming query to completion into an in-memory
     sink and return the materialized batch DataFrame. Uses
-    Trigger.AvailableNow so the file source drains and stops."""
+    Trigger.AvailableNow so the file source drains and stops.
+
+    ``mode`` defaults to complete for aggregations (all windows
+    visible, watermark does not evict) and append otherwise; pass
+    ``mode="append"`` explicitly to observe watermark late-data
+    dropping on an aggregation."""
     name = "s" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="pygr_spark_ckpt_")
-    mode = "append" if df.isStreaming and not _has_aggregation(df) else "complete"
+    if mode is None:
+        mode = "append" if df.isStreaming and not _has_aggregation(df) else "complete"
     q = (
         df.writeStream.format("memory")
         .queryName(name)

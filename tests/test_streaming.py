@@ -37,3 +37,45 @@ def test_session_counts_run(spark, sf_dir):
     # session totals must preserve all events
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert sum(r.n_events for r in rows) == n_events
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data policy: an event arriving after the watermark has
+    passed its window is excluded from append-mode results."""
+    import time
+
+    from pygr_spark.streaming.events import run_stream_to_table, tumbling_counts
+
+    indir = tmp_path / "wm_in"
+    indir.mkdir()
+    base = 1_700_000_000  # fixed epoch seconds
+
+    def write(name, rows):
+        spark.createDataFrame(rows, "event_type string, sec long").selectExpr(
+            "event_type", "timestamp_seconds(sec) as event_time"
+        ).coalesce(1).write.parquet(str(indir / name))
+        time.sleep(1.1)  # distinct mtimes -> stable file order
+
+    # batch1: fresh events at T and T+2h (watermark -> T+2h-30m at
+    # batch end); batch2: another fresh event (the new watermark takes
+    # effect as the admission filter one batch later); batch3: a VERY
+    # late event back at T — now behind the active watermark
+    write("b1", [("ok", base), ("ok", base + 7200)])
+    write("b2", [("ok", base + 7300)])
+    write("b3", [("late", base + 1)])
+
+    stream = (
+        spark.readStream.schema("event_type string, event_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(indir))
+    )
+    got = run_stream_to_table(
+        tumbling_counts(stream.withColumn("value", F.lit(0.0)), watermark="30 minutes"),
+        spark,
+        mode="append",
+    )
+    types = {r.event_type for r in got.collect()}
+    assert "ok" in types
+    assert "late" not in types  # dropped by the watermark
