@@ -44,6 +44,11 @@ HEADLINE = [
     "pagerank",
     "overlap_signed",
     "json_events",
+    "merge_pairs",
+    "coverage_mask",
+    "conserved_pairs",
+    "letter_graph",
+    "ivf_ann",
 ]
 
 #: timings are min-of-N to damp shared-machine noise (observed ±50%
