@@ -1241,6 +1241,116 @@ FROM stats WHERE CAST(n_identity AS DOUBLE) / 30 >= 0.6
 """
 
 
+def q_six_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F6 under the oracle gate: six-reading-frame translation
+    of a DNA-ish column derived from documents (acgt letters only)."""
+    from pygr_spark.functions.seqfns import six_frames
+
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("id"),
+        F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq"),
+    ).filter(F.length("seq") >= 3)
+    out = six_frames(docs)
+    return out.select(
+        "id",
+        F.col("frame").cast("long").alias("frame"),
+        "offset",
+        "aa_length",
+        "frame_seq",
+        "protein",
+    )
+
+
+def _six_frames_sql() -> str:
+    from pygr_spark.functions.seqfns import GENETIC_CODE
+
+    case = (
+        "CASE upper(substr(f.frame_seq, CAST(i*3 + 1 AS INT), 3)) "
+        + " ".join(
+            f"WHEN '{c}' THEN '{aa}'" for c, aa in sorted(GENETIC_CODE.items())
+        )
+        + " ELSE 'X' END"
+    )
+    return rf"""
+WITH d AS (
+  SELECT doc_id AS id, regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+  FROM documents
+  WHERE length(regexp_replace(lower(text), '[^acgt]', '', 'g')) >= 3
+), fr AS (
+  SELECT id, seq, unnest([1, 2, 3, -1, -2, -3]) AS frame FROM d
+), o AS (
+  SELECT id, frame,
+    CAST(abs(frame) - 1 AS BIGINT) AS "offset",
+    CASE WHEN frame > 0 THEN seq
+         ELSE reverse(translate(seq, 'acgtunACGTUN', 'tgcaanTGCAAN')) END AS oriented,
+    length(seq) AS n
+  FROM fr
+), f AS (
+  SELECT id, CAST(frame AS BIGINT) AS frame, "offset",
+    CAST(floor((n - "offset") / 3.0) AS BIGINT) AS aa_length,
+    substr(oriented, CAST("offset" + 1 AS INT),
+           CAST(floor((n - "offset") / 3.0) * 3 AS INT)) AS frame_seq
+  FROM o
+)
+SELECT id, frame, "offset", aa_length, frame_seq,
+  array_to_string(list_transform(range(0, CAST(aa_length AS INT)),
+    i -> {case}), '') AS protein
+FROM f WHERE aa_length > 0
+"""
+
+
+def q_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S3 under the oracle gate: documents → FASTA text files →
+    distributed FASTA reader → rows; the oracle reads documents
+    directly (whitespace collapses — FASTA bodies strip \\s)."""
+    import tempfile
+
+    from pygr_spark.sources.fasta import read_fasta, to_fasta_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("id"),
+        F.col("text").alias("seq"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="pygr_fasta_q_")
+    to_fasta_lines(docs, width=70).coalesce(4).write.mode("overwrite").text(out_dir)
+    parsed = read_fasta(spark, out_dir)
+    return parsed.select("id", "seq", "length")
+
+
+Q_FASTA_SQL = r"""
+SELECT 'doc' || CAST(doc_id AS VARCHAR) AS id,
+  regexp_replace(text, '\s', '', 'g') AS seq,
+  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS length
+FROM documents
+"""
+
+
+def q_prefix_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 PrefixUnionDict: namespaced union of two keyed tables."""
+    from pygr_spark.operators.annotation import prefix_union
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("n_chars").cast("long").alias("size"),
+    )
+    parts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("id"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    return prefix_union({"doc": docs, "part": parts})
+
+
+Q_PREFIX_UNION_SQL = """
+SELECT 'doc.' || CAST(doc_id AS VARCHAR) AS id,
+       CAST(n_chars AS BIGINT) AS size, 'doc' AS db_prefix
+FROM documents
+UNION ALL
+SELECT 'part.' || CAST(p_partkey AS VARCHAR) AS id,
+       CAST(p_size AS BIGINT) AS size, 'part' AS db_prefix
+FROM part
+"""
+
+
 def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON column functions (engine surface beyond the reference —
     SURVEY.md §2.8 'Spark builtins cover them')."""
@@ -1434,6 +1544,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_date_funcs": q_string_date_funcs,
     "json_events": q_json_events,
     "interval_mask": q_interval_mask,
+    "six_frames": q_six_frames,
+    "fasta_roundtrip": q_fasta_roundtrip,
+    "prefix_union": q_prefix_union,
     "merge_pairs": q_merge_pairs,
     "coverage_mask": q_coverage_mask,
     "letter_graph": q_letter_graph,
@@ -1480,6 +1593,9 @@ ORACLES: dict[str, str] = {
     "string_date_funcs": Q_STRING_SQL,
     "json_events": Q_JSON_SQL,
     "interval_mask": Q_INTERVAL_MASK_SQL,
+    "six_frames": _six_frames_sql(),
+    "fasta_roundtrip": Q_FASTA_SQL,
+    "prefix_union": Q_PREFIX_UNION_SQL,
     "merge_pairs": Q_MERGE_PAIRS_SQL,
     "coverage_mask": Q_COVERAGE_MASK_SQL,
     "letter_graph": Q_LETTER_GRAPH_SQL,
