@@ -1325,6 +1325,129 @@ FROM documents
 """
 
 
+def q_maf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 under the gate: derived alignment → MAF text → distributed
+    MAF parser → pairwise rows; oracle recomputes the pairs directly.
+    Blocks are ungapped ('N' texts), so segments == whole intervals."""
+    import tempfile
+
+    from pygr_spark.sources.maf import read_maf
+
+    aln = _derived_alignment(spark, sf_dir).filter(F.col("mid_start") % 7 == 0)
+    span = F.col("src_stop") - F.col("src_start")
+    block = F.concat(
+        F.lit("a score=1.0\ns "),
+        F.col("src_id"), F.lit(" "), F.col("src_start").cast("string"),
+        F.lit(" "), span.cast("string"), F.lit(" + 1000000 "),
+        F.repeat(F.lit("N"), span.cast("int")),
+        F.lit("\ns mid "), F.col("mid_start").cast("string"),
+        F.lit(" "), span.cast("string"), F.lit(" + 1000000 "),
+        F.repeat(F.lit("N"), span.cast("int")),
+        F.lit("\n"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="pygr_maf_q_")
+    aln.select(block.alias("value")).coalesce(4).write.mode("overwrite").text(out_dir)
+    parsed = read_maf(spark, out_dir)
+    return parsed.select(
+        "src_id", "src_start", "src_stop", "dst_id", "dst_start", "dst_stop"
+    )
+
+
+Q_MAF_SQL = f"""
+SELECT src_id, src_start, src_stop, 'mid' AS dst_id,
+       mid_start AS dst_start, mid_stop AS dst_stop
+FROM ({_ALN_SQL}) WHERE mid_start % 7 = 0
+"""
+
+
+def q_conserved_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 under the gate: longest contiguous identity run per doc-pair
+    prefix edge."""
+    from pygr_spark.operators.alignments import longest_conserved_segment
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 30)
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.substring("text", 1, 30).alias("src_letters")
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.substring("text", 1, 30).alias("dst_letters"),
+    )
+    edges = a.join(b, "id_a")
+    out = longest_conserved_segment(edges)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("seg_start").cast("long").alias("seg_start"),
+        F.col("seg_stop").cast("long").alias("seg_stop"),
+        F.col("seg_len").cast("long").alias("seg_len"),
+    ).filter(F.col("seg_len").isNotNull())
+
+
+Q_CONSERVED_SEG_SQL = """
+WITH d AS (SELECT doc_id, substr(text, 1, 30) AS s FROM documents WHERE n_chars >= 30),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+), pos AS (
+  SELECT id_a, id_b, CAST(i - 1 AS BIGINT) AS pos,
+    CASE WHEN lower(substr(sa, CAST(i AS INT), 1)) = lower(substr(sb, CAST(i AS INT), 1))
+         THEN 1 ELSE 0 END AS m
+  FROM pairs, UNNEST(range(1, 31)) AS t(i)
+), grp AS (
+  SELECT *, SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+       OVER (PARTITION BY id_a, id_b ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM pos
+), runs AS (
+  SELECT id_a, id_b, MIN(pos) AS seg_start, MAX(pos) + 1 AS seg_stop,
+         MAX(pos) + 1 - MIN(pos) AS seg_len
+  FROM grp WHERE m = 1 GROUP BY id_a, id_b, g
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                               ORDER BY seg_len DESC, seg_start) AS rn
+  FROM runs
+)
+SELECT id_a, id_b, CAST(seg_start AS BIGINT) AS seg_start,
+       CAST(seg_stop AS BIGINT) AS seg_stop, CAST(seg_len AS BIGINT) AS seg_len
+FROM best WHERE rn = 1
+"""
+
+
+def q_filtered_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: per-edge filter compiled into the motif join (path a→b→c
+    where the second edge must land on a small node id)."""
+    from pygr_spark.operators.motif import motif_query
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        orders.select(
+            (F.col("o_custkey") % 499).cast("long").alias("src"),
+            (F.col("o_orderkey") % 499).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    filters = {(1, 2): lambda s, d, e: d < 50}
+    return motif_query(
+        edges, {0: {1: None}, 1: {2: None}}, filters=filters, edge=None
+    )
+
+
+Q_FILTERED_MOTIF_SQL = """
+WITH e AS (
+  SELECT DISTINCT CAST(o_custkey % 499 AS BIGINT) AS src,
+                  CAST(o_orderkey % 499 AS BIGINT) AS dst
+  FROM orders WHERE o_custkey % 499 != o_orderkey % 499
+)
+SELECT e1.src AS q_0, e1.dst AS q_1, e2.dst AS q_2
+FROM e e1 JOIN e e2 ON e2.src = e1.dst
+WHERE e2.dst < 50 AND e1.src != e1.dst AND e1.src != e2.dst AND e1.dst != e2.dst
+"""
+
+
 def q_prefix_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U5 PrefixUnionDict: namespaced union of two keyed tables."""
     from pygr_spark.operators.annotation import prefix_union
@@ -1546,6 +1669,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_mask": q_interval_mask,
     "six_frames": q_six_frames,
     "fasta_roundtrip": q_fasta_roundtrip,
+    "maf_roundtrip": q_maf_roundtrip,
+    "conserved_segment": q_conserved_segment,
+    "filtered_motif": q_filtered_motif,
     "prefix_union": q_prefix_union,
     "merge_pairs": q_merge_pairs,
     "coverage_mask": q_coverage_mask,
@@ -1595,6 +1721,9 @@ ORACLES: dict[str, str] = {
     "interval_mask": Q_INTERVAL_MASK_SQL,
     "six_frames": _six_frames_sql(),
     "fasta_roundtrip": Q_FASTA_SQL,
+    "maf_roundtrip": Q_MAF_SQL,
+    "conserved_segment": Q_CONSERVED_SEG_SQL,
+    "filtered_motif": Q_FILTERED_MOTIF_SQL,
     "prefix_union": Q_PREFIX_UNION_SQL,
     "merge_pairs": Q_MERGE_PAIRS_SQL,
     "coverage_mask": Q_COVERAGE_MASK_SQL,
