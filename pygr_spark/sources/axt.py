@@ -65,6 +65,11 @@ def parse_axt_block(record: str, q_sizes: dict[str, int] | None = None):
 def read_axt(
     spark: SparkSession, path: str, q_sizes: dict[str, int] | None = None
 ) -> DataFrame:
+    import sys
+
+    from pygr_spark.sources import ship_to_workers
+
+    ship_to_workers(sys.modules[__name__])
     conf = {"textinputformat.record.delimiter": "\n\n"}
     rdd = spark.sparkContext.newAPIHadoopFile(
         path,

@@ -142,6 +142,11 @@ def parse_blast_record(record: str):
 
 def read_blast(spark: SparkSession, path: str) -> DataFrame:
     """Distributed blastall -m0 output → hits DataFrame (HIT_SCHEMA)."""
+    import sys
+
+    from pygr_spark.sources import ship_to_workers
+
+    ship_to_workers(sys.modules[__name__])
     conf = {"textinputformat.record.delimiter": "Query="}
     rdd = spark.sparkContext.newAPIHadoopFile(
         path,

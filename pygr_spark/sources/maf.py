@@ -122,6 +122,11 @@ def parse_maf_block(block_id: int, record: str):
 
 def read_maf(spark: SparkSession, path: str) -> DataFrame:
     """Distributed MAF → pairwise alignment DataFrame (ALN_SCHEMA)."""
+    import sys
+
+    from pygr_spark.sources import ship_to_workers
+
+    ship_to_workers(sys.modules[__name__])
     conf = {"textinputformat.record.delimiter": "\n\n"}
     rdd = spark.sparkContext.newAPIHadoopFile(
         path,
