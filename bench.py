@@ -49,6 +49,8 @@ HEADLINE = [
     "conserved_pairs",
     "letter_graph",
     "ivf_ann",
+    "multimodal_features",
+    "embed_near_dup",
 ]
 
 #: timings are min-of-N to damp shared-machine noise (observed ±50%

@@ -96,6 +96,13 @@ def extract_features(
 ) -> DataFrame:
     """Decode/feature-extract via mapInPandas: one Python worker per
     partition, Arrow batches in/out, no driver involvement."""
+    import sys
+
+    from pygr_spark.sources import ship_to_workers
+
+    # the decoder dict holds module-level functions: serialize this
+    # module by value so executors need no pygr_spark import path
+    ship_to_workers(sys.modules[__name__])
     decoders = decoders or FAKE_DECODERS
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1636,6 +1636,185 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# multimodal feature extraction (north star), embedding near-dup,
+# BLAST parser round-trip (S8)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the oracle gate: documents become
+    opaque binary payloads with typed kinds; the Arrow-batched
+    mapInPandas decode stage (deterministic fake decoders — codec libs
+    are stubbed) emits typed metadata + a feature vector, checked here
+    via exact byte-derived integers."""
+    from pygr_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(F.lit("application/x-"), kind).alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+    feats = extract_features(media)
+    # feature elements are digest_byte/255 (float32): scale back to the
+    # exact byte and sum — an integer checksum of the whole vector
+    feat_sum = F.aggregate(
+        F.transform("feature", lambda f: F.round(f.cast("double") * 255, 0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha256",
+        "width",
+        "height",
+        "duration_ms",
+        feat_sum.alias("feat_sum"),
+    )
+
+
+def _hex_byte(i: int) -> str:
+    """DuckDB expr for byte i (0-based) of the sha256 hex digest ``h``."""
+    hi = f"(strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+def _multimodal_sql() -> str:
+    b = [_hex_byte(i) for i in range(24)]
+    img_sum = " + ".join(b[0:8])
+    aud_sum = " + ".join(b[8:16])
+    vid_sum = " + ".join(b[16:24])
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+    sha256(text) AS h,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT media_id, kind, n_bytes, h AS sha256,
+  CAST(CASE kind WHEN 'image' THEN 64 + {b[0]} % 64
+                 WHEN 'video' THEN 160 + {b[4]} % 96 END AS BIGINT) AS width,
+  CAST(CASE kind WHEN 'image' THEN 64 + {b[1]} % 64
+                 WHEN 'video' THEN 90 + {b[5]} % 54 END AS BIGINT) AS height,
+  CAST(CASE kind WHEN 'audio' THEN 1000 + {b[2]} * 256 + {b[3]}
+                 WHEN 'video' THEN 5000 + {b[6]} * 256 + {b[7]} END AS BIGINT)
+    AS duration_ms,
+  CAST(CASE kind WHEN 'image' THEN {img_sum}
+                 WHEN 'audio' THEN {aud_sum}
+                 ELSE {vid_sum} END AS BIGINT) AS feat_sum
+FROM m
+"""
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup under the gate: plant perturbed copies
+    of every 50th vector (id + 1e6, v -> 1.01·v + 0.001), then find all
+    pairs with cosine >= 0.99 — exactly the planted pairs. Random base
+    vectors top out near cos 0.51, so the threshold isolates real
+    near-duplicates."""
+    from pygr_spark.operators.dedup import cosine_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda e: e.cast("double")).alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda e: e.cast("double") * 1.01 + 0.001
+        ).alias("embedding"),
+    )
+    pairs = cosine_near_dups(base.unionByName(planted), threshold=0.99)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+Q_EMBED_NEAR_DUP_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+    list_transform(embedding, e -> CAST(e AS DOUBLE) * 1.01 + 0.001)
+  FROM embeddings WHERE vec_id % 50 = 0
+), q AS (
+  SELECT vec_id,
+    list_transform(v, e -> CAST(round(e * 1000000) AS BIGINT)) AS q
+  FROM base
+), n AS (
+  SELECT vec_id, q,
+    list_reduce(list_transform(range(1, len(q)+1), i -> q[i]*q[i]),
+                (x,y) -> x+y) AS nn
+  FROM q
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_reduce(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
+                (x,y) -> x+y)
+      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(cos, 6) AS cos_sim
+FROM p WHERE cos >= 0.99
+"""
+
+
+def q_blast_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 under the gate: derived hits → blastall -m0 text →
+    distributed BLAST parser → hit rows; oracle recomputes directly.
+    Expect=0.0 exercises the -log10 sentinel (exact 300.0); texts are
+    gap-free so each hit is a single 1:1 segment."""
+    import tempfile
+
+    from pygr_spark.sources.blast import read_blast
+
+    aln = _derived_alignment(spark, sf_dir).filter(F.col("mid_start") % 7 == 1)
+    span = F.col("src_stop") - F.col("src_start")
+    rec = F.concat(
+        F.lit("Query= "), F.col("src_id"),
+        F.lit("\n>s_mid\n Score = "), (span * 10).cast("string"),
+        F.lit(".0 bits (99), Expect = 0.0\n Identities = "),
+        span.cast("string"), F.lit("/"), span.cast("string"),
+        F.lit(" (100%)\nQuery: "), (F.col("src_start") + 1).cast("string"),
+        F.lit(" "), F.repeat(F.lit("A"), span.cast("int")),
+        F.lit(" "), F.col("src_stop").cast("string"),
+        F.lit("\nSbjct: "), (F.col("mid_start") + 1).cast("string"),
+        F.lit(" "), F.repeat(F.lit("A"), span.cast("int")),
+        F.lit(" "), F.col("mid_stop").cast("string"), F.lit("\n"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="pygr_blast_q_")
+    aln.select(rec.alias("value")).coalesce(4).write.mode("overwrite").text(out_dir)
+    parsed = read_blast(spark, out_dir)
+    return parsed.select(
+        "query_id", "subject_id", "blast_score", "e_value", "pct_identity",
+        "q_start", "q_stop", "s_start", "s_stop",
+    )
+
+
+Q_BLAST_SQL = f"""
+SELECT src_id AS query_id, 's_mid' AS subject_id,
+  CAST((src_stop - src_start) * 10 AS DOUBLE) AS blast_score,
+  CAST(300.0 AS DOUBLE) AS e_value,
+  CAST(100.0 AS DOUBLE) AS pct_identity,
+  src_start AS q_start, src_stop AS q_stop,
+  mid_start AS s_start, mid_stop AS s_stop
+FROM ({_ALN_SQL}) WHERE mid_start % 7 = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -1677,6 +1856,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "coverage_mask": q_coverage_mask,
     "letter_graph": q_letter_graph,
     "conserved_pairs": q_conserved_pairs,
+    "multimodal_features": q_multimodal_features,
+    "embed_near_dup": q_embed_near_dup,
+    "blast_roundtrip": q_blast_roundtrip,
     # rows-only (no oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -1729,4 +1911,7 @@ ORACLES: dict[str, str] = {
     "coverage_mask": Q_COVERAGE_MASK_SQL,
     "letter_graph": Q_LETTER_GRAPH_SQL,
     "conserved_pairs": Q_CONSERVED_SQL,
+    "multimodal_features": _multimodal_sql(),
+    "embed_near_dup": Q_EMBED_NEAR_DUP_SQL,
+    "blast_roundtrip": Q_BLAST_SQL,
 }

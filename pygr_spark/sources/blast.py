@@ -108,7 +108,10 @@ def parse_blast_record(record: str):
     for raw in record.splitlines():
         line = raw.rstrip()
         if line.startswith("Query="):
-            query_id = line.split("=", 1)[1].split()[0].strip()
+            # a file starting with "Query=" yields an empty leading
+            # record → "Query=" with no id; skip, flush() guards on it
+            toks = line.split("=", 1)[1].split()
+            query_id = toks[0].strip() if toks else None
         elif line.startswith(">"):
             out.extend(flush())
             subject_id = line[1:].split()[0].strip()

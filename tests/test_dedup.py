@@ -77,3 +77,19 @@ def test_jaccard_max_shingle_freq(spark):
     assert capped <= plain
     # exact duplicates share only <=2-doc shingles, so they survive
     assert (1, 2) in capped
+
+
+def test_cosine_near_dups(spark):
+    from pygr_spark.operators.dedup import cosine_near_dups
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = {(r.id_a, r.id_b): r.cos_sim for r in
+           cosine_near_dups(df, threshold=0.99).collect()}
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)] > 0.999
