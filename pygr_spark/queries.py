@@ -1815,6 +1815,76 @@ FROM ({_ALN_SQL}) WHERE mid_start % 7 = 1
 """
 
 
+def q_axt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 under the gate: derived pairwise alignment → axtNet text
+    blocks → distributed axt parser → segment rows; oracle recomputes
+    the blocks directly (gap-free texts ⇒ one segment per block)."""
+    import tempfile
+
+    from pygr_spark.sources.axt import read_axt
+
+    aln = _derived_alignment(spark, sf_dir).filter(F.col("mid_start") % 7 == 2)
+    span = F.col("src_stop") - F.col("src_start")
+    block = F.concat(
+        F.col("mid_start").cast("string"), F.lit(" "),
+        F.col("src_id"), F.lit(" "), (F.col("src_start") + 1).cast("string"),
+        F.lit(" "), F.col("src_stop").cast("string"),
+        F.lit(" mid "), (F.col("mid_start") + 1).cast("string"),
+        F.lit(" "), F.col("mid_stop").cast("string"),
+        F.lit(" + "), span.cast("string"), F.lit("\n"),
+        F.repeat(F.lit("A"), span.cast("int")), F.lit("\n"),
+        F.repeat(F.lit("A"), span.cast("int")), F.lit("\n"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="pygr_axt_q_")
+    aln.select(block.alias("value")).coalesce(4).write.mode("overwrite").text(out_dir)
+    parsed = read_axt(spark, out_dir)
+    return parsed.select(
+        "aln_id", "score", "src_id", "src_start", "src_stop",
+        "dst_id", "dst_start", "dst_stop", "dst_strand",
+    )
+
+
+Q_AXT_SQL = f"""
+SELECT mid_start AS aln_id,
+  CAST(src_stop - src_start AS DOUBLE) AS score,
+  src_id, src_start, src_stop,
+  'mid' AS dst_id, mid_start AS dst_start, mid_stop AS dst_stop,
+  CAST(1 AS INTEGER) AS dst_strand
+FROM ({_ALN_SQL}) WHERE mid_start % 7 = 2
+"""
+
+
+def q_aln_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 under the gate: portable text dump/restore of the whole
+    alignment DB (reference dump_textfile/textfile_to_binaries,
+    cnestedlist.pyx:2050-2251) — CSV out, schema-checked CSV back."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from pygr_spark.sources.axt import dump_alignment_text, load_alignment_text
+
+    aln = _derived_alignment(spark, sf_dir).filter(F.col("mid_start") % 11 == 3)
+    out_dir = tempfile.mkdtemp(prefix="pygr_alntext_q_")
+    dump_alignment_text(aln, out_dir)
+    schema = T.StructType(
+        [
+            T.StructField("src_id", T.StringType()),
+            T.StructField("src_start", T.LongType()),
+            T.StructField("src_stop", T.LongType()),
+            T.StructField("mid_start", T.LongType()),
+            T.StructField("mid_stop", T.LongType()),
+        ]
+    )
+    return load_alignment_text(spark, out_dir, schema)
+
+
+Q_ALN_TEXT_SQL = f"""
+SELECT src_id, src_start, src_stop, mid_start, mid_stop
+FROM ({_ALN_SQL}) WHERE mid_start % 11 = 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -1859,6 +1929,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "embed_near_dup": q_embed_near_dup,
     "blast_roundtrip": q_blast_roundtrip,
+    "axt_roundtrip": q_axt_roundtrip,
+    "aln_text_roundtrip": q_aln_text_roundtrip,
     # rows-only (no oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -1914,4 +1986,6 @@ ORACLES: dict[str, str] = {
     "multimodal_features": _multimodal_sql(),
     "embed_near_dup": Q_EMBED_NEAR_DUP_SQL,
     "blast_roundtrip": Q_BLAST_SQL,
+    "axt_roundtrip": Q_AXT_SQL,
+    "aln_text_roundtrip": Q_ALN_TEXT_SQL,
 }

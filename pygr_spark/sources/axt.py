@@ -67,9 +67,11 @@ def read_axt(
 ) -> DataFrame:
     import sys
 
-    from pygr_spark.sources import ship_to_workers
+    from pygr_spark.sources import maf, ship_to_workers
 
+    # _segments comes from the maf module — ship both by value
     ship_to_workers(sys.modules[__name__])
+    ship_to_workers(maf)
     conf = {"textinputformat.record.delimiter": "\n\n"}
     rdd = spark.sparkContext.newAPIHadoopFile(
         path,
