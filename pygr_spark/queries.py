@@ -1885,6 +1885,81 @@ FROM ({_ALN_SQL}) WHERE mid_start % 11 = 3
 """
 
 
+def q_catalog_autojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """worldbase schema graph under the gate: resources registered
+    under dotted names, a declared one:many relation, and auto_join
+    emitting the equi-join (metabase.py:1529-1616 ItemDescriptor
+    binding as a relational op)."""
+    from pygr_spark.plans.catalog import Catalog, SchemaEdge
+
+    cat = Catalog()
+    cat.add_resource("Tpc.Customer", _t(spark, sf_dir, "customer"))
+    cat.add_resource("Tpc.Orders", lambda: _t(spark, sf_dir, "orders"))
+    cat.add_schema(
+        SchemaEdge(
+            "Tpc.Customer", "orders", "Tpc.Orders",
+            "one:many", "c_custkey", "o_custkey",
+        )
+    )
+    j = cat.auto_join("Tpc.Customer", "orders")
+    return j.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("total_cents"),
+    )
+
+
+Q_CATALOG_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+def q_motif_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7 SubqueryGQI OR-semantics (graphquery.py:661-683): the union
+    of two alternative motif constraints, deduplicated — path a→b→c
+    where the last node is small OR the first node is small."""
+    from pygr_spark.operators.motif import motif_query
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        orders.select(
+            (F.col("o_custkey") % 499).cast("long").alias("src"),
+            (F.col("o_orderkey") % 499).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    path = {0: {1: None}, 1: {2: None}}
+    alt_a = motif_query(
+        edges, path, filters={(1, 2): lambda s, d, e: d < 25}, edge=None
+    )
+    alt_b = motif_query(
+        edges, path, filters={(0, 1): lambda s, d, e: s < 25}, edge=None
+    )
+    return alt_a.unionByName(alt_b).distinct()
+
+
+Q_MOTIF_UNION_SQL = """
+WITH e AS (
+  SELECT DISTINCT CAST(o_custkey % 499 AS BIGINT) AS src,
+                  CAST(o_orderkey % 499 AS BIGINT) AS dst
+  FROM orders WHERE o_custkey % 499 != o_orderkey % 499
+), path AS (
+  SELECT e1.src AS q_0, e1.dst AS q_1, e2.dst AS q_2,
+         e1.src AS s01, e2.dst AS d12
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst
+  WHERE e1.src != e1.dst AND e1.src != e2.dst AND e1.dst != e2.dst
+)
+SELECT q_0, q_1, q_2 FROM path WHERE d12 < 25
+UNION
+SELECT q_0, q_1, q_2 FROM path WHERE s01 < 25
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -1931,6 +2006,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blast_roundtrip": q_blast_roundtrip,
     "axt_roundtrip": q_axt_roundtrip,
     "aln_text_roundtrip": q_aln_text_roundtrip,
+    "catalog_autojoin": q_catalog_autojoin,
+    "motif_union": q_motif_union,
     # rows-only (no oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -1988,4 +2065,6 @@ ORACLES: dict[str, str] = {
     "blast_roundtrip": Q_BLAST_SQL,
     "axt_roundtrip": Q_AXT_SQL,
     "aln_text_roundtrip": Q_ALN_TEXT_SQL,
+    "catalog_autojoin": Q_CATALOG_SQL,
+    "motif_union": Q_MOTIF_UNION_SQL,
 }
