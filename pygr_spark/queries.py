@@ -1960,6 +1960,73 @@ SELECT q_0, q_1, q_2 FROM path WHERE s01 < 25
 """
 
 
+def q_seqtype_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 under the gate: DNA/RNA/protein classification by letter
+    ratio (guess_seqtype, sequtil.py:7-26) over a mixed corpus —
+    planted DNA and RNA repeats among the prose documents."""
+    from pygr_spark.functions.seqfns import guess_seqtype
+
+    docs = _t(spark, sf_dir, "documents")
+    reps = (5 + F.col("doc_id") % 7).cast("int")
+    seq = (
+        F.when(F.col("doc_id") % 3 == 0, F.repeat(F.lit("ACGT"), reps))
+        .when(F.col("doc_id") % 3 == 1, F.repeat(F.lit("acgu"), reps))
+        .otherwise(F.col("text"))
+    )
+    d = docs.select("doc_id", seq.alias("seq")).filter(F.length("seq") > 0)
+    return d.select("doc_id", guess_seqtype(F.col("seq")).alias("seqtype"))
+
+
+Q_SEQTYPE_SQL = """
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN repeat('ACGT', CAST(5 + doc_id % 7 AS INT))
+         WHEN doc_id % 3 = 1 THEN repeat('acgu', CAST(5 + doc_id % 7 AS INT))
+         ELSE text END AS seq
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN CAST(length(seq) - length(translate(seq, 'AaTtUuGgCcNn', ''))
+                 AS DOUBLE) / length(seq) > 0.85
+       THEN CASE WHEN (length(seq) - length(translate(seq, 'Tt', '')))
+                    > (length(seq) - length(translate(seq, 'Uu', '')))
+                 THEN 0 ELSE 1 END
+       ELSE 2 END AS INTEGER) AS seqtype
+FROM s WHERE length(seq) > 0
+"""
+
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: sliding event-time windows (10 min size / 5 min slide —
+    every event lands in exactly 2 windows), batch form of the
+    streaming op; the oracle unrolls the slide with a range join."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts_ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("sum_value_c"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).cast("long").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value_c",
+        )
+    )
+
+
+Q_SLIDING_SQL = """
+SELECT CAST((epoch_ns(ts) // 1000000000) // 300 * 300 - i.i * 300 AS BIGINT)
+         AS win_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS i) i
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -2008,6 +2075,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "aln_text_roundtrip": q_aln_text_roundtrip,
     "catalog_autojoin": q_catalog_autojoin,
     "motif_union": q_motif_union,
+    "seqtype_guess": q_seqtype_guess,
+    "sliding_windows": q_sliding_windows,
     # rows-only (no oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -2067,4 +2136,6 @@ ORACLES: dict[str, str] = {
     "aln_text_roundtrip": Q_ALN_TEXT_SQL,
     "catalog_autojoin": Q_CATALOG_SQL,
     "motif_union": Q_MOTIF_UNION_SQL,
+    "seqtype_guess": Q_SEQTYPE_SQL,
+    "sliding_windows": Q_SLIDING_SQL,
 }
