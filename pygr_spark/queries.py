@@ -2027,6 +2027,41 @@ GROUP BY 1, 2
 """
 
 
+def q_external_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 under the gate: pipe every partition through a real
+    subprocess (POSIX tr as the stand-in for blastall/RepeatMasker,
+    blast.py:86-117) and parse its stdout back to rows; the oracle is
+    the pure-SQL equivalent (upper). Driver docs are ASCII with no
+    tabs/newlines, so the TSV framing and tr/upper agree exactly."""
+    from pyspark.sql import types as T
+
+    from pygr_spark.sources.external import run_external_tool
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("upper_text", T.StringType()),
+        ]
+    )
+
+    def fmt(row: dict) -> str:
+        return f"{row['doc_id']}\t{row['text']}\n"
+
+    def parse(line: str) -> list[dict]:
+        i, _, t = line.partition("\t")
+        return [{"doc_id": int(i), "upper_text": t}] if i else []
+
+    return run_external_tool(
+        docs, ["tr", "[:lower:]", "[:upper:]"], fmt, parse, schema
+    )
+
+
+Q_EXTERNAL_SQL = """
+SELECT doc_id, upper(text) AS upper_text FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -2077,6 +2112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "motif_union": q_motif_union,
     "seqtype_guess": q_seqtype_guess,
     "sliding_windows": q_sliding_windows,
+    "external_tool": q_external_tool,
     # rows-only (no oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -2138,4 +2174,5 @@ ORACLES: dict[str, str] = {
     "motif_union": Q_MOTIF_UNION_SQL,
     "seqtype_guess": Q_SEQTYPE_SQL,
     "sliding_windows": Q_SLIDING_SQL,
+    "external_tool": Q_EXTERNAL_SQL,
 }
