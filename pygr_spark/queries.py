@@ -2062,6 +2062,37 @@ SELECT doc_id, upper(text) AS upper_text FROM documents
 """
 
 
+def q_split_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 under the gate: round-trip the prefix-union id munging —
+    namespaced union, then get_prefix_id split back (seqdb.py:752-769)
+    plus a per-prefix count."""
+    from pygr_spark.operators.annotation import split_prefix
+
+    u = q_prefix_union(spark, sf_dir)
+    prefix, local_id = split_prefix(F.col("id"))
+    parsed = u.select(
+        prefix.alias("prefix"), local_id.alias("local_id"), "size"
+    )
+    return parsed.groupBy("prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ids"),
+        F.count_distinct("local_id").cast("long").alias("n_distinct"),
+        F.sum("size").cast("long").alias("sum_size"),
+    )
+
+
+Q_SPLIT_PREFIX_SQL = """
+SELECT 'doc' AS prefix, CAST(COUNT(*) AS BIGINT) AS n_ids,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_size
+FROM documents
+UNION ALL
+SELECT 'part', CAST(COUNT(*) AS BIGINT),
+  CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+  CAST(SUM(p_size) AS BIGINT)
+FROM part
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -2113,6 +2144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seqtype_guess": q_seqtype_guess,
     "sliding_windows": q_sliding_windows,
     "external_tool": q_external_tool,
+    "split_prefix": q_split_prefix,
     # rows-only (no oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -2175,4 +2207,5 @@ ORACLES: dict[str, str] = {
     "seqtype_guess": Q_SEQTYPE_SQL,
     "sliding_windows": Q_SLIDING_SQL,
     "external_tool": Q_EXTERNAL_SQL,
+    "split_prefix": Q_SPLIT_PREFIX_SQL,
 }
