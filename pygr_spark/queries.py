@@ -2093,6 +2093,22 @@ FROM part
 """
 
 
+def q_stream_gap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    pygr's A5 gap-merge maintained incrementally per key, drained with
+    availableNow. Rows-only: open runs legitimately stay in state, so
+    no SQL oracle expresses the emitted subset."""
+    from pygr_spark.streaming.events import read_events_stream, run_stream_to_table
+    from pygr_spark.streaming.stateful import streaming_gap_merge
+
+    stream = read_events_stream(spark, sf_dir).select(
+        (F.col("user_id") % 100).cast("long").alias("id"),
+        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("start"),
+    )
+    merged = streaming_gap_merge(stream, maxgap=30)
+    return run_stream_to_table(merged, spark, mode="append")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -2146,6 +2162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "external_tool": q_external_tool,
     "split_prefix": q_split_prefix,
     # rows-only (no oracle)
+    "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "lsh_ann": q_lsh_ann,
