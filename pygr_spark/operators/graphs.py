@@ -104,6 +104,55 @@ def pagerank(
     return ranks
 
 
+def pagerank_exact(
+    edges: DataFrame,
+    n_iter: int = 6,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank in exact scaled-integer arithmetic: ranks are bigints
+    in units of 1/scale, per-edge contributions use truncating integer
+    division (``rank DIV deg``), and the damping mix is
+    ``((den-num)*scale) DIV den + (num·Σcontrib) DIV den``. Every
+    operation is order-independent integer math, so the result is
+    bit-identical on any engine — this is the oracle-checkable form of
+    :func:`pagerank` (same shuffle structure: one join+groupBy per
+    round, lineage cut every 3 rounds).
+
+    Bounds: total rank mass ≤ n·scale; with n ≤ 2000 and scale=1e12
+    the ``num·Σ`` intermediate stays < 2e17, inside int64.
+    """
+    base = ((damping_den - damping_num) * scale) // damping_den
+    e = edges.select(src, dst).distinct()
+    out_deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    e = e.join(out_deg, src).localCheckpoint(eager=False)
+    nodes = nodes_of(e, src, dst)
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for i in range(n_iter):
+        contribs = (
+            e.join(ranks, e[src] == ranks["node"])
+            .select(
+                F.col(dst).alias("node"),
+                F.expr("rank DIV _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({damping_num} * coalesce(_sum, 0L)) DIV {damping_den}")
+            ).alias("rank"),
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 20,

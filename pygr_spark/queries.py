@@ -1538,9 +1538,10 @@ FROM iv JOIN mask ON iv.id = mask.id AND iv.start < mask.me AND mask.ms < iv.sto
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative PageRank on the orders-derived graph (GraphX-style
-    analytics; iterative → no single SQL oracle)."""
-    from pygr_spark.operators.graphs import pagerank
+    """Iterative PageRank on the orders-derived graph, in exact
+    scaled-integer arithmetic (pagerank_exact) so a fixed-iteration
+    SQL unroll reproduces it bit-for-bit."""
+    from pygr_spark.operators.graphs import pagerank_exact
 
     orders = _t(spark, sf_dir, "orders")
     edges = (
@@ -1551,10 +1552,54 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    return pagerank(edges, n_iter=6)
+    return pagerank_exact(edges, n_iter=6)
+
+
+def _pagerank_oracle_sql(
+    n_iter: int = 6, num: int = 85, den: int = 100, scale: int = 10**12
+) -> str:
+    """Unrolled fixed-point CTE mirroring pagerank_exact: one CTE layer
+    per iteration, truncating integer division throughout (positive
+    operands, so DuckDB's floor-div == Spark's DIV)."""
+    base = ((den - num) * scale) // den
+    layers = []
+    for i in range(1, n_iter + 1):
+        layers.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST({base} + ({num} * COALESCE(c._sum, 0)) // {den} AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT ed.dst AS node, CAST(SUM(r{i - 1}.rank // ed._deg) AS BIGINT) AS _sum
+    FROM ed JOIN r{i - 1} ON ed.src = r{i - 1}.node GROUP BY ed.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT CAST(o_custkey % 1999 AS BIGINT) AS src,
+                  CAST(o_orderkey % 1999 AS BIGINT) AS dst
+  FROM orders WHERE o_custkey % 1999 != o_orderkey % 1999
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS _deg FROM e GROUP BY src
+), ed AS (
+  SELECT e.src, e.dst, deg._deg FROM e JOIN deg ON e.src = deg.src
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), r0 AS (
+  SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes
+), {", ".join(layers)}
+SELECT node, rank FROM r{n_iter}
+"""
+
+
+Q_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation to fixpoint: the converged labeling
+    (component = min node id reachable, undirected) is
+    engine-independent, so a recursive-CTE transitive closure oracles
+    it exactly."""
     from pygr_spark.operators.graphs import connected_components
 
     ev = read_events(spark, sf_dir)
@@ -1566,7 +1611,25 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    return connected_components(edges, max_iter=10)
+    return connected_components(edges, max_iter=50)
+
+
+Q_CONNECTED_COMPONENTS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT CAST(user_id % 997 AS BIGINT) AS src,
+                  CAST(event_id % 997 AS BIGINT) AS dst
+  FROM events WHERE user_id % 997 != event_id % 997
+), und AS (
+  SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), lbl(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.b, l.comp FROM lbl l JOIN und u ON u.a = l.node
+)
+SELECT node, CAST(min(comp) AS BIGINT) AS component FROM lbl GROUP BY node
+"""
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2225,4 +2288,6 @@ ORACLES: dict[str, str] = {
     "sliding_windows": Q_SLIDING_SQL,
     "external_tool": Q_EXTERNAL_SQL,
     "split_prefix": Q_SPLIT_PREFIX_SQL,
+    "pagerank": Q_PAGERANK_SQL,
+    "connected_components": Q_CONNECTED_COMPONENTS_SQL,
 }
