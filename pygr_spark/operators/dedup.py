@@ -34,6 +34,24 @@ from pyspark.sql import functions as F
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
 
+def md5_hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash computable identically in Spark and
+    DuckDB/ANSI SQL: ``int(md5(s)[0:15], 16)``. Slower than xxhash64
+    (still JVM codegen) but engine-portable — the oracle-checked
+    catalog entries use it so a SQL oracle can reproduce MinHash/
+    SimHash signatures bit-for-bit. 15 hex digits = 60 bits, always
+    non-negative, fits int64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_band_hash(b: int, parts: list[Column]) -> Column:
+    """Engine-portable LSH band hash: md5_hash60 of
+    ``"{b},{m0},{m1},...}"`` (SQL: ``'{b},'||m0||','||...``)."""
+    return md5_hash60(
+        F.concat_ws(",", F.lit(str(b)), *[p.cast("string") for p in parts])
+    )
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Repartition to cluster parallelism before heavy per-row array
     work. A small parquet arrives as ONE partition and would pin all
@@ -198,17 +216,20 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 32,
     seed: int = 42,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """(id, sig: array<long>[num_perm], n_shingles). Pure column
-    expressions: shingles → xxhash64 → per-perm min of (a·x+b) mod p.
+    expressions: shingles → hash → per-perm min of (a·x+b) mod p.
+    ``hash_fn`` defaults to xxhash64 (fastest); pass ``md5_hash60``
+    for the engine-portable, oracle-checkable variant.
     """
     return _signatures_from_rows(
-        shingle_rows(df, id_col, text, n), id_col, num_perm, seed
+        shingle_rows(df, id_col, text, n), id_col, num_perm, seed, hash_fn
     )
 
 
 def _signatures_from_rows(
-    rows: DataFrame, id_col: str, num_perm: int, seed: int
+    rows: DataFrame, id_col: str, num_perm: int, seed: int, hash_fn=F.xxhash64
 ) -> DataFrame:
     """Signatures from prepared (_id, _s) shingle rows — lets pipelines
     that also need the raw shingle sets (candidate verification)
@@ -218,7 +239,7 @@ def _signatures_from_rows(
     # array_min(transform(...)) higher-order expressions, which Spark
     # interprets per element. Same result, one shuffle on the doc id.
     ex = rows.select(
-        "_id", F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_P)).alias("_h")
+        "_id", F.pmod(hash_fn(F.col("_s")), F.lit(MERSENNE_P)).alias("_h")
     )
     mins = ex.groupBy("_id").agg(
         F.count(F.lit(1)).alias("_n"),
@@ -241,27 +262,37 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_perm: int = 32,
     num_bands: int = 8,
+    band_hash_fn=None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one LSH band.
     Shuffle key is (band_idx, band_hash) — hot texts spread across
     bands; a group of m identical docs costs m²/2 pairs only within
     its own buckets, which is the irreducible output size.
+
+    ``band_hash_fn(b, parts)`` maps a band index + its signature
+    elements to the bucket hash; default is xxhash64 over the joined
+    parts (fast path), ``md5_band_hash`` is the oracle-portable one.
     """
     rows = num_perm // num_bands
+    if band_hash_fn is None:
+
+        def band_hash_fn(b: int, parts: list[Column]) -> Column:
+            return F.xxhash64(
+                F.lit(b),
+                F.concat_ws(",", *[p.cast("string") for p in parts]),
+            )
+
     banded = sigs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.lit(b),
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                        ),
+                    band_hash_fn(
+                        b,
+                        [
+                            F.element_at(F.col("sig"), b * rows + i + 1)
+                            for i in range(rows)
+                        ],
                     )
                     for b in range(num_bands)
                 ]
@@ -284,21 +315,28 @@ def minhash_near_dups(
     n: int = 3,
     num_perm: int = 32,
     num_bands: int = 8,
-    threshold: float = 0.5,
+    threshold: float | tuple[int, int] = 0.5,
     seed: int = 42,
+    hash_fn=F.xxhash64,
+    band_hash_fn=None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band join →
     exact-Jaccard verification of the candidates only. Returns
     (id_a, id_b, inter, size_a, size_b) like jaccard_join, but with
     O(candidate) instead of O(all-pairs-sharing-a-shingle) cost.
+
+    ``threshold`` may be a ``(num, den)`` rational: the filter then
+    uses the exact integer predicate ``inter*den >= num*union``, which
+    every engine evaluates identically (float ``0.2*union`` does NOT
+    equal exact ``union/5`` at the boundary).
     """
     # one shingling pass feeds the signature stage AND both sides of
     # the verification join: materialize it (lineage-truncating cache)
     # instead of recomputing the tokenize+shingle work 3×
     rows = shingle_rows(df, id_col, text, n).localCheckpoint(eager=False)
     sh = rows.groupBy("_id").agg(F.collect_list("_s").alias("_sh"))
-    sigs = _signatures_from_rows(rows, id_col, num_perm, seed)
-    cand = lsh_candidate_pairs(sigs, id_col, num_perm, num_bands)
+    sigs = _signatures_from_rows(rows, id_col, num_perm, seed, hash_fn)
+    cand = lsh_candidate_pairs(sigs, id_col, num_perm, num_bands, band_hash_fn)
     withsets = (
         cand.join(
             sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
@@ -309,11 +347,20 @@ def minhash_near_dups(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     size_a, size_b = F.size("sh_a"), F.size("sh_b")
     union = size_a + size_b - inter
+    if isinstance(threshold, tuple):
+        t_num, t_den = threshold
+        pred = F.col("inter") * F.lit(t_den) >= F.lit(t_num) * (
+            F.col("size_a") + F.col("size_b") - F.col("inter")
+        )
+    else:
+        pred = F.col("inter") >= F.lit(threshold) * (
+            F.col("size_a") + F.col("size_b") - F.col("inter")
+        )
     return (
         withsets.withColumn("inter", inter)
         .withColumn("size_a", size_a)
         .withColumn("size_b", size_b)
-        .filter(F.col("inter") >= F.lit(threshold) * union)
+        .filter(pred)
         .select("id_a", "id_b", "inter", "size_a", "size_b")
     )
 
@@ -388,43 +435,44 @@ def cosine_near_dups(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    hash_fn=F.xxhash64,
+    width: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: bit b of the signature is
-    the majority vote of bit b across xxhash64(token) for all tokens.
-    Computed as a left-fold over the token-hash array with a 64-long
-    accumulator (JVM-side, no UDF)."""
+    """``width``-bit SimHash over whitespace tokens: bit b of the
+    signature is the majority vote of bit b across hash(token) for all
+    tokens (duplicates counted).
+
+    Formulated as explode → hash → groupBy with one ``sum((h>>b)&1)``
+    scalar aggregate per bit: every stage stays in whole-stage codegen
+    (the old fold-over-array HOF was interpreted per element), and the
+    majority test is ``2·count_set > n_tokens`` — identical to the
+    ±1-vote sum. ``hash_fn=md5_hash60, width=60`` gives the
+    engine-portable variant a SQL oracle can reproduce."""
     df = _spread(df, id_col)
-    toks = F.split(F.trim(F.col(text)), r"\s+")
-    hashes = F.transform(toks, lambda x: F.xxhash64(x))
-    zero = F.array_repeat(F.lit(0).cast("long"), 64)
-
-    def bit_votes(h: Column) -> Column:
-        # static unroll: shift amounts must be Python ints
-        return F.array(
-            *[
-                F.when(
-                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-                for b in range(64)
-            ]
-        )
-
-    votes = F.aggregate(
-        hashes, zero, lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v)
+    toks = df.filter(F.length(F.trim(F.col(text))) > 0).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("_t"),
     )
-    base = df.filter(F.length(F.trim(F.col(text))) > 0).select(
-        F.col(id_col), votes.alias("_votes")
+    ex = toks.select("_id", hash_fn(F.col("_t")).alias("_h"))
+    per = ex.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1))).alias(f"_c{b}")
+            for b in range(width)
+        ],
     )
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(width):
         mask = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit of int64
         sig = sig.bitwiseOR(
-            F.when(F.element_at("_votes", b + 1) > 0, F.lit(mask).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.lit(2) * F.col(f"_c{b}") > F.col("_n"), F.lit(mask).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
         )
-    return base.select(id_col, sig.alias("simhash"))
+    return per.select(F.col("_id").alias(id_col), sig.alias("simhash"))
 
 
 def simhash_near_dups(
@@ -432,14 +480,19 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text: str = "text",
     max_hamming: int = 3,
+    hash_fn=F.xxhash64,
+    sig_bits: int = 64,
 ) -> DataFrame:
     """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming, found
-    by pigeonhole banding: split 64 bits into (max_hamming+1) chunks;
-    any qualifying pair matches exactly on >= 1 chunk → equi-join per
-    chunk, union, verify with bit_count(xor)."""
-    s = simhash(df, id_col, text)
+    by pigeonhole banding: split the signature bits into
+    (max_hamming+1) chunks; any qualifying pair matches exactly on
+    >= 1 chunk (even when integer division leaves trailing bits
+    uncovered: ≤ max_hamming differences over nb > max_hamming chunks
+    always leave one chunk clean) → equi-join per chunk, union, verify
+    with bit_count(xor) over the full signature."""
+    s = simhash(df, id_col, text, hash_fn, sig_bits)
     nb = max_hamming + 1
-    width = 64 // nb
+    width = sig_bits // nb
     banded = s.select(
         F.col(id_col).alias("_id"),
         F.col("simhash"),

@@ -1633,15 +1633,154 @@ SELECT node, CAST(min(comp) AS BIGINT) AS component FROM lbl GROUP BY node
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pygr_spark.operators.dedup import minhash_near_dups
+    """MinHash+LSH near-dup with the engine-portable md5-based 60-bit
+    hash and an exact rational threshold, so the full pipeline —
+    shingles → permuted minima → band buckets → candidate pairs →
+    exact-Jaccard verify — is reproduced bit-for-bit by the SQL
+    oracle (the xxhash64 default stays the production fast path)."""
+    from pygr_spark.operators.dedup import (
+        md5_band_hash,
+        md5_hash60,
+        minhash_near_dups,
+    )
 
-    return minhash_near_dups(_t(spark, sf_dir, "documents"), n=5, threshold=0.2)
+    out = minhash_near_dups(
+        _t(spark, sf_dir, "documents"),
+        n=5,
+        threshold=(1, 5),
+        hash_fn=md5_hash60,
+        band_hash_fn=md5_band_hash,
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("inter").cast("long").alias("inter"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+    )
+
+
+def _minhash_oracle_sql(
+    n: int = 5,
+    num_perm: int = 32,
+    num_bands: int = 8,
+    t_num: int = 1,
+    t_den: int = 5,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of q_minhash_near_dups: same shingles, same
+    (a·h+b) mod p permutations (same seed), same md5-based band
+    buckets, same integer-exact Jaccard verification."""
+    from pygr_spark.operators.dedup import MERSENNE_P, _perm_params
+
+    perms = _perm_params(num_perm, seed)
+    mins = ",\n    ".join(
+        f"CAST(min(({a}*_h + {b}) % {MERSENNE_P}) AS BIGINT) AS _m{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    rows = num_perm // num_bands
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT _id, {b} AS band, ('0x'||substr(md5('{b},'||"
+        + "||','||".join(
+            f"CAST(_m{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows)
+        )
+        + "),1,15))::BIGINT AS bh FROM sigs"
+        for b in range(num_bands)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS _id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT _id,
+    unnest(list_transform(range(1, len(t)-{n - 2}),
+                          i -> array_to_string(t[i:i+{n - 1}], ' '))) AS _s
+  FROM toks WHERE len(t) >= {n}
+), hx AS (
+  SELECT _id, ('0x'||substr(md5(_s),1,15))::BIGINT % {MERSENNE_P} AS _h FROM sh
+), sigs AS (
+  SELECT _id,
+    {mins}
+  FROM hx GROUP BY _id
+), banded AS (
+{bands}
+), cand AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a._id < b._id
+), sz AS (
+  SELECT _id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY _id
+), inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM cand c JOIN sh x ON x._id = c.id_a JOIN sh y ON y._id = c.id_b AND y._s = x._s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
+       i.inter, a.sz AS size_a, b.sz AS size_b
+FROM inter i JOIN sz a ON a._id = i.id_a JOIN sz b ON b._id = i.id_b
+WHERE i.inter * {t_den} >= {t_num} * (a.sz + b.sz - i.inter)
+"""
+
+
+Q_MINHASH_SQL = _minhash_oracle_sql()
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pygr_spark.operators.dedup import simhash_near_dups
+    """SimHash near-dup with the md5-based 60-bit signature — majority
+    vote per bit, pigeonhole banding, exact Hamming verify — fully
+    reproduced by the SQL oracle."""
+    from pygr_spark.operators.dedup import md5_hash60, simhash_near_dups
 
-    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
+    out = simhash_near_dups(
+        _t(spark, sf_dir, "documents"),
+        max_hamming=8,
+        hash_fn=md5_hash60,
+        sig_bits=60,
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def _simhash_oracle_sql(max_hamming: int = 8, sig_bits: int = 60) -> str:
+    nb = max_hamming + 1
+    width = sig_bits // nb
+    mask = (1 << width) - 1
+    sums = ",\n    ".join(
+        f"CAST(SUM((_h >> {b}) & 1) AS BIGINT) AS _c{b}" for b in range(sig_bits)
+    )
+    sig = " | ".join(
+        f"(CASE WHEN 2*_c{b} > _n THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(sig_bits)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS _id, unnest(string_split_regex(trim(text), '\s+')) AS _t
+  FROM documents WHERE length(trim(text)) > 0
+), hx AS (
+  SELECT _id, ('0x'||substr(md5(_t),1,15))::BIGINT AS _h FROM toks
+), per AS (
+  SELECT _id, CAST(count(*) AS BIGINT) AS _n,
+    {sums}
+  FROM hx GROUP BY _id
+), sig AS (
+  SELECT _id, ({sig}) AS simhash FROM per
+), banded AS (
+  SELECT _id, simhash, band, (simhash >> (band*{width})) & {mask} AS chunk
+  FROM sig CROSS JOIN (SELECT unnest(range({nb})) AS band) bands
+), cand AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b, a.simhash AS sha, b.simhash AS shb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a._id < b._id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= {max_hamming}
+"""
+
+
+Q_SIMHASH_SQL = _simhash_oracle_sql()
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2290,4 +2429,6 @@ ORACLES: dict[str, str] = {
     "split_prefix": Q_SPLIT_PREFIX_SQL,
     "pagerank": Q_PAGERANK_SQL,
     "connected_components": Q_CONNECTED_COMPONENTS_SQL,
+    "minhash_near_dups": Q_MINHASH_SQL,
+    "simhash_near_dups": Q_SIMHASH_SQL,
 }
