@@ -148,6 +148,24 @@ def xform(
     return (dst_start + F.round((x - src_start) * scale, 0)).cast("long")
 
 
+def xform_int(
+    x: Column,
+    src_start: Column,
+    src_stop: Column,
+    dst_start: Column,
+    dst_stop: Column,
+) -> Column:
+    """Engine-portable IntervalTransform: floor-division linear map
+    ``dst_start + floor((x - src_start)·dst_len / src_len)``. Exact
+    for |numerator| < 2^53 (integer float64 division never rounds
+    across an integer boundary there), and floor matches SQL ``//``
+    on every engine including negative numerators — unlike
+    :func:`xform`'s round-half-up, which is not portable."""
+    num = ((x - src_start) * (dst_stop - dst_start)).cast("double")
+    den = (src_stop - src_start).cast("double")
+    return (dst_start + F.floor(num / den)).cast("long")
+
+
 def before_stop(start: Column) -> Column:
     """Complement helper: ``before()`` is [0, start) (sequence.py:497-505)."""
     return start

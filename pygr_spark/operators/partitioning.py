@@ -86,6 +86,46 @@ def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def slices_from_chunks(
+    chunks: DataFrame,
+    slices: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """Batch strslice over chunked storage: ``slices`` holds
+    ``(id, start, stop)`` requests; each is answered by joining ONLY
+    the chunk rows it overlaps (chunk_start pushdown-able), clipping
+    each chunk to the request, and concatenating in chunk order.
+    Returns ``(id, start, stop, letters)`` — the distributed form of
+    :func:`slice_from_chunks`, over the layout built by
+    ``pygr_spark.sources.fasta.chunked``."""
+    j = chunks.join(slices, id_col).filter(
+        (F.col("chunk_start") < F.col("stop"))
+        & (F.col("chunk_start") + F.length("chunk") > F.col("start"))
+    )
+    local_start = F.greatest(F.col("start") - F.col("chunk_start"), F.lit(0))
+    local_stop = F.least(F.col("stop") - F.col("chunk_start"), F.length("chunk"))
+    clipped = j.select(
+        id_col,
+        "start",
+        "stop",
+        "chunk_no",
+        F.substring(
+            F.col("chunk"),
+            (local_start + 1).cast("int"),
+            (local_stop - local_start).cast("int"),
+        ).alias("piece"),
+    )
+    return clipped.groupBy(id_col, "start", "stop").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_no", "piece"))),
+                lambda x: x["piece"],
+            ),
+        ).alias("letters")
+    )
+
+
 def slice_from_chunks(
     chunks: DataFrame,
     seq_id: str,

@@ -250,6 +250,81 @@ def ivf_topk(
     )
 
 
+def ivf_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Engine-portable IVF ANN: centroids are the ``n_centroids``
+    corpus vectors with the smallest md5-based hash of their id (a
+    deterministic sample any engine reproduces); nearest-centroid
+    assignment and the probe ranking maximize cosine computed from
+    quantized-integer dots (exact int64 → deterministic float64), with
+    centroid-id tiebreaks. Same distributed shape as :func:`ivf_topk`
+    — one narrow assignment pass (broadcast of 16 centroids), probe =
+    equi-join on the inverted-list id — but every step is
+    oracle-checkable. ``ivf_topk`` (vectorized mapInPandas) remains
+    the production fast path."""
+    from pygr_spark.operators.dedup import md5_hash60
+
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), quantized(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", sqnorm(F.col("qv")))
+    cent = (
+        v.withColumn("_h", md5_hash60(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("qv").alias("cq"),
+            F.col("qn").alias("cn"),
+        )
+    )
+
+    def centroid_sim(vec: str, nrm: str) -> Column:
+        return dot(F.col(vec), F.col("cq")) / (
+            F.sqrt(F.col(nrm).cast("double")) * F.sqrt(F.col("cn").cast("double"))
+        )
+
+    wa = Window.partitionBy("vec_id").orderBy(F.col("_csim").desc(), F.col("cid"))
+    lists = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("_csim", centroid_sim("qv", "qn"))
+        .withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", F.col("cid").alias("list_id"), "qv", "qn")
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), quantized(F.col(vec_col)).alias("pv")
+    ).withColumn("pn", sqnorm(F.col("pv")))
+    wp = Window.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_csim", centroid_sim("pv", "pn"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", F.col("cid").alias("list_id"), "pv", "pn")
+    )
+    joined = lists.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = dot(F.col("qv"), F.col("pv")) / (
+        F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("pn").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        joined.withColumn("cos_sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """b-bit bucket id: bit i = sign(vec · plane_i). Planes are plain
     Python lists (broadcast as literals into the plan)."""
@@ -275,6 +350,26 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def hyperplane_signature_int(qvec: Column, planes: list[list[int]]) -> Column:
+    """Bucket id from ±1 integer hyperplanes over a QUANTIZED
+    (array<long>) vector: bit i = sign(Σ_j s_ij·q_j). All-integer
+    dots are exact, so any engine computes the same bucket — the
+    oracle-checkable form of :func:`hyperplane_signature`. The sum is
+    a static unroll of element_at terms (codegen'd; no interpreted
+    higher-order lambdas)."""
+    out = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        s = None
+        for j, w in enumerate(p):
+            term = F.element_at(qvec, j + 1)
+            term = term if w > 0 else -term
+            s = term if s is None else s + term
+        out = out.bitwiseOR(
+            F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        )
+    return out
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -283,20 +378,38 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
+    int_planes: bool = False,
 ) -> DataFrame:
     """Approximate top-k: bucket both sides by hyperplane signature,
     equi-join on the bucket, exact cosine re-rank within candidates.
     Recall grows with multiple plane sets (union of buckets); this
-    single-table variant keeps one bucket column per side."""
+    single-table variant keeps one bucket column per side.
+
+    With ``int_planes=True``, ``planes`` holds ±1 integers and buckets
+    are computed from the quantized vectors (exact, engine-portable)."""
+
+    def bucket_of(qcol: Column, raw: Column) -> Column:
+        if int_planes:
+            return hyperplane_signature_int(qcol, planes)
+        return hyperplane_signature(raw, planes)
+
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         quantized(F.col(vec_col)).alias("cv"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+        F.col(vec_col).alias("_raw"),
+    ).select(
+        "vec_id",
+        "cv",
+        bucket_of(F.col("cv"), F.col("_raw")).alias("bucket"),
     ).withColumn("cn", sqnorm(F.col("cv")))
     q = queries.select(
         F.col(query_id).alias("query_id"),
         quantized(F.col(vec_col)).alias("qv"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+        F.col(vec_col).alias("_raw"),
+    ).select(
+        "query_id",
+        "qv",
+        bucket_of(F.col("qv"), F.col("_raw")).alias("bucket"),
     ).withColumn("qn", sqnorm(F.col("qv")))
     joined = c.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("query_id")

@@ -1531,6 +1531,100 @@ FROM iv JOIN mask ON iv.id = mask.id AND iv.start < mask.me AND mask.ms < iv.sto
 """
 
 
+def q_interval_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-U4 + F5 in one pass over overlapping order×lineitem interval
+    pairs: intersection (``ival1 * ival2``, sequence.py:426-442),
+    span union (``+``, sequence.py:469-495), containment predicate
+    (sequence.py:405-415), and the IntervalTransform linear coordinate
+    map (sequence.py:26-132) rescaling the intersection start into the
+    order interval's [0,1000) frame."""
+    from pygr_spark import intervals as IV
+
+    o = _order_ivals(spark, sf_dir).select(
+        "id", "o_orderkey", F.col("start").alias("os"), F.col("stop").alias("oe")
+    )
+    li = _spread(_lineitem_ivals(spark, sf_dir)).select(
+        "id",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("start").alias("ls"),
+        F.col("stop").alias("le"),
+    )
+    j = li.join(F.broadcast(o), "id").filter(
+        IV.overlaps(F.col("os"), F.col("oe"), F.col("ls"), F.col("le"))
+    )
+    i_start = IV.intersect_start(F.col("os"), F.col("ls"))
+    return j.select(
+        "id",
+        "o_orderkey",
+        "l_orderkey",
+        "l_linenumber",
+        i_start.alias("i_start"),
+        IV.intersect_stop(F.col("oe"), F.col("le")).alias("i_stop"),
+        IV.span_union_start(F.col("os"), F.col("ls")).alias("u_start"),
+        IV.span_union_stop(F.col("oe"), F.col("le")).alias("u_stop"),
+        IV.contains(F.col("os"), F.col("oe"), F.col("ls"), F.col("le"))
+        .cast("long")
+        .alias("o_contains_l"),
+        IV.xform_int(
+            i_start, F.col("os"), F.col("oe"), F.lit(0), F.lit(1000)
+        ).alias("i_start_scaled"),
+    )
+
+
+Q_INTERVAL_ALGEBRA_SQL = f"""
+WITH o AS ({_ORDER_IVALS_SQL}), l AS ({_LINEITEM_IVALS_SQL})
+SELECT l.id, o.o_orderkey, l.l_orderkey, l.l_linenumber,
+  GREATEST(o.start, l.start) AS i_start,
+  LEAST(o.stop, l.stop) AS i_stop,
+  LEAST(o.start, l.start) AS u_start,
+  GREATEST(o.stop, l.stop) AS u_stop,
+  CAST(o.start <= l.start AND l.stop <= o.stop AS BIGINT) AS o_contains_l,
+  CAST(0 + ((GREATEST(o.start, l.start) - o.start) * 1000) // (o.stop - o.start)
+       AS BIGINT) AS i_start_scaled
+FROM l JOIN o ON l.id = o.id AND o.start < l.stop AND l.start < o.stop
+"""
+
+
+def q_chunked_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 at scale: chunk every document into fixed-width rows, then
+    answer per-document substring requests by reassembling ONLY the
+    overlapping chunks. The oracle computes the same slices by direct
+    ``substr`` — a differential proof that the chunked layout
+    round-trips (reference fseek strslice, seqdb.py:458-472)."""
+    from pygr_spark.operators.partitioning import slices_from_chunks
+    from pygr_spark.sources.fasta import chunked
+
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("id"), F.col("text")
+    )
+    n = F.length("text")
+    start = F.least(F.col("id") % 50, F.greatest(n - 1, F.lit(0)))
+    req = (
+        docs.select(
+            "id",
+            start.cast("long").alias("start"),
+            F.least(start + 40, n).cast("long").alias("stop"),
+        )
+        .filter(F.col("stop") > F.col("start"))
+    )
+    chunks = chunked(docs, id_col="id", seq="text", chunk=16)
+    return slices_from_chunks(chunks, req, id_col="id")
+
+
+Q_CHUNKED_SLICE_SQL = """
+WITH b AS (
+  SELECT doc_id AS id, text, length(text) AS n FROM documents
+), s AS (
+  SELECT id, least(id % 50, greatest(n - 1, 0)) AS start, text, n FROM b
+)
+SELECT id, CAST(start AS BIGINT) AS start,
+       CAST(least(start + 40, n) AS BIGINT) AS stop,
+       substr(text, CAST(start + 1 AS INT), CAST(least(start + 40, n) - start AS INT)) AS letters
+FROM s WHERE least(start + 40, n) > start
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries (no SQL oracle — non-SQL-expressible or engine-hash
 # based; the driver records the weaker rows-only check)
@@ -1783,31 +1877,145 @@ FROM cand WHERE bit_count(xor(sha, shb)) <= {max_hamming}
 Q_SIMHASH_SQL = _simhash_oracle_sql()
 
 
-def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import random
+def _sign_planes(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes shared by the Spark query and the
+    SQL oracle generator (seeded by md5 of the coordinate, so any
+    process regenerates the same planes)."""
+    import hashlib
 
+    return [
+        [
+            1 if hashlib.md5(f"{i},{j}".encode()).digest()[0] & 1 else -1
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with ±1 integer planes over quantized
+    vectors: bucket assignment is exact int64 arithmetic and the
+    cosine re-rank divides exact integers, so the SQL oracle
+    reproduces buckets, candidates, and ranking bit-for-bit."""
     from pygr_spark.operators.similarity import lsh_ann_topk
 
-    rng = random.Random(42)
-    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    planes = _sign_planes()
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_ann_topk(emb, queries, planes, k=5)
+    return lsh_ann_topk(emb, queries, planes, k=5, int_planes=True).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _lsh_ann_oracle_sql(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    planes = _sign_planes(n_planes, dim)
+    bucket = " | ".join(
+        "(CASE WHEN ("
+        + " ".join(
+            ("+" if w > 0 else "-") + f" q[{j + 1}]" for j, w in enumerate(p)
+        )
+        + f") > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS q
+  FROM embeddings
+), n AS (
+  SELECT vec_id, q,
+    list_reduce(list_transform(range(1, len(q)+1), i -> q[i]*q[i]), (x,y) -> x+y) AS nn,
+    ({bucket}) AS bucket
+  FROM v
+), qs AS (
+  SELECT vec_id AS query_id, q AS qq, nn AS qn, bucket FROM n WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT qs.query_id, n.vec_id,
+    list_reduce(list_transform(range(1, len(n.q)+1), i -> n.q[i]*qs.qq[i]), (x,y) -> x+y)
+      / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(qs.qn AS DOUBLE))) AS sim
+  FROM n JOIN qs ON n.bucket = qs.bucket AND n.vec_id != qs.query_id
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       round(sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+Q_LSH_ANN_SQL = _lsh_ann_oracle_sql()
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF inverted-list ANN over embeddings (rows-only: centroid
-    assignment is data-dependent; exactness asserted in unit tests at
-    full probe)."""
-    from pygr_spark.operators.similarity import ivf_topk
+    """IVF inverted-list ANN in the engine-portable exact form:
+    md5-hash-sampled centroids, quantized-integer cosine for both the
+    list assignment and the probe/re-rank — the SQL oracle reproduces
+    the inverted lists and ranking bit-for-bit (ivf_topk's vectorized
+    mapInPandas assignment stays the production fast path)."""
+    from pygr_spark.operators.similarity import ivf_topk_exact
 
     emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, n_centroids=16, n_probe=4, k=5)
+    return ivf_topk_exact(emb, queries, n_centroids=16, n_probe=4, k=5).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+Q_IVF_ANN_SQL = """
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS q
+  FROM embeddings
+), n AS (
+  SELECT vec_id, q,
+    list_reduce(list_transform(range(1, len(q)+1), i -> q[i]*q[i]), (x,y) -> x+y) AS nn
+  FROM v
+), cent AS (
+  SELECT vec_id AS cid, q AS cq, nn AS cn FROM n
+  ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id
+  LIMIT 16
+), vassign AS (
+  SELECT vec_id, q, nn, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+    list_reduce(list_transform(range(1, len(q)+1), i -> q[i]*cq[i]), (x,y) -> x+y)
+      / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, cid) AS rn
+  FROM n CROSS JOIN cent
+), lists AS (
+  SELECT vec_id, cid AS list_id, q, nn FROM vassign WHERE rn = 1
+), qs AS (
+  SELECT vec_id AS query_id, q AS pq, nn AS pn FROM n WHERE vec_id % 100 = 0
+), passign AS (
+  SELECT query_id, pq, pn, cid, row_number() OVER (PARTITION BY query_id ORDER BY
+    list_reduce(list_transform(range(1, len(pq)+1), i -> pq[i]*cq[i]), (x,y) -> x+y)
+      / (sqrt(CAST(pn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, cid) AS rn
+  FROM qs CROSS JOIN cent
+), probes AS (
+  SELECT query_id, cid AS list_id, pq, pn FROM passign WHERE rn <= 4
+), scored AS (
+  SELECT p.query_id, l.vec_id,
+    list_reduce(list_transform(range(1, len(l.q)+1), i -> l.q[i]*p.pq[i]), (x,y) -> x+y)
+      / (sqrt(CAST(l.nn AS DOUBLE)) * sqrt(CAST(p.pn AS DOUBLE))) AS sim
+  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id != p.query_id
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       round(sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2363,6 +2571,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_windows": q_sliding_windows,
     "external_tool": q_external_tool,
     "split_prefix": q_split_prefix,
+    "interval_algebra": q_interval_algebra,
+    "chunked_slice": q_chunked_slice,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -2431,4 +2641,8 @@ ORACLES: dict[str, str] = {
     "connected_components": Q_CONNECTED_COMPONENTS_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,
     "simhash_near_dups": Q_SIMHASH_SQL,
+    "lsh_ann": Q_LSH_ANN_SQL,
+    "ivf_ann": Q_IVF_ANN_SQL,
+    "interval_algebra": Q_INTERVAL_ALGEBRA_SQL,
+    "chunked_slice": Q_CHUNKED_SLICE_SQL,
 }

@@ -57,3 +57,26 @@ def test_slice_from_chunks(spark):
         slice_from_chunks(ch, "s", 0, 16, chunk=4).collect()[0].letters
         == "abcdefghijklmnop"
     )
+
+
+def test_slices_from_chunks_batch(spark):
+    from pygr_spark.operators.partitioning import slices_from_chunks
+
+    df = spark.createDataFrame(
+        [("a", "abcdefghijklmnop"), ("b", "xyz")], ["id", "seq"]
+    )
+    ch = chunked(df, chunk=4)
+    req = spark.createDataFrame(
+        [("a", 2, 11), ("a", 5, 7), ("b", 0, 3), ("b", 1, 2)],
+        ["id", "start", "stop"],
+    )
+    out = {
+        (r.id, r.start, r.stop): r.letters
+        for r in slices_from_chunks(ch, req).collect()
+    }
+    assert out == {
+        ("a", 2, 11): "cdefghijk",
+        ("a", 5, 7): "fg",
+        ("b", 0, 3): "xyz",
+        ("b", 1, 2): "y",
+    }
