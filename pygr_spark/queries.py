@@ -1561,6 +1561,34 @@ FROM iv JOIN mask ON iv.id = mask.id AND iv.start < mask.me AND mask.ms < iv.sto
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (§2.4: absent in the reference, native
+    in Spark SQL — cube/rollup/pivot have their own entries). Uses the
+    SQL surface over the parquet path directly; map-side partial
+    aggregation covers all three sets in one scan."""
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    return spark.sql(
+        f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        FROM parquet.`{path}`
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+       coalesce(l_linestatus, 'ALL') AS lstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 def q_interval_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1-U4 + F5 in one pass over overlapping order×lineitem interval
     pairs: intersection (``ival1 * ival2``, sequence.py:426-442),
@@ -2603,6 +2631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_prefix": q_split_prefix,
     "interval_algebra": q_interval_algebra,
     "chunked_slice": q_chunked_slice,
+    "grouping_sets": q_grouping_sets,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -2675,4 +2704,5 @@ ORACLES: dict[str, str] = {
     "ivf_ann": Q_IVF_ANN_SQL,
     "interval_algebra": Q_INTERVAL_ALGEBRA_SQL,
     "chunked_slice": Q_CHUNKED_SLICE_SQL,
+    "grouping_sets": Q_GROUPING_SETS_SQL,
 }
