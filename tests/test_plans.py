@@ -54,3 +54,37 @@ def test_text_stats_prunes_columns(spark, sf_dir):
     p = plan_of(QUERIES["text_stats"](spark, sf_dir))
     # only doc_id + text should be read, not lang/source/n_chars
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_fingerprint_is_codegen_no_python(spark, sf_dir):
+    # the sum-of-powers rewrite must stay free of interpreted HOFs
+    # and Python UDFs (the old Horner fold cost 9s at sf0.1)
+    p = plan_of(QUERIES["fingerprint_chars"](spark, sf_dir))
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "aggregate(" not in p  # no interpreted fold expression
+    assert "HashAggregate" in p
+
+
+def test_chunked_slice_joins_on_id(spark, sf_dir):
+    p = plan_of(QUERIES["chunked_slice"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_interval_algebra_broadcasts_orders(spark, sf_dir):
+    p = plan_of(QUERIES["interval_algebra"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_minhash_shingling_prunes_columns(spark, sf_dir):
+    # the final minhash plan starts at a localCheckpoint (lineage cut),
+    # so assert pruning on the shingle stage that feeds it: documents
+    # must be pruned to (doc_id, text)
+    from pygr_spark.operators.dedup import shingle_rows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(shingle_rows(docs, n=5))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    assert "BatchEvalPython" not in p
