@@ -456,11 +456,18 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality stats: token/char counts per doc (north-star text analysis)."""
     docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    # BPE-ish pretokenizer (north star: "whitespace + a BPE-ish
+    # regex"): letter runs / digit runs / single non-space symbols —
+    # the GPT-2-style pretoken split, portable across regex dialects
+    bpe = F.regexp_extract_all(
+        "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("len_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
         (F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", "")))
         .cast("long")
         .alias("n_punct"),
@@ -472,6 +479,7 @@ SELECT doc_id,
   CAST(length(text) AS BIGINT) AS len_chars,
   CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
   CAST(array_length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens,
+  CAST(array_length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
 FROM documents WHERE length(trim(text)) > 0
 """
@@ -1561,6 +1569,46 @@ FROM iv JOIN mask ON iv.id = mask.id AND iv.start < mask.me AND mask.ms < iv.sto
 """
 
 
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: top-20 whitespace tokens by document
+    frequency (ties → lexical order). The classic combiner-friendly
+    wordcount shape — explode is map-side, the count aggregates
+    partially before the single shuffle on the token, top-k is a
+    global window over the (tiny) aggregate."""
+    docs = _spread(
+        _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+        ).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    )
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "token", "doc_freq")
+    )
+
+
+Q_TOKEN_TOPK_SQL = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+), counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS doc_freq FROM tok GROUP BY token
+)
+SELECT CAST(row_number() OVER (ORDER BY doc_freq DESC, token) AS BIGINT) AS rank,
+       token, doc_freq
+FROM counts QUALIFY rank <= 20
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (§2.4: absent in the reference, native
     in Spark SQL — cube/rollup/pivot have their own entries). Uses the
@@ -2632,6 +2680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_algebra": q_interval_algebra,
     "chunked_slice": q_chunked_slice,
     "grouping_sets": q_grouping_sets,
+    "token_topk": q_token_topk,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -2705,4 +2754,5 @@ ORACLES: dict[str, str] = {
     "interval_algebra": Q_INTERVAL_ALGEBRA_SQL,
     "chunked_slice": Q_CHUNKED_SLICE_SQL,
     "grouping_sets": Q_GROUPING_SETS_SQL,
+    "token_topk": Q_TOKEN_TOPK_SQL,
 }
