@@ -1569,6 +1569,51 @@ FROM iv JOIN mask ON iv.id = mask.id AND iv.start < mask.me AND mask.ms < iv.sto
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (§2.3: the temporal sibling of J1 the reference
+    lacks): every click matched to the user's most recent purchase at
+    or before it. Spark side is the union+running-window form (ONE
+    shuffle, no candidate explosion — see operators/asof.py); the
+    oracle is DuckDB's native ASOF JOIN."""
+    from pygr_spark.operators.asof import asof_join
+
+    ev = read_events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_sec").alias("ts"), "event_id"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_sec")
+        .agg(F.max(cents(F.col("value"))).cast("long").alias("value_c"))
+        .withColumnRenamed("ts_sec", "ts")
+    )
+    out = asof_join(left, right, key="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("long").alias("ts_sec"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("r_ts").cast("long").alias("purchase_ts"),
+        F.col("value_c"),
+    )
+
+
+Q_ASOF_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec,
+         CAST(round(value*100) AS BIGINT) AS value_c
+  FROM events
+), l AS (
+  SELECT user_id, ts_sec, event_id FROM ev WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, ts_sec AS purchase_ts, CAST(max(value_c) AS BIGINT) AS value_c
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_sec
+)
+SELECT l.user_id, l.ts_sec, l.event_id, r.purchase_ts, r.value_c
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.purchase_ts
+"""
+
+
 def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary build: top-20 whitespace tokens by document
     frequency (ties → lexical order). The classic combiner-friendly
@@ -2681,6 +2726,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunked_slice": q_chunked_slice,
     "grouping_sets": q_grouping_sets,
     "token_topk": q_token_topk,
+    "asof_join": q_asof_join,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -2755,4 +2801,5 @@ ORACLES: dict[str, str] = {
     "chunked_slice": Q_CHUNKED_SLICE_SQL,
     "grouping_sets": Q_GROUPING_SETS_SQL,
     "token_topk": Q_TOKEN_TOPK_SQL,
+    "asof_join": Q_ASOF_SQL,
 }
