@@ -1569,6 +1569,102 @@ FROM iv JOIN mask ON iv.id = mask.id AND iv.start < mask.me AND mask.ms < iv.sto
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run under the SQL oracle: the event
+    stream unioned with itself (every row duplicated), watermarked
+    dropDuplicates by event_id, availableNow-drained to a table, then
+    a batch aggregate to make the output order-invariant. The oracle
+    aggregates the SINGLE copy — it matches iff the streaming dedup
+    collapsed the doubling exactly once per key."""
+    from pygr_spark.streaming.events import (
+        dedup_stream,
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = run_stream_to_table(dedup_stream(doubled), spark)
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique_events"),
+        F.sum(cents(F.col("value"))).cast("long").alias("sum_value_c"),
+    )
+
+
+Q_STREAM_DEDUP_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique_events,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY event_type
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (§2.4: absent in the
+    reference; approx_percentile has its own rows-only entry). Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the
+    a + (b-a)·frac interpolation, which is bit-identical over exact
+    integer cents."""
+    orders = _t(spark, sf_dir, "orders")
+    c = cents(F.col("o_totalprice"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.percentile(c, F.lit(0.5)).alias("p50_c"),
+        F.percentile(c, F.lit(0.9)).alias("p90_c"),
+        F.percentile(c, F.lit(0.99)).alias("p99_c"),
+    )
+
+
+Q_VALUE_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS p50_c,
+       quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9) AS p90_c,
+       quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.99) AS p99_c
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling as a first-class operator: lineitem keyed on a
+    5-value hot key joined to a tiny dim through ``salted_join`` (the
+    hot key fans over `salt` sub-partitions; the dim replicates per
+    salt). The salt is internal — results are salt-invariant, so a
+    plain-join oracle proves the rewrite."""
+    from pygr_spark.operators.partitioning import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 5).cast("long").alias("k"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+    )
+    dim = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy((F.col("s_suppkey") % 5).cast("long").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sup"))
+    )
+    joined = salted_join(li, dim, "k", salt=8)
+    return joined.groupBy("k", "n_sup").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("price_c").cast("long").alias("sum_price_c"),
+    )
+
+
+Q_SALTED_JOIN_SQL = """
+WITH li AS (
+  SELECT CAST(l_suppkey % 5 AS BIGINT) AS k,
+         CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+  FROM lineitem
+), dim AS (
+  SELECT CAST(s_suppkey % 5 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_sup
+  FROM supplier GROUP BY 1
+)
+SELECT li.k, dim.n_sup, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(li.price_c) AS BIGINT) AS sum_price_c
+FROM li JOIN dim ON li.k = dim.k
+GROUP BY li.k, dim.n_sup
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (§2.3: the temporal sibling of J1 the reference
     lacks): every click matched to the user's most recent purchase at
@@ -2727,6 +2823,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets": q_grouping_sets,
     "token_topk": q_token_topk,
     "asof_join": q_asof_join,
+    "value_percentiles": q_value_percentiles,
+    "salted_join": q_salted_join,
+    "stream_dedup": q_stream_dedup,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -2802,4 +2901,7 @@ ORACLES: dict[str, str] = {
     "grouping_sets": Q_GROUPING_SETS_SQL,
     "token_topk": Q_TOKEN_TOPK_SQL,
     "asof_join": Q_ASOF_SQL,
+    "value_percentiles": Q_VALUE_PERCENTILES_SQL,
+    "salted_join": Q_SALTED_JOIN_SQL,
+    "stream_dedup": Q_STREAM_DEDUP_SQL,
 }

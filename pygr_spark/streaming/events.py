@@ -121,15 +121,28 @@ def run_stream_to_table(
     ckpt = tempfile.mkdtemp(prefix="pygr_spark_ckpt_")
     if mode is None:
         mode = "append" if df.isStreaming and not _has_aggregation(df) else "complete"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    # the state-store partition count is fixed at the FIRST run of a
+    # checkpoint from spark.sql.shuffle.partitions; a vanilla session
+    # defaults to 200, which is pure overhead for a bounded drain —
+    # scope it to the cluster parallelism for this query only
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
     )
-    q.awaitTermination()
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 
