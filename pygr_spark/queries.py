@@ -2278,7 +2278,12 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real Structured Streaming run (availableNow) materialized."""
+    """Real Structured Streaming run (availableNow) materialized —
+    and oracled: session_window merges events whose half-open
+    [t, t+gap) windows overlap (STRICT gap < 30 min), which is the
+    classic gaps-and-islands recurrence over epoch-µs integers; the
+    drained complete-mode output (watermark never evicts in complete)
+    therefore equals the batch SQL session merge exactly."""
     from pygr_spark.streaming.events import (
         read_events_stream,
         run_stream_to_table,
@@ -2286,7 +2291,36 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = read_events_stream(spark, sf_dir)
-    return run_stream_to_table(session_counts(stream, gap="30 minutes"), spark)
+    out = run_stream_to_table(session_counts(stream, gap="30 minutes"), spark)
+    return out.select(
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+Q_STREAM_SESSIONS_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us FROM events
+), flagged AS (
+  SELECT user_id, us,
+    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+              >= 1800000000 OR
+              lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+), grouped AS (
+  SELECT user_id, us,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT CAST(min(us) AS BIGINT) AS session_start_us,
+       CAST(max(us) + 1800000000 AS BIGINT) AS session_end_us,
+       user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM grouped GROUP BY user_id, sid
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2904,4 +2938,5 @@ ORACLES: dict[str, str] = {
     "value_percentiles": Q_VALUE_PERCENTILES_SQL,
     "salted_join": Q_SALTED_JOIN_SQL,
     "stream_dedup": Q_STREAM_DEDUP_SQL,
+    "stream_sessions": Q_STREAM_SESSIONS_SQL,
 }
