@@ -2787,8 +2787,12 @@ FROM part
 def q_stream_gap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     pygr's A5 gap-merge maintained incrementally per key, drained with
-    availableNow. Rows-only: open runs legitimately stay in state, so
-    no SQL oracle expresses the emitted subset."""
+    availableNow. Oracled: the single-file source drains in ONE batch,
+    the operator sorts positions before merging, and it emits exactly
+    the CLOSED islands — every merged run except each key's last
+    (which legitimately stays open in state for the next incarnation).
+    That subset is the gaps-and-islands SQL minus the per-key max
+    island."""
     from pygr_spark.streaming.events import read_events_stream, run_stream_to_table
     from pygr_spark.streaming.stateful import streaming_gap_merge
 
@@ -2798,6 +2802,35 @@ def q_stream_gap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = streaming_gap_merge(stream, maxgap=30)
     return run_stream_to_table(merged, spark, mode="append")
+
+
+# split when p - cur_e > maxgap with cur_e = prev_p + 1 (positions
+# sorted) ⟺ start - prev_start > maxgap + 1
+Q_STREAM_GAP_MERGE_SQL = """
+WITH ev AS (
+  SELECT CAST(user_id % 100 AS BIGINT) AS id,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS start
+  FROM events
+), flagged AS (
+  SELECT id, start,
+    CASE WHEN lag(start) OVER (PARTITION BY id ORDER BY start) IS NULL
+           OR start - lag(start) OVER (PARTITION BY id ORDER BY start) > 31
+         THEN 1 ELSE 0 END AS new_island
+  FROM ev
+), grouped AS (
+  SELECT id, start,
+    SUM(new_island) OVER (PARTITION BY id ORDER BY start
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), islands AS (
+  SELECT id, sid, CAST(min(start) AS BIGINT) AS start,
+         CAST(max(start) + 1 AS BIGINT) AS stop,
+         CAST(count(*) AS BIGINT) AS n_merged
+  FROM grouped GROUP BY id, sid
+)
+SELECT id, start, stop, n_merged FROM islands
+QUALIFY sid < max(sid) OVER (PARTITION BY id)
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2939,4 +2972,5 @@ ORACLES: dict[str, str] = {
     "salted_join": Q_SALTED_JOIN_SQL,
     "stream_dedup": Q_STREAM_DEDUP_SQL,
     "stream_sessions": Q_STREAM_SESSIONS_SQL,
+    "stream_gap_merge": Q_STREAM_GAP_MERGE_SQL,
 }
