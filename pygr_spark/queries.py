@@ -1569,6 +1569,105 @@ FROM iv JOIN mask ON iv.id = mask.id AND iv.start < mask.me AND mask.ms < iv.sto
 """
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus cleaning as ONE composed pass: token-count
+    bounds, type/token-ratio and punctuation-density thresholds as
+    exact integer predicates, then exact-dedup keeping the lowest
+    doc_id per identical text. The shape is the real training-data
+    cleaning pipeline: narrow computed columns, one window for the
+    canonical-copy choice, no extra shuffles."""
+    docs = _spread(
+        _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    )
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    stats = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_types"),
+        (F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", "")))
+        .cast("long")
+        .alias("n_punct"),
+    )
+    kept = stats.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_tokens") <= 10000)
+        & (F.col("n_types") * 10 >= F.col("n_tokens") * 3)
+        & (F.col("n_punct") * 5 < F.col("n_chars"))
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "n_chars", "n_tokens", "n_types", "n_punct")
+    )
+
+
+Q_CLEAN_CORPUS_SQL = r"""
+WITH stats AS (
+  SELECT doc_id, text,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_types,
+    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents WHERE length(trim(text)) > 0
+), kept AS (
+  SELECT * FROM stats
+  WHERE n_tokens BETWEEN 5 AND 10000
+    AND n_types * 10 >= n_tokens * 3
+    AND n_punct * 5 < n_chars
+)
+SELECT doc_id, n_chars, n_tokens, n_types, n_punct FROM kept
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (training-data prep): shard the corpus
+    (doc_id % 32 ≈ a partition), concatenate each shard's token stream
+    in doc_id order, and chop into 2048-token windows — doc's bin =
+    its start offset // budget. Window cumsum WITHIN the shard keeps
+    the op embarrassingly parallel at 100 TB (no global order)."""
+    docs = _spread(
+        _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    )
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    base = docs.select(
+        "doc_id", (F.col("doc_id") % 32).cast("long").alias("shard"), n_tok.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("offset")
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        offset,
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
+        .cast("long")
+        .alias("bin"),
+    )
+
+
+Q_PACK_DOCUMENTS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id, shard, n_tokens,
+  CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS offset,
+  CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) AS bin
+FROM base
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL Structured Streaming run under the SQL oracle: the event
     stream unioned with itself (every row duplicated), watermarked
@@ -2893,6 +2992,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_percentiles": q_value_percentiles,
     "salted_join": q_salted_join,
     "stream_dedup": q_stream_dedup,
+    "clean_corpus": q_clean_corpus,
+    "pack_documents": q_pack_documents,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -2973,4 +3074,6 @@ ORACLES: dict[str, str] = {
     "stream_dedup": Q_STREAM_DEDUP_SQL,
     "stream_sessions": Q_STREAM_SESSIONS_SQL,
     "stream_gap_merge": Q_STREAM_GAP_MERGE_SQL,
+    "clean_corpus": Q_CLEAN_CORPUS_SQL,
+    "pack_documents": Q_PACK_DOCUMENTS_SQL,
 }
