@@ -1569,6 +1569,46 @@ FROM iv JOIN mask ON iv.id = mask.id AND iv.start < mask.me AND mask.ms < iv.sto
 """
 
 
+def q_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (§7.1 step 6 relational completeness; anti and
+    left have their own entries). Asymmetric nation filters guarantee
+    unmatched rows on BOTH sides; counts coalesce to 0 so the output
+    stays integer-typed across engines."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 20)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") >= 5)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_supp"))
+    )
+    j = cust.join(supp, "nk", "full")
+    return j.select(
+        F.col("nk").cast("long").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_supp"),
+    )
+
+
+Q_FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+  FROM customer WHERE c_nationkey < 20 GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp
+  FROM supplier WHERE s_nationkey >= 5 GROUP BY 1
+)
+SELECT CAST(coalesce(c.nk, s.nk) AS BIGINT) AS nationkey,
+       CAST(coalesce(c.n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(coalesce(s.n_supp, 0) AS BIGINT) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+"""
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus cleaning as ONE composed pass: token-count
     bounds, type/token-ratio and punctuation-density thresholds as
@@ -2994,6 +3034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "clean_corpus": q_clean_corpus,
     "pack_documents": q_pack_documents,
+    "full_outer_balance": q_full_outer_balance,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -3076,4 +3117,5 @@ ORACLES: dict[str, str] = {
     "stream_gap_merge": Q_STREAM_GAP_MERGE_SQL,
     "clean_corpus": Q_CLEAN_CORPUS_SQL,
     "pack_documents": Q_PACK_DOCUMENTS_SQL,
+    "full_outer_balance": Q_FULL_OUTER_SQL,
 }
