@@ -56,7 +56,17 @@ def gap_merge(
             F.count(F.lit(1)).alias("n_merged"),
             *aggs,
         )
-    w = Window.partitionBy(*keys).orderBy(F.col(start), F.col(stop))
+    # materialize ONE canonical order first: with duplicate
+    # (start, stop) rows, separate window passes may order ties
+    # differently, and a tie carrying split=1 that interleaves
+    # between passes fractures a group nondeterministically. Ordering
+    # both passes by a materialized row_number pins the order; group
+    # COMPOSITION is tie-permutation-invariant (only the first of a
+    # tie run can split; the rest always follow it), so the result is
+    # deterministic and engine-independent.
+    w0 = Window.partitionBy(*keys).orderBy(F.col(start), F.col(stop))
+    df = df.withColumn("_rn", F.row_number().over(w0))
+    w = Window.partitionBy(*keys).orderBy("_rn")
     # running max of stop over preceding rows handles contained intervals
     prev_max_stop = F.max(stop).over(w.rowsBetween(Window.unboundedPreceding, -1))
     split = F.when(

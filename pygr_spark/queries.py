@@ -1569,6 +1569,108 @@ FROM iv JOIN mask ON iv.id = mask.id AND iv.start < mask.me AND mask.ms < iv.sto
 """
 
 
+def q_slice_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.1 hot-path lifecycle end-to-end — ``msa[ival]`` →
+    ``slice.edges()`` (NLMSASlice.__new__ steps 3-6,
+    cnestedlist.pyx:446-630): query intervals hit the alignment (J1
+    binned hash join), hits clip to the query range and remap into the
+    target axis, then groupByIntervals (A5 gap-merge, maxgap=5)
+    collapses them into per-query edges with query-side bounds."""
+    aln = _derived_alignment(spark, sf_dir)
+    query = (
+        aln.filter(F.col("mid_start") % 89 == 0)
+        .select(
+            F.col("src_id").alias("id"),
+            F.col("src_start").alias("start"),
+            F.col("src_stop").alias("stop"),
+        )
+        .distinct()
+    )
+    hits = overlap_join(
+        query,
+        aln,
+        left_id="id",
+        left_start="start",
+        left_stop="stop",
+        right_id="src_id",
+        right_start="src_start",
+        right_stop="src_stop",
+        strategy="binned",
+        bin_width=16,
+    )
+    h = hits.select(
+        "id",
+        F.greatest("start", "src_start").alias("q_start"),
+        F.least("stop", "src_stop").alias("q_stop"),
+        (F.col("mid_start") + F.greatest("start", "src_start") - F.col("src_start")).alias(
+            "m_start"
+        ),
+        (F.col("mid_start") + F.least("stop", "src_stop") - F.col("src_start")).alias(
+            "m_stop"
+        ),
+    )
+    edges = gap_merge(
+        h,
+        keys=["id"],
+        start="m_start",
+        stop="m_stop",
+        maxgap=5,
+        aggs=[
+            F.min("q_start").alias("q_min"),
+            F.max("q_stop").alias("q_max"),
+        ],
+    )
+    return edges.select(
+        F.col("id").alias("query_id"),
+        F.col("m_start").cast("long").alias("t_start"),
+        F.col("m_stop").cast("long").alias("t_stop"),
+        F.col("n_merged").cast("long").alias("n_hits"),
+        F.col("q_min").cast("long").alias("q_start"),
+        F.col("q_max").cast("long").alias("q_stop"),
+    )
+
+
+Q_SLICE_EDGES_SQL = f"""
+WITH aln AS ({_ALN_SQL}),
+q AS (
+  SELECT DISTINCT src_id AS id, src_start AS start, src_stop AS stop
+  FROM aln WHERE mid_start % 89 = 0
+), h AS (
+  SELECT q.id,
+    GREATEST(q.start, a.src_start) AS q_start,
+    LEAST(q.stop, a.src_stop) AS q_stop,
+    a.mid_start + GREATEST(q.start, a.src_start) - a.src_start AS m_start,
+    a.mid_start + LEAST(q.stop, a.src_stop) - a.src_start AS m_stop
+  FROM q JOIN aln a ON q.id = a.src_id
+    AND q.start < a.src_stop AND a.src_start < q.stop
+), numbered AS (
+  -- one materialized order for BOTH window passes: duplicate
+  -- (m_start, m_stop) rows would otherwise interleave differently
+  -- between passes and fracture a group (mirrors gap_merge's _rn)
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY m_start, m_stop) AS rn
+  FROM h
+), flagged AS (
+  SELECT *, CASE WHEN prev_max IS NULL OR m_start - prev_max > 5 THEN 1 ELSE 0 END AS split
+  FROM (
+    SELECT *, MAX(m_stop) OVER (PARTITION BY id ORDER BY rn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+    FROM numbered
+  )
+), grouped AS (
+  SELECT *, SUM(split) OVER (PARTITION BY id ORDER BY rn
+    ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+)
+SELECT id AS query_id,
+  CAST(min(m_start) AS BIGINT) AS t_start,
+  CAST(max(m_stop) AS BIGINT) AS t_stop,
+  CAST(count(*) AS BIGINT) AS n_hits,
+  CAST(min(q_start) AS BIGINT) AS q_start,
+  CAST(max(q_stop) AS BIGINT) AS q_stop
+FROM grouped GROUP BY id, grp
+"""
+
+
 def q_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer join (§7.1 step 6 relational completeness; anti and
     left have their own entries). Asymmetric nation filters guarantee
@@ -3035,6 +3137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_corpus": q_clean_corpus,
     "pack_documents": q_pack_documents,
     "full_outer_balance": q_full_outer_balance,
+    "slice_edges": q_slice_edges,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -3118,4 +3221,5 @@ ORACLES: dict[str, str] = {
     "clean_corpus": Q_CLEAN_CORPUS_SQL,
     "pack_documents": Q_PACK_DOCUMENTS_SQL,
     "full_outer_balance": Q_FULL_OUTER_SQL,
+    "slice_edges": Q_SLICE_EDGES_SQL,
 }
