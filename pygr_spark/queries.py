@@ -379,17 +379,23 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_SESSION_SQL = """
 WITH e AS (
   SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s FROM events
-), flagged AS (
+), numbered AS (
+  -- one materialized order for both window passes: duplicate
+  -- timestamps must not interleave differently between them
   SELECT user_id, s,
-    CASE WHEN s - (MAX(s) OVER (PARTITION BY user_id ORDER BY s
+    row_number() OVER (PARTITION BY user_id ORDER BY s) AS rn
+  FROM e
+), flagged AS (
+  SELECT user_id, s, rn,
+    CASE WHEN s - (MAX(s) OVER (PARTITION BY user_id ORDER BY rn
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1) > 1800
-           OR (MAX(s) OVER (PARTITION BY user_id ORDER BY s
+           OR (MAX(s) OVER (PARTITION BY user_id ORDER BY rn
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) IS NULL
          THEN 1 ELSE 0 END AS flag
-  FROM e
+  FROM numbered
 ), grp AS (
   SELECT user_id, s,
-    SUM(flag) OVER (PARTITION BY user_id ORDER BY s
+    SUM(flag) OVER (PARTITION BY user_id ORDER BY rn
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
   FROM flagged
 )
@@ -1158,17 +1164,24 @@ WITH aln AS (
   SELECT src_id, src_start, src_stop,
          mid_start AS dst_start, mid_stop AS dst_stop
   FROM ({_ALN_SQL})
+), numbered AS (
+  -- gap_merge orders by (start, stop) then pins a row_number; islands
+  -- are tie-permutation-invariant, so mirroring the rn (not the exact
+  -- tiebreak) suffices — but BOTH passes below must share it
+  SELECT *, row_number() OVER (PARTITION BY src_id
+                               ORDER BY src_start, src_stop) AS rn
+  FROM aln
 ), w AS (
   SELECT *,
-    MAX(src_stop) OVER (PARTITION BY src_id ORDER BY src_start, dst_start
+    MAX(src_stop) OVER (PARTITION BY src_id ORDER BY rn
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-  FROM aln
+  FROM numbered
 ), flagged AS (
   SELECT *, CASE WHEN prev_max IS NULL OR src_start - prev_max > 3
                  THEN 1 ELSE 0 END AS flag
   FROM w
 ), grp AS (
-  SELECT *, SUM(flag) OVER (PARTITION BY src_id ORDER BY src_start, dst_start
+  SELECT *, SUM(flag) OVER (PARTITION BY src_id ORDER BY rn
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
   FROM flagged
 )
@@ -2544,16 +2557,22 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_STREAM_SESSIONS_SQL = """
 WITH ev AS (
   SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us FROM events
-), flagged AS (
+), numbered AS (
+  -- one materialized order for both window passes (duplicate
+  -- timestamps must not interleave differently between them)
   SELECT user_id, us,
-    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
-              >= 1800000000 OR
-              lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
-         THEN 1 ELSE 0 END AS new_session
+    row_number() OVER (PARTITION BY user_id ORDER BY us) AS rn
   FROM ev
+), flagged AS (
+  SELECT user_id, us, rn,
+    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY rn)
+              >= 1800000000 OR
+              lag(us) OVER (PARTITION BY user_id ORDER BY rn) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM numbered
 ), grouped AS (
   SELECT user_id, us,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY rn
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )
@@ -3052,15 +3071,19 @@ WITH ev AS (
   SELECT CAST(user_id % 100 AS BIGINT) AS id,
          CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS start
   FROM events
-), flagged AS (
+), numbered AS (
   SELECT id, start,
-    CASE WHEN lag(start) OVER (PARTITION BY id ORDER BY start) IS NULL
-           OR start - lag(start) OVER (PARTITION BY id ORDER BY start) > 31
-         THEN 1 ELSE 0 END AS new_island
+    row_number() OVER (PARTITION BY id ORDER BY start) AS rn
   FROM ev
+), flagged AS (
+  SELECT id, start, rn,
+    CASE WHEN lag(start) OVER (PARTITION BY id ORDER BY rn) IS NULL
+           OR start - lag(start) OVER (PARTITION BY id ORDER BY rn) > 31
+         THEN 1 ELSE 0 END AS new_island
+  FROM numbered
 ), grouped AS (
   SELECT id, start,
-    SUM(new_island) OVER (PARTITION BY id ORDER BY start
+    SUM(new_island) OVER (PARTITION BY id ORDER BY rn
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 ), islands AS (
