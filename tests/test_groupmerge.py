@@ -67,3 +67,18 @@ def test_group_by_intervals_pairs(spark):
         (0, 10, 100, 110),
         (12, 20, 113, 121),
     ]
+
+
+def test_gap_merge_duplicate_intervals(spark):
+    # duplicate (start, stop) rows used to risk fracturing a group when
+    # the split-flag pass and the cumsum pass ordered ties differently;
+    # the pinned row_number makes grouping deterministic
+    df = spark.createDataFrame(
+        [("a", 0, 2), ("a", 1, 3), ("a", 10, 12), ("a", 10, 12), ("a", 10, 12)],
+        ["id", "start", "stop"],
+    )
+    out = sorted(
+        (r.start, r.stop, r.n_merged)
+        for r in gap_merge(df, ["id"], maxgap=5).collect()
+    )
+    assert out == [(0, 3, 2), (10, 12, 3)]
