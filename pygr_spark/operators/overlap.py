@@ -46,6 +46,28 @@ def _bins(start: Column, stop: Column, width: int) -> Column:
     )
 
 
+def auto_bin_width(
+    df: DataFrame, start: str = "start", stop: str = "stop"
+) -> int:
+    """2× the median interval span, rounded up to a power of two
+    (>= 8) — the rule that reproduces the hand-measured optima at
+    sf0.1 (two_hop spans <= 14 → width 16 best; narrower duplicates
+    rows ∝ span/width, wider inflates per-bucket candidates). One
+    cheap approx-percentile over a bounded prefix, so the sizing pass
+    stays O(small) even on a 100 TB table."""
+    row = (
+        df.select((F.col(stop) - F.col(start)).alias("_span"))
+        .limit(100_000)
+        .agg(F.percentile_approx("_span", 0.5).alias("m"))
+        .first()
+    )
+    med = int(row["m"] or 1)
+    width = 8
+    while width < 2 * med:
+        width *= 2
+    return width
+
+
 def overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -56,7 +78,7 @@ def overlap_join(
     right_start: str = "start",
     right_stop: str = "stop",
     strategy: str = "range",
-    bin_width: int = DEFAULT_BIN_WIDTH,
+    bin_width: int | str = DEFAULT_BIN_WIDTH,
     lsuffix: str = "",
     rsuffix: str = "_r",
     extra_condition: Column | None = None,
@@ -66,9 +88,18 @@ def overlap_join(
     [r.start,r.stop) ≠ ∅. Columns from ``right`` that collide with
     ``left`` get ``rsuffix``.
 
+    ``bin_width='auto'`` sizes the bins from the data: the median
+    interval span of the (usually bigger) right side, rounded up to a
+    power of two — the sweet spot measured at sf0.1 (too wide inflates
+    per-bucket candidates, too narrow duplicates rows ∝ span/width).
+    Costs one small aggregate job at plan time; at 100 TB that beats
+    any hand-tuned constant going stale.
+
     Golden semantics: reference tests/nlmsa_test.py:14-22 (reproduced
     in tests/test_overlap.py via the sign-convention wrapper).
     """
+    if bin_width == "auto":
+        bin_width = auto_bin_width(right, right_start, right_stop)
     # Rename collisions up front so the output schema is deterministic.
     common = set(left.columns) & set(right.columns)
     for c in common:

@@ -88,3 +88,20 @@ def test_extra_condition(spark):
         left, right, extra_condition=F.col("tag") == F.col("tag_r")
     )
     assert out.count() == 1
+
+
+def test_auto_bin_width_matches_binned_result(spark):
+    from pygr_spark.operators.overlap import auto_bin_width, overlap_join
+
+    left = spark.createDataFrame(
+        [("a", 0, 10), ("a", 50, 60)], ["id", "start", "stop"]
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 12), ("a", 55, 58), ("a", 100, 104)],
+        ["id", "start", "stop"],
+    )
+    w = auto_bin_width(right)
+    assert w >= 8 and (w & (w - 1)) == 0  # power of two
+    auto = overlap_join(left, right, strategy="binned", bin_width="auto")
+    plain = overlap_join(left, right, strategy="range")
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, plain.collect()))
