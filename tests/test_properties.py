@@ -158,3 +158,39 @@ def test_overlap_signed_matches_bruteforce(spark, db, q):
             else:
                 want.append((s, e, tid, ts, te))
     assert got == sorted(want)
+
+
+events_strat = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),
+        st.integers(min_value=0, max_value=40),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(left=events_strat, right=events_strat)
+@SET
+def test_asof_join_equals_brute_force(spark, left, right):
+    from pygr_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], ["k", "ts", "eid"]
+    )
+    # right must be unique per (key, ts): keep max payload
+    rrows = {}
+    for k, t in right:
+        rrows[(k, t)] = max(rrows.get((k, t), 0), t * 10)
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rrows.items()], ["k", "ts", "v"]
+    )
+    got = sorted(tuple(r) for r in asof_join(ldf, rdf, key="k").collect())
+    # brute force: per left row, the right row with max ts <= left.ts
+    want = []
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for (rk, rt), v in rrows.items() if rk == k and rt <= t]
+        if cands:
+            rt, v = max(cands)
+            want.append((k, t, i, rt, v))
+    assert got == sorted(want)
