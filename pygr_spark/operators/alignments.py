@@ -23,7 +23,7 @@ aligned sequences (NLMSASlice.__new__, cnestedlist.pyx:470-543), then
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pygr_spark.functions.seqfns import revcomp
