@@ -36,7 +36,7 @@ def two_hop_join(
     drop_self: bool = True,
     strategy: str = "range",
     mid_strategy: str = "binned",
-    bin_width: int = 16,
+    bin_width: int | str = 16,
 ) -> DataFrame:
     """J2: query ivals (id, start, stop) → all sequences aligned
     through a middle coordinate system.
@@ -55,7 +55,8 @@ def two_hop_join(
     span. Too wide inflates per-bucket candidate pairs (each bucket is
     scanned by every probe touching it); too narrow duplicates rows
     ∝ span/width. Measured at sf0.1 (spans ≤ 14): width 16 → 2.2 s,
-    64 → 3.9 s, 128 → 4.5 s.
+    64 → 3.9 s, 128 → 4.5 s. Pass ``"auto"`` to size from the mid-axis
+    span distribution (overlap_join.auto_bin_width — 2× median).
     """
     hop1 = overlap_join(
         query,

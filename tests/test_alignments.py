@@ -77,3 +77,20 @@ def test_letter_graph(spark):
         (2, "G", 3, "T"),
         (3, "T", None, None),
     ]
+
+
+def test_two_hop_auto_bin_matches_fixed(spark):
+    from pygr_spark.operators.alignments import two_hop_join
+
+    aln = spark.createDataFrame(
+        [
+            ("s1", 0, 10, 100, 110),
+            ("s2", 5, 15, 105, 115),
+            ("s3", 50, 60, 300, 310),
+        ],
+        ["src_id", "src_start", "src_stop", "mid_start", "mid_stop"],
+    )
+    q = spark.createDataFrame([("s1", 0, 10)], ["id", "start", "stop"])
+    fixed = sorted(map(tuple, two_hop_join(q, aln, bin_width=16).collect()))
+    auto = sorted(map(tuple, two_hop_join(q, aln, bin_width="auto").collect()))
+    assert fixed == auto and len(fixed) > 0
