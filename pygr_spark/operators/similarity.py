@@ -379,14 +379,16 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     int_planes: bool = False,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: bucket both sides by hyperplane signature,
     equi-join on the bucket, exact cosine re-rank within candidates.
-    Recall grows with multiple plane sets (union of buckets); this
-    single-table variant keeps one bucket column per side.
 
     With ``int_planes=True``, ``planes`` holds ±1 integers and buckets
-    are computed from the quantized vectors (exact, engine-portable)."""
+    are computed from the quantized vectors (exact, engine-portable).
+    ``multi_probe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket — near-recall of a second
+    plane set at a fraction of the storage."""
 
     def bucket_of(qcol: Column, raw: Column) -> Column:
         if int_planes:
@@ -411,6 +413,22 @@ def lsh_ann_topk(
         "qv",
         bucket_of(F.col("qv"), F.col("_raw")).alias("bucket"),
     ).withColumn("qn", sqnorm(F.col("qv")))
+    if multi_probe:
+        # probe the exact bucket plus every bucket at Hamming
+        # distance 1 (flip each plane bit): the standard recall
+        # lift — a near neighbor differs from the query on at most
+        # one hyperplane far more often than on two. Corpus vectors
+        # keep ONE bucket, so each (query, vec) pair matches at most
+        # once; candidate volume grows ×(n_planes+1), still tiny
+        # versus the corpus.
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                for i in range(len(planes))
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     joined = c.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
     )

@@ -2454,6 +2454,75 @@ FROM ranked WHERE rank <= {k}
 Q_LSH_ANN_SQL = _lsh_ann_oracle_sql()
 
 
+def q_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH: each query also probes every bucket
+    at Hamming distance 1 (flip each of the 8 plane bits) — the
+    standard recall lift without extra plane sets. Same exact-integer
+    bucket arithmetic as lsh_ann, so the oracle reproduces the probe
+    expansion bit-for-bit."""
+    from pygr_spark.operators.similarity import lsh_ann_topk
+
+    planes = _sign_planes()
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(
+        emb, queries, planes, k=5, int_planes=True, multi_probe=True
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _lsh_multiprobe_oracle_sql(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    planes = _sign_planes(n_planes, dim)
+    bucket = " | ".join(
+        "(CASE WHEN ("
+        + " ".join(
+            ("+" if w > 0 else "-") + f" q[{j + 1}]" for j, w in enumerate(p)
+        )
+        + f") > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i, p in enumerate(planes)
+    )
+    probe_list = "[bucket, " + ", ".join(
+        f"xor(bucket, {1 << i}::BIGINT)" for i in range(n_planes)
+    ) + "]"
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS q
+  FROM embeddings
+), n AS (
+  SELECT vec_id, q,
+    list_reduce(list_transform(range(1, len(q)+1), i -> q[i]*q[i]), (x,y) -> x+y) AS nn,
+    ({bucket}) AS bucket
+  FROM v
+), qs AS (
+  SELECT vec_id AS query_id, q AS qq, nn AS qn,
+         unnest({probe_list}) AS bucket
+  FROM n WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT qs.query_id, n.vec_id,
+    list_reduce(list_transform(range(1, len(n.q)+1), i -> n.q[i]*qs.qq[i]), (x,y) -> x+y)
+      / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(qs.qn AS DOUBLE))) AS sim
+  FROM n JOIN qs ON n.bucket = qs.bucket AND n.vec_id != qs.query_id
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       round(sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+Q_LSH_MULTIPROBE_SQL = _lsh_multiprobe_oracle_sql()
+
+
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list ANN in the engine-portable exact form:
     md5-hash-sampled centroids, quantized-integer cosine for both the
@@ -3161,6 +3230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents": q_pack_documents,
     "full_outer_balance": q_full_outer_balance,
     "slice_edges": q_slice_edges,
+    "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -3245,4 +3315,5 @@ ORACLES: dict[str, str] = {
     "pack_documents": Q_PACK_DOCUMENTS_SQL,
     "full_outer_balance": Q_FULL_OUTER_SQL,
     "slice_edges": Q_SLICE_EDGES_SQL,
+    "lsh_ann_multiprobe": Q_LSH_MULTIPROBE_SQL,
 }
