@@ -93,3 +93,23 @@ def test_cosine_near_dups(spark):
            cosine_near_dups(df, threshold=0.99).collect()}
     assert set(out) == {(1, 2)}
     assert out[(1, 2)] > 0.999
+
+
+def test_md5_hash60_matches_python_and_duckdb(spark):
+    import duckdb
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pygr_spark.operators.dedup import md5_hash60
+
+    vals = ["", "a", "hello world", "päö üñ", "123"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {r.s: r.h for r in df.select("s", md5_hash60(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        py = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        duck = con.execute(
+            "SELECT ('0x'||substr(md5(?),1,15))::BIGINT", [v]
+        ).fetchone()[0]
+        assert got[v] == py == duck

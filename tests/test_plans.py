@@ -88,3 +88,11 @@ def test_minhash_shingling_prunes_columns(spark, sf_dir):
     p = plan_of(shingle_rows(docs, n=5))
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
     assert "BatchEvalPython" not in p
+
+
+def test_asof_join_is_single_window_no_join(spark, sf_dir):
+    # the union+running-window form must not plan any join operator
+    p = plan_of(QUERIES["asof_join"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p  # no join at all: union + window + filter
+    assert "Window" in p
