@@ -1724,6 +1724,46 @@ FROM c FULL OUTER JOIN s ON c.nk = s.nk
 """
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data downsampling):
+    keep a document iff md5_hash60(doc_id) mod 100 falls under its
+    stratum's rate (per source: 'web' 10%, others 30%). Hash-gated
+    sampling is reproducible across runs AND engines — no RNG state,
+    no sampling drift between pipeline stages; per-stratum counts
+    summarize the result."""
+    from pygr_spark.operators.dedup import md5_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.pmod(md5_hash60(F.col("doc_id").cast("string")), F.lit(100))
+    rate = F.when(F.col("source") == "web", 10).otherwise(30)
+    return (
+        docs.withColumn("_keep", h < rate)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("_keep").cast("long")).cast("long").alias("n_sampled"),
+            F.sum(F.when(F.col("_keep"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("sampled_chars"),
+        )
+    )
+
+
+Q_HASH_SAMPLE_SQL = """
+WITH d AS (
+  SELECT source, lang, n_chars,
+    (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100)
+      < (CASE WHEN source = 'web' THEN 10 ELSE 30 END) AS keep
+  FROM documents
+)
+SELECT source, lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+FROM d GROUP BY source, lang
+"""
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus cleaning as ONE composed pass: token-count
     bounds, type/token-ratio and punctuation-density thresholds as
@@ -3231,6 +3271,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "full_outer_balance": q_full_outer_balance,
     "slice_edges": q_slice_edges,
     "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
+    "hash_sample": q_hash_sample,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -3316,4 +3357,5 @@ ORACLES: dict[str, str] = {
     "full_outer_balance": Q_FULL_OUTER_SQL,
     "slice_edges": Q_SLICE_EDGES_SQL,
     "lsh_ann_multiprobe": Q_LSH_MULTIPROBE_SQL,
+    "hash_sample": Q_HASH_SAMPLE_SQL,
 }
