@@ -370,11 +370,95 @@ def minhash_near_dups(
 # ---------------------------------------------------------------------------
 
 
+def cosine_near_dups_lsh(
+    corpus: DataFrame,
+    planes: list[list[int]],
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: hyperplane-LSH
+    bucket → candidate equi-join → exact integer-cosine verify of the
+    candidates only. Nothing is collected to the driver; the join is a
+    hash join on the bucket id, so work spreads across executors and
+    candidate volume is ~n²/2^b per bucket instead of all-pairs.
+
+    ``planes`` are ±1 integer hyperplanes applied to the micro-unit
+    quantized vectors (:func:`similarity.hyperplane_signature_int`),
+    so bucket ids are exact int64 arithmetic on every engine — the SQL
+    oracle reproduces buckets, candidates, and cosines bit-for-bit.
+    ``multi_probe=True`` additionally probes every bucket at Hamming
+    distance 1 from one side's bucket, so a pair survives one sign
+    flip across the planes (near-dup pairs rarely differ on two);
+    each unordered pair still matches at most once because the other
+    side keeps its single exact bucket.
+
+    100 TB shape: b = len(planes) scales with corpus size (more planes
+    → smaller buckets → fewer candidates per bucket); the verify stage
+    touches only co-bucketed pairs. Mirrors the reference's
+    seed-and-extend filter-then-verify (blast.py:158-351) rather than
+    its all-vs-all.
+    """
+    from pygr_spark.operators.similarity import (
+        dot,
+        hyperplane_signature_int,
+        quantized,
+        sqnorm,
+    )
+
+    base = (
+        corpus.select(F.col(id_col).alias("_id"), quantized(F.col(vec_col)).alias("_q"))
+        .withColumn("_nn", sqnorm(F.col("_q")))
+        .withColumn("_bucket", hyperplane_signature_int(F.col("_q"), planes))
+    )
+    # materialize once: both legs of the self-join reuse the quantize +
+    # 8×64-term bucket unroll instead of recomputing it per side
+    base = base.localCheckpoint(eager=False)
+    a = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_q").alias("_qa"),
+        F.col("_nn").alias("_na"),
+        "_bucket",
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_q").alias("_qb"),
+        F.col("_nn").alias("_nb"),
+        F.col("_bucket").alias("_probe"),
+    )
+    if multi_probe:
+        b = b.withColumn(
+            "_probe",
+            F.explode(
+                F.array(
+                    F.col("_probe"),
+                    *[
+                        F.col("_probe").bitwiseXOR(F.lit(1 << i)).cast("long")
+                        for i in range(len(planes))
+                    ],
+                )
+            ),
+        )
+    cand = a.join(
+        b, (F.col("_bucket") == F.col("_probe")) & (F.col("id_a") < F.col("id_b"))
+    )
+    cos = dot(F.col("_qa"), F.col("_qb")) / (
+        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))
+    )
+    return (
+        cand.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def cosine_near_dups(
     corpus: DataFrame,
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_collect_rows: int = 65536,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim >=
     threshold) — the exact all-pairs verify stage of embedding dedup.
@@ -385,15 +469,24 @@ def cosine_near_dups(
     per partition against the (small-by-contract) corpus matrix shipped
     in the closure — O(n²/P) flops, no per-pair interpreted lambdas.
 
-    Scale path: this exact stage is meant to run on LSH/MinHash
-    *candidates* (``lsh_candidate_pairs``, ``hyperplane_signature``),
-    not the raw 100 TB corpus; all-pairs is only for corpora that fit
-    a broadcast (the reference's BLAST all-vs-all has the same shape,
-    blast.py:158-351).
+    Small-by-contract is ENFORCED: the corpus is counted first and
+    anything over ``max_collect_rows`` raises, pointing at
+    :func:`cosine_near_dups_lsh` — the scale path that buckets with
+    integer hyperplanes and verifies candidates only, with no
+    driver-side collect (the catalog's ``embed_near_dup`` entry uses
+    it). All-pairs is only for corpora that fit a broadcast (the
+    reference's BLAST all-vs-all has the same shape, blast.py:158-351).
     """
     import numpy as np
     import pandas as pd
 
+    n = corpus.count()
+    if n > max_collect_rows:
+        raise ValueError(
+            f"cosine_near_dups collects the corpus to the driver; got {n} rows "
+            f"(> max_collect_rows={max_collect_rows}). Use cosine_near_dups_lsh "
+            "for large corpora (LSH-bucketed candidates, no collect)."
+        )
     rows = corpus.select(id_col, vec_col).collect()
     all_ids = np.array([r[0] for r in rows], dtype=np.int64)
     all_mat = np.array(

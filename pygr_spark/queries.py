@@ -314,7 +314,12 @@ def q_overlap_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(oneg, -oastop).otherwise(oastart).alias("start"),
         F.when(oneg, -oastart).otherwise(oastop).alias("stop"),
     )
-    return overlap_join_signed(query, db, with_id=True)
+    # binned+auto: the range strategy keys the shuffle on only 53 ids,
+    # capping parallelism and growing per-key candidates linearly with
+    # data; (id, bin) spreads hot ids across partitions (VERDICT r1 §2)
+    return overlap_join_signed(
+        query, db, with_id=True, strategy="binned", bin_width="auto"
+    )
 
 
 Q_OVERLAP_SIGNED_SQL = f"""
@@ -2778,12 +2783,16 @@ FROM m
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup under the gate: plant perturbed copies
-    of every 50th vector (id + 1e6, v -> 1.01·v + 0.001), then find all
-    pairs with cosine >= 0.99 — exactly the planted pairs. Random base
-    vectors top out near cos 0.51, so the threshold isolates real
-    near-duplicates."""
-    from pygr_spark.operators.dedup import cosine_near_dups
+    """Embedding-cosine near-dup under the gate, the SCALE path: plant
+    perturbed copies of every 50th vector (id + 1e6, v -> 1.01·v +
+    0.001), LSH-bucket everything with ±1 integer hyperplanes, hash
+    equi-join candidates within a bucket (Hamming-1 multi-probe), and
+    exact-verify cosine >= 0.99 on candidates only — no driver-side
+    collect anywhere. Random base vectors top out near cos 0.51, so the
+    threshold isolates real near-duplicates; buckets are exact int64
+    arithmetic, so the oracle reproduces the candidate set
+    bit-for-bit."""
+    from pygr_spark.operators.dedup import cosine_near_dups_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.select(
@@ -2796,13 +2805,28 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda e: e.cast("double") * 1.01 + 0.001
         ).alias("embedding"),
     )
-    pairs = cosine_near_dups(base.unionByName(planted), threshold=0.99)
+    pairs = cosine_near_dups_lsh(
+        base.unionByName(planted), _sign_planes(), threshold=0.99
+    )
     return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     )
 
 
-Q_EMBED_NEAR_DUP_SQL = """
+def _embed_near_dup_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
+    planes = _sign_planes(n_planes, dim)
+    bucket = " | ".join(
+        "(CASE WHEN ("
+        + " ".join(
+            ("+" if w > 0 else "-") + f" q[{j + 1}]" for j, w in enumerate(p)
+        )
+        + f") > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i, p in enumerate(planes)
+    )
+    probe_list = "[bucket, " + ", ".join(
+        f"xor(bucket, {1 << i}::BIGINT)" for i in range(n_planes)
+    ) + "]"
+    return f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
   FROM embeddings
@@ -2810,26 +2834,32 @@ WITH base AS (
   SELECT vec_id + 1000000,
     list_transform(embedding, e -> CAST(e AS DOUBLE) * 1.01 + 0.001)
   FROM embeddings WHERE vec_id % 50 = 0
-), q AS (
+), qv AS (
   SELECT vec_id,
     list_transform(v, e -> CAST(round(e * 1000000) AS BIGINT)) AS q
   FROM base
 ), n AS (
   SELECT vec_id, q,
     list_reduce(list_transform(range(1, len(q)+1), i -> q[i]*q[i]),
-                (x,y) -> x+y) AS nn
-  FROM q
+                (x,y) -> x+y) AS nn,
+    ({bucket}) AS bucket
+  FROM qv
+), probes AS (
+  SELECT vec_id, q, nn, unnest({probe_list}) AS bucket FROM n
 ), p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     list_reduce(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
                 (x,y) -> x+y)
       / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) AS cos
-  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  FROM n a JOIN probes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        round(cos, 6) AS cos_sim
 FROM p WHERE cos >= 0.99
 """
+
+
+Q_EMBED_NEAR_DUP_SQL = _embed_near_dup_oracle_sql()
 
 
 def q_blast_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -90,6 +90,36 @@ def test_minhash_shingling_prunes_columns(spark, sf_dir):
     assert "BatchEvalPython" not in p
 
 
+def test_overlap_signed_is_hash_join_on_bins(spark, sf_dir):
+    # VERDICT r1: the range strategy capped parallelism at 53 id keys;
+    # the entry must plan the binned equi-join (hash join, no theta)
+    p = plan_of(QUERIES["overlap_signed"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p
+
+
+def test_embed_near_dup_no_collect_hash_join_on_bucket(spark, sf_dir):
+    # VERDICT r1: the old path collected the corpus to the driver.
+    # The LSH rewrite must plan a hash join keyed on the bucket id and
+    # ship no Python-side pair scoring.
+    df = QUERIES["embed_near_dup"](spark, sf_dir)
+    p = plan_of(df)
+    assert "HashJoin" in p
+    assert "_bucket" in p and "_probe" in p  # bucket equi-key survives
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "mapInPandas" not in p.lower()
+    # and the operator itself must not collect the corpus
+    import inspect
+
+    from pygr_spark.operators import dedup
+
+    src = inspect.getsource(dedup.cosine_near_dups_lsh)
+    assert ".collect()" not in src
+
+
 def test_asof_join_is_single_window_no_join(spark, sf_dir):
     # the union+running-window form must not plan any join operator
     p = plan_of(QUERIES["asof_join"](spark, sf_dir))
