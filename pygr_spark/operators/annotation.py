@@ -70,10 +70,12 @@ def prefix_union(
 
 
 def split_prefix(id_val: Column) -> tuple[Column, Column]:
-    """Inverse of prefix_union id munging (seqdb.py:752-769)."""
+    """Inverse of prefix_union id munging (seqdb.py:752-769). Both
+    components are built from ``id_val`` itself, so any column works,
+    not just one literally named ``id``."""
     return (
         F.substring_index(id_val, ".", 1),
-        F.expr("substring(id, instr(id, '.') + 1)"),
+        F.substr(id_val, F.instr(id_val, ".") + F.lit(1)),
     )
 
 

@@ -47,7 +47,17 @@ def salted_join(
     a deterministic sub-key in [0, salt); ``other`` is replicated once
     per sub-key; the join key becomes (key, salt) so a hot key spreads
     over ``salt`` partitions. Join columns/semantics match a plain
-    ``skewed.join(other, key, how)``."""
+    ``skewed.join(other, key, how)`` for the skewed-side-preserving
+    modes only — with right/full outer, each unmatched ``other`` row
+    would surface once per salt replica, so those modes raise."""
+    allowed = {"inner", "cross", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): right/full outer would duplicate "
+            "unmatched rows of the replicated side once per salt replica; "
+            "swap the inputs or use a plain join with AQE skew handling."
+        )
     s = skewed.withColumn(
         "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
     )

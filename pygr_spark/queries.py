@@ -47,7 +47,9 @@ def _spread(df: DataFrame) -> DataFrame:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files < target:
+    # 0 files = in-memory/non-file source: already parallel, don't pay
+    # a useless full round-robin exchange (same guard as dedup._spread)
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

@@ -83,7 +83,11 @@ def streaming_gap_merge(
                 )
                 cur_s, cur_e, cur_n = p, p + 1, 1
             else:
-                cur_e, cur_n = max(cur_e, p + 1), cur_n + 1
+                # no-watermark late-data policy: a position that arrives
+                # in a later micro-batch below the open run's start still
+                # merges (p - cur_e <= maxgap) and must WIDEN the run
+                # downward, not just bump the count — [min(s,p), max(e,p+1))
+                cur_s, cur_e, cur_n = min(cur_s, p), max(cur_e, p + 1), cur_n + 1
         if cur_s is not None:
             state.update((cur_s, cur_e, cur_n))
             if timeout_ms is not None:

@@ -62,3 +62,46 @@ def test_streaming_gap_merge(spark):
     # closed run: id=1 [10,13) broken by 100; open runs (1@100, 2@5)
     # stay in state awaiting timeout — only the closed one is emitted
     assert rows == {(1, 10, 13): 2}
+
+
+def test_streaming_gap_merge_late_event_widens_run_downward(spark):
+    # ADVICE r1: a late out-of-order position arriving in a LATER
+    # micro-batch below the open run's start must lower the run's
+    # start, not just bump n_merged (no-watermark late-data policy)
+    from pygr_spark.streaming.stateful import streaming_gap_merge
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="pygr_stateful_late_")
+    indir = os.path.join(d, "in")
+    os.makedirs(indir)
+    # batch 1 opens run [10,11); batch 2 delivers late p=7 (merges,
+    # must widen to [7,11)) then p=100 (closes the widened run)
+    pq.write_table(pa.table({"id": [1], "start": [10]}),
+                   os.path.join(indir, "b1.parquet"))
+    pq.write_table(pa.table({"id": [1, 1], "start": [7, 100]}),
+                   os.path.join(indir, "b2.parquet"))
+    os.utime(os.path.join(indir, "b1.parquet"), (1_000_000_000, 1_000_000_000))
+    os.utime(os.path.join(indir, "b2.parquet"), (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema("id long, start long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    merged = streaming_gap_merge(stream, maxgap=5)
+    q = (
+        merged.writeStream.format("memory")
+        .queryName("merged_late_stream")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pygr_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.id, r.start, r.stop): r.n_merged
+        for r in spark.table("merged_late_stream").collect()
+    }
+    assert rows == {(1, 7, 11): 2}

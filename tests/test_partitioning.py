@@ -25,6 +25,41 @@ def test_salted_join_matches_plain(spark):
     assert len(salted) == 501
 
 
+def test_salted_join_left_keeps_unmatched_once(spark):
+    skewed = spark.createDataFrame([("hot", 1), ("lonely", 2)], ["k", "v"])
+    other = spark.createDataFrame([("hot", "H")], ["k", "tag"])
+    got = sorted(
+        (r.k, r.v, r.tag)
+        for r in salted_join(skewed, other, "k", salt=4, how="left").collect()
+    )
+    assert got == [("hot", 1, "H"), ("lonely", 2, None)]
+
+
+def test_salted_join_rejects_replica_duplicating_outer_modes(spark):
+    # ADVICE r1: right/full outer would emit each unmatched row of the
+    # replicated side once per salt replica
+    df = spark.createDataFrame([("a", 1)], ["k", "v"])
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(df, df, "k", salt=2, how=how)
+
+
+def test_split_prefix_works_on_any_column_name(spark):
+    # ADVICE r1: the local-id component was hardcoded to a column
+    # literally named `id`
+    from pygr_spark.operators.annotation import split_prefix
+
+    df = spark.createDataFrame(
+        [("genome.chr1.5",), ("db2.x",)], ["res_name"]
+    )
+    pfx, local = split_prefix(F.col("res_name"))
+    got = sorted(
+        (r[0], r[1])
+        for r in df.select(pfx.alias("p"), local.alias("l")).collect()
+    )
+    assert got == [("db2", "x"), ("genome", "chr1.5")]
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     a = spark.range(0, 1000).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("va")
