@@ -44,6 +44,26 @@ def sqnorm(a: Column) -> Column:
     return dot(a, a)
 
 
+def dot_unrolled(a: str, b: str, dim: int) -> Column:
+    """Static unroll of the integer dot product for a KNOWN dim:
+    Σ element_at(a,i)·element_at(b,i). Spark evaluates higher-order
+    lambdas (:func:`dot`) interpreted per element — on a candidate-pair
+    verify stage that is millions of interpreted ops; the unroll stays
+    inside whole-stage codegen (same trick as the fingerprint modpow
+    unroll, operators/textstats.py). Takes column NAMES and builds the
+    whole sum as ONE ``F.expr`` string: assembling ``dim`` terms
+    through the Column API costs a py4j round-trip per operator
+    (~seconds of driver time per plan at dim 64)."""
+    sql = " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)
+    )
+    return F.expr(sql)
+
+
+def sqnorm_unrolled(a: str, dim: int) -> Column:
+    return dot_unrolled(a, a, dim)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -350,24 +370,26 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
-def hyperplane_signature_int(qvec: Column, planes: list[list[int]]) -> Column:
+def hyperplane_signature_int(qvec: str, planes: list[list[int]]) -> Column:
     """Bucket id from ±1 integer hyperplanes over a QUANTIZED
-    (array<long>) vector: bit i = sign(Σ_j s_ij·q_j). All-integer
-    dots are exact, so any engine computes the same bucket — the
-    oracle-checkable form of :func:`hyperplane_signature`. The sum is
-    a static unroll of element_at terms (codegen'd; no interpreted
-    higher-order lambdas)."""
-    out = F.lit(0).cast("long")
+    (array<long>) vector column named ``qvec``: bit i =
+    sign(Σ_j s_ij·q_j). All-integer dots are exact, so any engine
+    computes the same bucket — the oracle-checkable form of
+    :func:`hyperplane_signature`. The whole n_planes × dim unroll is
+    assembled as ONE ``F.expr`` string (codegen'd; no interpreted
+    higher-order lambdas, and no per-term py4j round-trips — the
+    Column-API build cost ~5s of driver time per plan at 8×64)."""
+    parts = []
     for i, p in enumerate(planes):
-        s = None
-        for j, w in enumerate(p):
-            term = F.element_at(qvec, j + 1)
-            term = term if w > 0 else -term
-            s = term if s is None else s + term
-        out = out.bitwiseOR(
-            F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        terms = " ".join(
+            ("+" if w > 0 else "-") + f" element_at({qvec}, {j + 1})"
+            for j, w in enumerate(p)
         )
-    return out
+        parts.append(
+            f"(CASE WHEN (0 {terms}) > 0 THEN CAST({1 << i} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr("CAST((" + " | ".join(parts) + ") AS BIGINT)")
 
 
 def lsh_ann_topk(
@@ -390,9 +412,9 @@ def lsh_ann_topk(
     distance 1 from the query's bucket — near-recall of a second
     plane set at a fraction of the storage."""
 
-    def bucket_of(qcol: Column, raw: Column) -> Column:
+    def bucket_of(qname: str, raw: Column) -> Column:
         if int_planes:
-            return hyperplane_signature_int(qcol, planes)
+            return hyperplane_signature_int(qname, planes)
         return hyperplane_signature(raw, planes)
 
     c = corpus.select(
@@ -402,7 +424,7 @@ def lsh_ann_topk(
     ).select(
         "vec_id",
         "cv",
-        bucket_of(F.col("cv"), F.col("_raw")).alias("bucket"),
+        bucket_of("cv", F.col("_raw")).alias("bucket"),
     ).withColumn("cn", sqnorm(F.col("cv")))
     q = queries.select(
         F.col(query_id).alias("query_id"),
@@ -411,7 +433,7 @@ def lsh_ann_topk(
     ).select(
         "query_id",
         "qv",
-        bucket_of(F.col("qv"), F.col("_raw")).alias("bucket"),
+        bucket_of("qv", F.col("_raw")).alias("bucket"),
     ).withColumn("qn", sqnorm(F.col("qv")))
     if multi_probe:
         # probe the exact bucket plus every bucket at Hamming

@@ -2807,15 +2807,19 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda e: e.cast("double") * 1.01 + 0.001
         ).alias("embedding"),
     )
+    # 16 planes (65536 buckets): for near-DUP detection the buckets
+    # should be nearly empty of random collisions — candidate volume
+    # shrinks ~4x vs 8 planes while Hamming-1 multi-probe keeps full
+    # recall on the planted pairs (verified at sf0.01 and sf0.1)
     pairs = cosine_near_dups_lsh(
-        base.unionByName(planted), _sign_planes(), threshold=0.99
+        base.unionByName(planted), _sign_planes(16), threshold=0.99
     )
     return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     )
 
 
-def _embed_near_dup_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
+def _embed_near_dup_oracle_sql(n_planes: int = 16, dim: int = 64) -> str:
     planes = _sign_planes(n_planes, dim)
     bucket = " | ".join(
         "(CASE WHEN ("

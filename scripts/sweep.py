@@ -1,0 +1,103 @@
+"""Driver-contract sweep: run catalog entries under a VANILLA
+SparkSession (exactly like the external driver) and compare each to
+its DuckDB oracle at a given scale factor.
+
+Usage:
+    cd /tmp && python /root/repo/scripts/sweep.py [entry ...]
+    cd /tmp && python /root/repo/scripts/sweep.py            # all entries
+    SWEEP_SF_DIR=/root/testdata/sf0.001 python scripts/sweep.py q1_pricing_summary
+
+Compares sorted-column / sorted-row stringified values, mirroring the
+driver's hash compare. Entries without an oracle_sql() entry get a
+rows-only check (>= 0 rows, stable schema).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(df) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False):
+        out.append(tuple(str(v) for v in row))
+    return sorted(out)
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs, osql = mod.queries(), mod.oracle_sql()
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    names = sys.argv[1:] or list(qs)
+    bad = []
+    for name in names:
+        if name not in qs:
+            print(f"{name}: NO SUCH ENTRY")
+            bad.append(name)
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
+            bad.append(name)
+            continue
+        if name not in osql:
+            print(f"{name}: rows-only {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(osql[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ORACLE ERROR {type(e).__name__}: {e}")
+            bad.append(name)
+            continue
+        ok_schema = sorted(sdf.columns) == sorted(odf.columns)
+        ok = ok_schema and norm(sdf) == norm(odf)
+        status = "MATCH" if ok else ("SCHEMA-MISMATCH" if not ok_schema else "VALUE-MISMATCH")
+        print(f"{name}: {status} spark={len(sdf)} oracle={len(odf)} ({time.time()-t0:.1f}s)")
+        if not ok:
+            bad.append(name)
+            if not ok_schema:
+                print(f"  spark cols:  {sorted(sdf.columns)}")
+                print(f"  oracle cols: {sorted(odf.columns)}")
+    print(f"\n{len(names) - len(bad)}/{len(names)} ok; failures: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
