@@ -3242,6 +3242,44 @@ QUALIFY sid < max(sid) OVER (PARTITION BY id)
 """
 
 
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 under the oracle gate: supplier → JDBC sink (embedded
+    Derby, the one JDBC engine on Spark's stock classpath) →
+    keyset-partitioned JDBC scan → rows. Exercises the reference's
+    SQLTable write + partitioned-iteration path (sqlgraph.py:506-560,
+    2148-2195) end-to-end through a real database. Money is converted
+    to exact cents before the trip so the oracle hash-matches."""
+    import tempfile
+
+    from pygr_spark.sources.jdbc import (
+        quiet_derby,
+        read_sql_table,
+        write_sql_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="pygr_jdbc_q_")
+    quiet_derby(spark, os.path.join(tmp, "derby.log"))
+    url = f"jdbc:derby:{tmp}/db;create=true"
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    write_sql_table(sup, url, "supplier", mode="overwrite")
+    back = read_sql_table(
+        spark, url, "supplier", partition_col="s_suppkey", num_partitions=4
+    )
+    return back.select("s_suppkey", "s_name", "s_nationkey", "acctbal_cents")
+
+
+Q_JDBC_SQL = """
+SELECT s_suppkey, s_name, s_nationkey,
+  CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM supplier
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -3308,6 +3346,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "slice_edges": q_slice_edges,
     "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
     "hash_sample": q_hash_sample,
+    "jdbc_roundtrip": q_jdbc_roundtrip,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -3372,6 +3411,7 @@ ORACLES: dict[str, str] = {
     "sliding_windows": Q_SLIDING_SQL,
     "external_tool": Q_EXTERNAL_SQL,
     "split_prefix": Q_SPLIT_PREFIX_SQL,
+    "jdbc_roundtrip": Q_JDBC_SQL,
     "pagerank": Q_PAGERANK_SQL,
     "connected_components": Q_CONNECTED_COMPONENTS_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,
