@@ -3013,6 +3013,46 @@ GROUP BY 1
 """
 
 
+def q_catalog_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable metabase under the gate: resources + schema edge saved
+    to a catalog root, then the catalog REOPENED from disk alone (a
+    fresh DurableCatalog with no shared in-memory state — the
+    metabase.py:576-693 shelve-persistence semantics) and auto_join
+    answered from the reopened namespace."""
+    import tempfile
+
+    from pygr_spark.plans.catalog import SchemaEdge
+    from pygr_spark.plans.durable import DurableCatalog
+
+    root = tempfile.mkdtemp(prefix="pygr_wbase_q_")
+    cat = DurableCatalog(spark, root)
+    cat.save_resource(
+        "Tpc.Supplier", _t(spark, sf_dir, "supplier"), doc="TPC-H supplier dim"
+    )
+    cat.save_resource("Tpc.Nation", _t(spark, sf_dir, "nation"))
+    cat.add_schema(
+        SchemaEdge(
+            "Tpc.Supplier", "nation", "Tpc.Nation",
+            "many:one", "s_nationkey", "n_nationkey",
+        )
+    )
+    del cat  # everything below runs from disk state only
+    reopened = DurableCatalog.open(spark, root)
+    j = reopened.auto_join("Tpc.Supplier", "nation")
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(cents(F.col("s_acctbal"))).cast("long").alias("acctbal_cents"),
+    )
+
+
+Q_CATALOG_RESTART_SQL = """
+SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
 def q_motif_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U7 SubqueryGQI OR-semantics (graphquery.py:661-683): the union
     of two alternative motif constraints, deduplicated — path a→b→c
@@ -3347,6 +3387,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
     "hash_sample": q_hash_sample,
     "jdbc_roundtrip": q_jdbc_roundtrip,
+    "catalog_restart": q_catalog_restart,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -3412,6 +3453,7 @@ ORACLES: dict[str, str] = {
     "external_tool": Q_EXTERNAL_SQL,
     "split_prefix": Q_SPLIT_PREFIX_SQL,
     "jdbc_roundtrip": Q_JDBC_SQL,
+    "catalog_restart": Q_CATALOG_RESTART_SQL,
     "pagerank": Q_PAGERANK_SQL,
     "connected_components": Q_CONNECTED_COMPONENTS_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,

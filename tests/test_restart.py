@@ -44,6 +44,63 @@ def test_checkpoint_restart_exactly_once(spark):
     assert run("restart_b") == {1: 15, 2: 20}
 
 
+def test_durable_catalog_restart(spark, sf_dir):
+    """metabase persistence semantics (metabase.py:576-693): register
+    resources + schema in one catalog instance, reopen from disk in a
+    FRESH instance (and a fresh session namespace), everything still
+    answers."""
+    from pygr_spark.plans.catalog import SchemaEdge
+    from pygr_spark.plans.durable import DurableCatalog
+
+    root = tempfile.mkdtemp(prefix="pygr_wbase_t_")
+    cat = DurableCatalog(spark, root)
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    cat.save_resource("Tpc.Nation", nation, doc="TPC-H nation dim")
+    cat.save_resource("Tpc.Region", region, partition_by=["r_regionkey"])
+    cat.add_schema(
+        SchemaEdge(
+            "Tpc.Nation", "region", "Tpc.Region",
+            "many:one", "n_regionkey", "r_regionkey",
+        )
+    )
+    cat.save_view(
+        "Tpc.NationNames",
+        "SELECT n_name FROM parquet.`" + os.path.join(sf_dir, "nation.parquet") + "`",
+    )
+    del cat
+
+    # fresh session namespace + fresh catalog object: disk state only
+    s2 = spark.newSession()
+    reopened = DurableCatalog.open(s2, root)
+    assert reopened.dir("Tpc.") == ["Tpc.Nation", "Tpc.NationNames", "Tpc.Region"]
+    assert reopened.doc("Tpc.Nation") == "TPC-H nation dim"
+    assert reopened("Tpc.Nation").count() == nation.count()
+    assert reopened("Tpc.NationNames").count() == nation.count()
+    j = reopened.auto_join("Tpc.Nation", "region")
+    assert j.count() == nation.count()
+    edges = reopened.edges_df().collect()
+    assert len(edges) == 1 and edges[0]["relation"] == "many:one"
+
+    # partition pruning on the declared layout: scan reads one dir
+    pruned = reopened("Tpc.Region").filter("r_regionkey = 2")
+    assert pruned.count() == 1
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "r_regionkey" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+
+    # re-registration overwrites, not duplicates
+    cat3 = DurableCatalog.open(s2, root)
+    cat3.add_schema(
+        SchemaEdge(
+            "Tpc.Nation", "region", "Tpc.Region",
+            "many:one", "n_regionkey", "r_regionkey",
+        )
+    )
+    assert len(cat3.edges_df().collect()) == 1
+
+
 def test_catalog_sql_view(spark):
     from pygr_spark.plans.catalog import Catalog
 
