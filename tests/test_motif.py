@@ -68,6 +68,41 @@ def test_filtered_query(spark):
     assert run(spark, datagraph, querygraph, filters=filters) == expect(result)
 
 
+def test_callable_generator_query(spark):
+    """CallableGQI flavor (graphquery.py:636-645): the filtered
+    fixture (graph_test.py:141-148) expressed as a per-edge candidate
+    GENERATOR — a callable supplies the (src, dst) candidates for
+    query edge (0, 1) instead of the data edge table. Same solutions
+    as the filter form."""
+    datagraph = {0: {1: None, 2: None, 3: None}, 1: {2: None, 3: None},
+                 3: {4: None}}
+    querygraph = {0: {1: None}, 1: {}}
+    edges = graph_from_dict(spark, datagraph)
+
+    def gen_to_node_3():
+        return edges.filter("dst = 3")
+
+    out = motif_query(edges, querygraph, generators={(0, 1): gen_to_node_3})
+    rows = sorted(tuple((q, r[f"q_{q}"]) for q in (0, 1)) for r in out.collect())
+    assert rows == expect([{0: 0, 1: 3}, {0: 1, 1: 3}])
+
+
+def test_callable_container_generator(spark):
+    """CallableContainerGQI (graphquery.py:648-658): generator with no
+    edge info — a bare DataFrame of candidate pairs (here: synthesized
+    pairs NOT present in the data graph for one query edge, showing
+    the generator fully replaces the edge table for that leg)."""
+    datagraph = {1: {2: None}, 2: {3: None, 4: None}, 5: {2: None},
+                 3: {}, 4: {}}
+    querygraph = {0: {1: None}, 1: {2: None}, 2: {}}
+    edges = graph_from_dict(spark, datagraph)
+    # candidates for edge (1,2): only allow the 2->4 hop
+    only_24 = spark.createDataFrame([(2, 4)], "src long, dst long")
+    out = motif_query(edges, querygraph, generators={(1, 2): only_24})
+    rows = sorted(tuple((q, r[f"q_{q}"]) for q in (0, 1, 2)) for r in out.collect())
+    assert rows == expect([{0: 1, 1: 2, 2: 4}, {0: 5, 1: 2, 2: 4}])
+
+
 def test_headless_query(spark):
     # graph_test.py:150-159 — cyclic query with no start node
     datagraph = {0: {1: None}, 1: {2: None}, 2: {3: None}, 3: {4: None},
