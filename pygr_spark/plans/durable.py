@@ -85,6 +85,19 @@ class DurableCatalog(Catalog):
             )
         elif rec["kind"] == "view":
             super().add_view(name, rec["sql"], self.spark)
+        elif rec["kind"] == "jdbc":
+            from pygr_spark.sources.jdbc import read_sql_table
+
+            super().add_resource(
+                name,
+                lambda s=self.spark, r=rec: read_sql_table(
+                    s,
+                    r["url"],
+                    r["table"],
+                    partition_col=r.get("partition_col"),
+                    num_partitions=r.get("num_partitions", 8),
+                ),
+            )
         else:  # pragma: no cover - forward compat
             raise ValueError(f"unknown resource kind {rec['kind']!r}")
 
@@ -119,6 +132,30 @@ class DurableCatalog(Catalog):
         """Persist a resource defined by SQL text, re-evaluated lazily
         at access (GraphView/MapView viewSQL, sqlgraph.py:2223-2290)."""
         self._meta["resources"][name] = {"kind": "view", "sql": sql, "doc": doc}
+        self._flush()
+        self._register(name, self._meta["resources"][name])
+
+    def save_jdbc_table(
+        self,
+        name: str,
+        url: str,
+        table: str,
+        doc: str = "",
+        partition_col: str | None = None,
+        num_partitions: int = 8,
+    ) -> None:
+        """Persist a *reference* to a live SQL table — the metabase's
+        pickled ``SQLTableServerInfo`` (sqlgraph.py:2196-2221): data
+        stays in the database, the catalog stores how to reach it.
+        Reopening re-issues a partitioned JDBC scan lazily."""
+        self._meta["resources"][name] = {
+            "kind": "jdbc",
+            "url": url,
+            "table": table,
+            "doc": doc,
+            "partition_col": partition_col,
+            "num_partitions": num_partitions,
+        }
         self._flush()
         self._register(name, self._meta["resources"][name])
 

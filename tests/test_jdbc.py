@@ -105,6 +105,26 @@ def test_append_mode(spark, derby, nation):
     assert read_sql_table(spark, derby, "nation_copy").count() == 8
 
 
+def test_jdbc_resource_in_durable_catalog(spark, derby, nation):
+    """metabase persistence of a SQL-table reference
+    (SQLTableServerInfo, sqlgraph.py:2196-2221): the durable catalog
+    stores url+table, a reopened catalog re-scans the live DB."""
+    from pygr_spark.plans.durable import DurableCatalog
+
+    root = tempfile.mkdtemp(prefix="pygr_wbase_jdbc_")
+    cat = DurableCatalog(spark, root)
+    cat.save_jdbc_table(
+        "Db.Nation", derby, "nation",
+        doc="live nation table", partition_col="n_nationkey", num_partitions=2,
+    )
+    del cat
+    reopened = DurableCatalog.open(spark.newSession(), root)
+    df = reopened("Db.Nation")
+    assert df.count() == nation.count()
+    assert df.rdd.getNumPartitions() == 2
+    assert reopened.doc("Db.Nation") == "live nation table"
+
+
 def test_empty_table_bounds(spark, derby, nation):
     """Auto-bounds on an empty table must not crash (MIN/MAX = NULL)."""
     write_sql_table(nation.limit(0), derby, "nation_empty", mode="overwrite")
