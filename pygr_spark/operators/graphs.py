@@ -168,19 +168,36 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = nodes_of(edges, src, dst).withColumn("component", F.col("node"))
-    for i in range(max_iter):
+    # seed labels from the checkpointed undirected view (it already
+    # holds every endpoint): deriving them from `edges` would replay
+    # the full upstream lineage — e.g. a MinHash near-dup pipeline
+    # feeding dedup clustering — a second time
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und["a"] == labels["node"])
             .select(F.col("b").alias("node"), F.col("component").alias("_nc"))
             .groupBy("node")
             .agg(F.min("_nc").alias("_nmin"))
         )
-        new_labels = labels.join(neighbor_min, "node", "left").select(
-            "node", F.least(F.col("component"), F.coalesce("_nmin", F.col("component"))).alias("component")
+        # cut lineage every round: each round's labels are evaluated
+        # twice (convergence probe + next round's join) and fold the
+        # previous rounds' joins into their lineage otherwise
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("_nmin", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=False)
         )
-        if (i + 1) % 3 == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

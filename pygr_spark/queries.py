@@ -2366,6 +2366,68 @@ WHERE i.inter * {t_den} >= {t_num} * (a.sz + b.sz - i.inter)
 Q_MINHASH_SQL = _minhash_oracle_sql()
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup closure — the step every large-scale
+    training-data pipeline runs after pairwise near-dup detection:
+    MinHash-LSH candidate pairs → transitive closure (connected
+    components) → ONE canonical doc per cluster (the min doc id, which
+    min-label propagation yields directly) + cluster size, `keep`
+    marking the survivor. Near-dup graphs have tiny diameters, so the
+    label propagation converges in a handful of keyed-shuffle rounds
+    regardless of corpus size."""
+    from pygr_spark.operators.dedup import (
+        md5_band_hash,
+        md5_hash60,
+        minhash_near_dups,
+    )
+    from pygr_spark.operators.graphs import connected_components
+
+    pairs = minhash_near_dups(
+        _t(spark, sf_dir, "documents"),
+        n=5,
+        threshold=(1, 5),
+        hash_fn=md5_hash60,
+        band_hash_fn=md5_band_hash,
+    )
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+    )
+    comp = connected_components(edges, max_iter=50)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("canonical_id"),
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("keep"),
+    )
+
+
+Q_DEDUP_CLUSTERS_SQL = rf"""
+WITH RECURSIVE pairs AS (
+{Q_MINHASH_SQL}
+), und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT id_a AS node FROM pairs UNION SELECT id_b FROM pairs
+), lbl(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.b, l.comp FROM lbl l JOIN und u ON u.a = l.node
+), comp AS (
+  SELECT node, CAST(min(comp) AS BIGINT) AS component FROM lbl GROUP BY node
+), sz AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT CAST(c.node AS BIGINT) AS doc_id, c.component AS canonical_id,
+       s.cluster_size, c.node = c.component AS keep
+FROM comp c JOIN sz s ON s.component = c.component
+"""
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup with the md5-based 60-bit signature — majority
     vote per bit, pigeonhole banding, exact Hamming verify — fully
@@ -3388,6 +3450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample": q_hash_sample,
     "jdbc_roundtrip": q_jdbc_roundtrip,
     "catalog_restart": q_catalog_restart,
+    "dedup_clusters": q_dedup_clusters,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -3454,6 +3517,7 @@ ORACLES: dict[str, str] = {
     "split_prefix": Q_SPLIT_PREFIX_SQL,
     "jdbc_roundtrip": Q_JDBC_SQL,
     "catalog_restart": Q_CATALOG_RESTART_SQL,
+    "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "pagerank": Q_PAGERANK_SQL,
     "connected_components": Q_CONNECTED_COMPONENTS_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,
