@@ -3344,6 +3344,49 @@ QUALIFY sid < max(sid) OVER (PARTITION BY id)
 """
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream time-interval join (§2.9): click
+    events paired with same-user purchase events within the following
+    30 minutes — pygr's J1 overlap join in the time domain over two
+    unbounded streams, state bounded by the watermark + time-bound
+    condition. Deterministic under the gate: the single-file source
+    drains in one availableNow batch, and an inner interval join emits
+    exactly the batch-join pairs."""
+    from pygr_spark.streaming.events import (
+        interval_join_streams,
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    clicks = ev.filter("event_type = 'click'").select(
+        "event_id", "user_id", "event_time"
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "event_time", "value"
+    )
+    j = interval_join_streams(
+        clicks, purchases, key="user_id", within="30 minutes", watermark="2 hours"
+    )
+    out = run_stream_to_table(j, spark, mode="append")
+    return out.select(
+        F.col("_lk").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("click_id"),
+        F.col("r_event_id").cast("long").alias("purchase_id"),
+        cents(F.col("r_value")).alias("purchase_cents"),
+    )
+
+
+Q_STREAM_JOIN_SQL = """
+SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id,
+  CAST(round(r.value * 100) AS BIGINT) AS purchase_cents
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+"""
+
+
 def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S5 under the oracle gate: supplier → JDBC sink (embedded
     Derby, the one JDBC engine on Spark's stock classpath) →
@@ -3451,6 +3494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jdbc_roundtrip": q_jdbc_roundtrip,
     "catalog_restart": q_catalog_restart,
     "dedup_clusters": q_dedup_clusters,
+    "stream_join": q_stream_join,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -3518,6 +3562,7 @@ ORACLES: dict[str, str] = {
     "jdbc_roundtrip": Q_JDBC_SQL,
     "catalog_restart": Q_CATALOG_RESTART_SQL,
     "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
+    "stream_join": Q_STREAM_JOIN_SQL,
     "pagerank": Q_PAGERANK_SQL,
     "connected_components": Q_CONNECTED_COMPONENTS_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,

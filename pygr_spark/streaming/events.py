@@ -106,6 +106,49 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Stream-stream time-interval join: each left event pairs with
+    the right-stream events for the same ``key`` whose event time
+    falls in ``[left_time, left_time + within]`` — pygr's interval
+    overlap join (J1) with one endpoint open-ended, in the time
+    domain over two unbounded streams.
+
+    Both sides are watermarked so the join state is BOUNDED: a right
+    row can be dropped once the left watermark passes beyond its
+    reach (Structured Streaming derives the state retention from the
+    time-bound condition — this is the canonical watermarked
+    stream-stream join, and the reason the time bound is mandatory
+    at scale: without it state grows forever).
+    """
+    l = left.withWatermark(time_col, watermark).select(
+        F.col(key).alias("_lk"),
+        F.col(time_col).alias("_lt"),
+        *[c for c in left.columns if c not in (key, time_col)],
+    )
+    r = right.withWatermark(time_col, watermark).select(
+        F.col(key).alias("_rk"),
+        F.col(time_col).alias("_rt"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in (key, time_col)
+        ],
+    )
+    return l.join(
+        r,
+        (F.col("_lk") == F.col("_rk"))
+        & (F.col("_rt") >= F.col("_lt"))
+        & (F.col("_rt") <= F.col("_lt") + F.expr(f"INTERVAL {within}")),
+    ).drop("_rk")
+
+
 def run_stream_to_table(
     df: DataFrame, spark: SparkSession, mode: str | None = None
 ) -> DataFrame:

@@ -12,6 +12,46 @@ from pygr_spark.streaming.events import (
 )
 
 
+def test_interval_join_streams_matches_batch(spark, sf_dir):
+    """Stream-stream time-interval join == the batch interval join
+    when the bounded source drains fully (inner join; watermark only
+    bounds state)."""
+    from pygr_spark.streaming.events import interval_join_streams
+
+    stream = read_events_stream(spark, sf_dir)
+    clicks = stream.filter("event_type = 'click'").select(
+        "event_id", "user_id", "event_time"
+    )
+    views = stream.filter("event_type = 'view'").select(
+        "event_id", "user_id", "event_time"
+    )
+    j = interval_join_streams(
+        clicks, views, key="user_id", within="4 hours", watermark="12 hours"
+    )
+    assert j.isStreaming
+    got = run_stream_to_table(j, spark, mode="append")
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    b = batch.alias("l").join(
+        batch.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("l.event_type") == F.lit("click"))
+        & (F.col("r.event_type") == F.lit("view"))
+        & (F.col("r.event_time") >= F.col("l.event_time"))
+        & (F.col("r.event_time") <= F.col("l.event_time") + F.expr("INTERVAL 4 hours")),
+    )
+    want = sorted(
+        (r.cid, r.vid)
+        for r in b.select(
+            F.col("l.event_id").alias("cid"), F.col("r.event_id").alias("vid")
+        ).collect()
+    )
+    assert sorted((r.event_id, r.r_event_id) for r in got.collect()) == want
+    assert len(want) > 0
+
+
 def test_tumbling_counts_match_batch(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     got = run_stream_to_table(tumbling_counts(stream), spark)
