@@ -134,6 +134,48 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def _fake_image_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for re-encode-at-size. Real impl:
+    PIL.Image.open(payload).resize((w, h)) → bytes. STUBBED: returns a
+    stable transform of the payload tagged with the geometry so tests
+    can assert the pipeline ran per-row."""
+    head = f"resized:{width}x{height}:".encode()
+    return head + hashlib.sha256(payload).digest()
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    kernel: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Binary→binary transform stage (resize): same MEDIA_SCHEMA out,
+    payload re-encoded at (width, height), meta annotated. Non-image
+    rows pass through untouched — the transform composes with decode /
+    feature stages on a mixed-modality table. Arrow-batched; payloads
+    never visit the driver."""
+    import sys
+
+    from pygr_spark.sources import ship_to_workers
+
+    ship_to_workers(sys.modules[__name__])
+    kernel = kernel or _fake_image_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            mask = out["kind"] == "image"
+            out.loc[mask, "payload"] = out.loc[mask, "payload"].map(
+                lambda p: kernel(bytes(p) if p is not None else b"", width, height)
+            )
+            out.loc[mask, "meta"] = out.loc[mask, "meta"].map(
+                lambda m: {**(m or {}), "resized": f"{width}x{height}"}
+            )
+            yield out
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def frame_sample_plan(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

@@ -39,6 +39,20 @@ def test_extract_features_unknown_kind(spark):
         extract_features(bad).collect()
 
 
+def test_resize_images(spark):
+    from pygr_spark.operators.multimodal import _fake_image_resize, resize_images
+
+    out = {r.media_id: r for r in resize_images(_media(spark), 32, 24).collect()}
+    assert len(out) == 3
+    # image row re-encoded + annotated; others untouched
+    assert bytes(out[1].payload) == _fake_image_resize(b"\x89PNGfake1", 32, 24)
+    assert out[1].meta["resized"] == "32x24" and out[1].meta["src"] == "a"
+    assert bytes(out[2].payload) == b"RIFFfake2" and "resized" not in out[2].meta
+    # schema is closed under the transform: stages compose
+    resized_feats = extract_features(resize_images(_media(spark), 32, 24))
+    assert resized_feats.count() == 3
+
+
 def test_frame_sample_plan(spark):
     out = frame_sample_plan(_media(spark), every_ms=1000).collect()
     assert len(out) > 0
