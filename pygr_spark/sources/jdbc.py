@@ -30,6 +30,7 @@ __all__ = [
     "read_sql_table",
     "read_sql_query",
     "write_sql_table",
+    "upsert_sql_table",
     "sql_graph_edges",
     "quiet_derby",
 ]
@@ -152,6 +153,58 @@ def write_sql_table(
     props = _props(properties, driver)
     props.setdefault("batchsize", str(batchsize))
     df.write.jdbc(url, table, mode=mode, properties=props)
+
+
+def upsert_sql_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    *,
+    properties: dict | None = None,
+    driver: str | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """Row update/MERGE sink — the reference's ``SQLTable.__setitem__``
+    delete-then-insert update path (sqlgraph.py:944-975), done the way
+    a distributed engine must: executors bulk-stage the rows into a
+    temp table (parallel JDBC batch inserts), then ONE driver-side
+    ``MERGE`` statement upserts staging into the target and drops the
+    staging table. The per-row network round-trips of the reference
+    become a single set-based statement the database optimizes itself;
+    Spark never needs row-level update support.
+
+    Requires a target table that already exists and a database with
+    ANSI MERGE (Derby 10.11+, Postgres 15+, MySQL via its upsert
+    dialects would need the SQL adapted)."""
+    import uuid
+
+    spark = df.sparkSession
+    staging = f"{table}_stage_{uuid.uuid4().hex[:8]}"
+    write_sql_table(
+        df, url, staging, mode="overwrite",
+        properties=properties, driver=driver, batchsize=batchsize,
+    )
+    q = lambda c: _quote_ident(spark, url, c)  # noqa: E731
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+    non_keys = [c for c in df.columns if c not in keys]
+    set_sql = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
+    cols = ", ".join(q(c) for c in df.columns)
+    vals = ", ".join(f"s.{q(c)}" for c in df.columns)
+    merge = (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        + (f"WHEN MATCHED THEN UPDATE SET {set_sql} " if non_keys else "")
+        + f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        stmt.executeUpdate(merge)
+        stmt.executeUpdate(f"DROP TABLE {staging}")
+        stmt.close()
+    finally:
+        conn.close()
 
 
 def sql_graph_edges(

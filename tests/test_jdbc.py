@@ -105,6 +105,45 @@ def test_append_mode(spark, derby, nation):
     assert read_sql_table(spark, derby, "nation_copy").count() == 8
 
 
+def test_upsert_merge(spark, derby, nation):
+    """S5 update path: bulk-staged MERGE (the reference's per-row
+    __setitem__ update, sqlgraph.py:944-975, as one set-based
+    statement). Updates hit matched keys, inserts cover new keys,
+    untouched rows survive."""
+    from pyspark.sql import functions as F
+
+    from pygr_spark.sources.jdbc import upsert_sql_table
+
+    write_sql_table(nation, derby, "nation_up", mode="overwrite")
+    changes = (
+        nation.filter("n_nationkey < 3")
+        .withColumn("n_name", F.concat(F.col("n_name"), F.lit("_v2")))
+        .unionByName(
+            nation.limit(1).select(
+                (F.col("n_nationkey") + 1000).alias("n_nationkey"),
+                F.lit("ATLANTIS").alias("n_name"),
+                *[c for c in nation.columns if c not in ("n_nationkey", "n_name")],
+            ).select(*nation.columns)
+        )
+    )
+    upsert_sql_table(changes, derby, "nation_up", keys=["n_nationkey"])
+    back = read_sql_table(spark, derby, "nation_up")
+    assert back.count() == nation.count() + 1
+    got = {r.n_nationkey: r.n_name for r in back.collect()}
+    for r in nation.collect():
+        expect_name = r.n_name + "_v2" if r.n_nationkey < 3 else r.n_name
+        assert got[r.n_nationkey] == expect_name
+    assert got[1000 + nation.limit(1).collect()[0].n_nationkey] == "ATLANTIS"
+    # staging table dropped (Derby folds unquoted names to upper)
+    leftover = read_sql_query(
+        spark,
+        derby,
+        "SELECT tablename FROM sys.systables "
+        "WHERE tablename LIKE 'NATION_UP_STAGE%'",
+    )
+    assert leftover.count() == 0
+
+
 def test_jdbc_resource_in_durable_catalog(spark, derby, nation):
     """metabase persistence of a SQL-table reference
     (SQLTableServerInfo, sqlgraph.py:2196-2221): the durable catalog
