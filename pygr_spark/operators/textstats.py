@@ -95,6 +95,66 @@ def language_scores(
     )
 
 
+#: fixed-point scale for the exact-integer idf ratio
+TFIDF_SCALE = 1_000_000
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF rank.
+
+    The idf factor is the exact integer ``(N * TFIDF_SCALE) DIV df``
+    instead of a logarithm: ``ln`` differs across engines in the last
+    ulp (libm vs StrictMath), which would break value-hash parity,
+    and for *ranking within one corpus* any monotone-decreasing
+    function of df yields an order consistent enough for top-k with a
+    deterministic (score, term) tiebreak. score = tf * idf_scaled.
+
+    Shape at scale: token explode is map-side; TF aggregates partially
+    before one shuffle on (doc, term); DF is a second partial agg
+    shuffled on term; the TF⋈DF equi-join shuffles on term (vocab is
+    Zipf-skewed but the DF side is one row per term — no hot-row
+    blowup); top-k is a per-doc window over k·docs rows.
+    """
+    base = df.filter(F.length(F.trim(F.col(text))) > 0)
+    tok = base.select(
+        F.col(id_col), F.explode(tokens(F.col(text))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # corpus size as a broadcast 1-row side: keeps the whole op one
+    # lazy plan (no driver action) — the scalar arrives at executors
+    # as a broadcast, not a literal
+    n_docs = base.agg(F.count_distinct(F.col(id_col)).cast("long").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.expr(f"(_n * {TFIDF_SCALE}) DIV df"))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
     """Polynomial rolling hash over token xxhashes, mod FP_P — a
     64-bit-safe portable document fingerprint (same value computable

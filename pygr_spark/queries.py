@@ -3344,6 +3344,44 @@ QUALIFY sid < max(sid) OVER (PARTITION BY id)
 """
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by exact-integer TF-IDF
+    (idf as (N·1e6) DIV df — no logarithm, so the ranking is
+    bit-identical across engines; see tfidf_top_terms). Ties broken by
+    (score DESC, term)."""
+    from pygr_spark.operators.textstats import tfidf_top_terms
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return tfidf_top_terms(docs, k=3)
+
+
+Q_TFIDF_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM base
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE length(term) > 0 GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM base
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+    CAST(t.tf * ((n.n_docs * 1000000) // d.df) AS BIGINT) AS score
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df, score,
+    CAST(row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 3
+"""
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream time-interval join (§2.9): click
     events paired with same-user purchase events within the following
@@ -3495,6 +3533,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "catalog_restart": q_catalog_restart,
     "dedup_clusters": q_dedup_clusters,
     "stream_join": q_stream_join,
+    "tfidf_terms": q_tfidf_terms,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -3563,6 +3602,7 @@ ORACLES: dict[str, str] = {
     "catalog_restart": Q_CATALOG_RESTART_SQL,
     "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "stream_join": Q_STREAM_JOIN_SQL,
+    "tfidf_terms": Q_TFIDF_SQL,
     "pagerank": Q_PAGERANK_SQL,
     "connected_components": Q_CONNECTED_COMPONENTS_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,

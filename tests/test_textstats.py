@@ -40,6 +40,29 @@ def test_language_scores(spark):
     assert out[3].lang_guess == "und"
 
 
+def test_tfidf_top_terms(spark):
+    from pygr_spark.operators.textstats import TFIDF_SCALE, tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "banana cherry shared"),
+            (3, "cherry cherry cherry shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2 and shared df=3
+    assert rows[(1, 1)].term == "apple"
+    assert rows[(1, 1)].score == 2 * ((3 * TFIDF_SCALE) // 1)
+    # doc 3: cherry tf=3 df=2 ranks above shared tf=1 df=3
+    assert rows[(3, 1)].term == "cherry"
+    assert rows[(3, 2)].term == "shared"
+    # exactly k rows per doc
+    assert sorted(k for k in rows) == [(d, r) for d in (1, 2, 3) for r in (1, 2)]
+
+
 def test_fingerprint_deterministic(spark):
     a = {r.doc_id: r.fingerprint for r in fingerprint(_docs(spark)).collect()}
     b = {r.doc_id: r.fingerprint for r in fingerprint(_docs(spark)).collect()}
