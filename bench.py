@@ -51,6 +51,7 @@ HEADLINE = [
     "ivf_ann",
     "multimodal_features",
     "embed_near_dup",
+    "tfidf_terms",
 ]
 
 #: timings are min-of-N to damp shared-machine noise (observed ±50%
