@@ -120,6 +120,26 @@ def test_embed_near_dup_no_collect_hash_join_on_bucket(spark, sf_dir):
     assert ".collect()" not in src
 
 
+def test_tfidf_partial_agg_no_python(spark, sf_dir):
+    # wordcount shape: map-side partial aggregation before the (doc,
+    # term) shuffle, corpus size as a broadcast (no driver action), no
+    # Python anywhere
+    p = plan_of(QUERIES["tfidf_terms"](spark, sf_dir))
+    assert "HashAggregate" in p
+    assert "partial_count" in p  # map-side combine
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row corpus-size side
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_dedup_clusters_keyed_joins_only(spark, sf_dir):
+    # the near-dup closure must stay on keyed joins (band/bucket/node
+    # ids); no cartesian anywhere in the final labeled plan
+    p = plan_of(QUERIES["dedup_clusters"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
 def test_asof_join_is_single_window_no_join(spark, sf_dir):
     # the union+running-window form must not plan any join operator
     p = plan_of(QUERIES["asof_join"](spark, sf_dir))
