@@ -155,6 +155,58 @@ def tfidf_top_terms(
     )
 
 
+def keyword_search_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Keyword retrieval: top-k documents per query by summed
+    tf·idf over the query's terms (exact-integer idf as in
+    :func:`tfidf_top_terms`).
+
+    The scalable shape is an inverted-index probe without building the
+    index: the exploded token stream is semi-joined against the
+    (small, broadcast) query-term table BEFORE any aggregation, so the
+    full-corpus tf/df work happens only for terms some query mentions.
+    idf still counts df over the whole corpus (per-term document
+    frequency of the filtered stream IS the corpus df for that term).
+    ``queries``: (query_id, term) rows.
+    """
+    base = df.filter(F.length(F.trim(F.col(text))) > 0)
+    qterms = queries.select("query_id", F.lower(F.col("term")).alias("term"))
+    distinct_terms = F.broadcast(qterms.select("term").distinct())
+    tok = (
+        base.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("term"))
+        .filter(F.length("term") > 0)
+        .join(distinct_terms, "term")  # broadcast semi-filter, pre-agg
+    )
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = base.agg(F.count_distinct(F.col(id_col)).cast("long").alias("_n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", F.expr(f"(_n * {TFIDF_SCALE}) DIV df"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("tf") * F.col("idf")).cast("long").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score")
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
     """Polynomial rolling hash over token xxhashes, mod FP_P — a
     64-bit-safe portable document fingerprint (same value computable

@@ -3382,6 +3382,67 @@ SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 3
 """
 
 
+#: fixed retrieval queries for the keyword_search entry
+_SEARCH_QUERIES = [
+    (1, ["data", "model", "training"]),
+    (2, ["the", "quick", "language"]),
+    (3, ["sample", "text", "common"]),
+]
+
+
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval over the corpus: top-10 docs per query by
+    summed exact-integer tf·idf; query terms broadcast-filter the
+    token stream before any aggregation (inverted-index probe without
+    materializing the index)."""
+    from pygr_spark.operators.textstats import keyword_search_topk
+
+    qrows = [(qid, t) for qid, terms in _SEARCH_QUERIES for t in terms]
+    queries = spark.createDataFrame(qrows, "query_id long, term string")
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return keyword_search_topk(docs, queries, k=10)
+
+
+def _keyword_search_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _SEARCH_QUERIES for t in terms
+    )
+    return rf"""
+WITH q(query_id, term) AS (
+  VALUES {vals}
+), base AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM base
+), ftok AS (
+  SELECT t.doc_id, t.term FROM tok t
+  WHERE length(t.term) > 0 AND t.term IN (SELECT DISTINCT term FROM q)
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ftok GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM base
+), scored AS (
+  SELECT q.query_id, t.doc_id,
+    CAST(sum(t.tf * ((n.n_docs * 1000000) // d.df)) AS BIGINT) AS score
+  FROM tf t JOIN dfreq d USING (term) JOIN q ON q.term = t.term CROSS JOIN n
+  GROUP BY q.query_id, t.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+
+Q_KEYWORD_SEARCH_SQL = _keyword_search_sql()
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream time-interval join (§2.9): click
     events paired with same-user purchase events within the following
@@ -3534,6 +3595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "stream_join": q_stream_join,
     "tfidf_terms": q_tfidf_terms,
+    "keyword_search": q_keyword_search,
     # rows-only (no oracle)
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
@@ -3603,6 +3665,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "stream_join": Q_STREAM_JOIN_SQL,
     "tfidf_terms": Q_TFIDF_SQL,
+    "keyword_search": Q_KEYWORD_SEARCH_SQL,
     "pagerank": Q_PAGERANK_SQL,
     "connected_components": Q_CONNECTED_COMPONENTS_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,

@@ -63,6 +63,33 @@ def test_tfidf_top_terms(spark):
     assert sorted(k for k in rows) == [(d, r) for d in (1, 2, 3) for r in (1, 2)]
 
 
+def test_keyword_search_topk(spark):
+    from pygr_spark.operators.textstats import TFIDF_SCALE, keyword_search_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine spark"),
+            (2, "spark rows"),
+            (3, "engine of rows"),
+            (4, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "spark"), (1, "engine"), (2, "rows")],
+        "query_id long, term string",
+    )
+    out = {(r.query_id, r.rank): r for r in keyword_search_topk(docs, queries, k=2).collect()}
+    # q1: doc1 has spark tf=2 (df=2) + engine tf=1 (df=2): score = 2*2e6 + 1*2e6
+    idf2 = (4 * TFIDF_SCALE) // 2
+    assert out[(1, 1)].doc_id == 1 and out[(1, 1)].score == 3 * idf2
+    assert out[(1, 2)].doc_id == 2  # spark only, ties broken by doc_id? score 1*idf2
+    # q2: docs 2 and 3 tie on rows (tf=1) -> doc_id ascending
+    assert out[(2, 1)].doc_id == 2 and out[(2, 2)].doc_id == 3
+    # doc 4 never appears
+    assert all(r.doc_id != 4 for r in out.values())
+
+
 def test_fingerprint_deterministic(spark):
     a = {r.doc_id: r.fingerprint for r in fingerprint(_docs(spark)).collect()}
     b = {r.doc_id: r.fingerprint for r in fingerprint(_docs(spark)).collect()}
