@@ -330,12 +330,32 @@ def minhash_near_dups(
     every engine evaluates identically (float ``0.2*union`` does NOT
     equal exact ``union/5`` at the boundary).
     """
-    # one shingling pass feeds the signature stage AND both sides of
-    # the verification join: materialize it (lineage-truncating cache)
-    # instead of recomputing the tokenize+shingle work 3×
-    rows = shingle_rows(df, id_col, text, n).localCheckpoint(eager=False)
-    sh = rows.groupBy("_id").agg(F.collect_list("_s").alias("_sh"))
-    sigs = _signatures_from_rows(rows, id_col, num_perm, seed, hash_fn)
+    # ONE pass over the shingle rows: the shingle lists (verification)
+    # and the count + num_perm permuted minima (signatures) come out of
+    # a single hash aggregation, so the multi-million-row shingle
+    # table shuffles on _id once, not twice. The per-doc aggregate
+    # (one row per doc) is what gets the lineage cut — it feeds the
+    # signature stage and both verification-join sides.
+    rows = shingle_rows(df, id_col, text, n)
+    hashed = rows.select(
+        "_id", "_s", F.pmod(hash_fn(F.col("_s")), F.lit(MERSENNE_P)).alias("_h")
+    )
+    per_doc = hashed.groupBy("_id").agg(
+        F.collect_list("_s").alias("_sh"),
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.min(
+                F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(MERSENNE_P))
+            ).alias(f"_m{i}")
+            for i, (a, b) in enumerate(_perm_params(num_perm, seed))
+        ],
+    ).localCheckpoint(eager=False)
+    sh = per_doc.select("_id", "_sh")
+    sigs = per_doc.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig"),
+        F.col("_n").alias("n_shingles"),
+    )
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, num_bands, band_hash_fn)
     withsets = (
         cand.join(
