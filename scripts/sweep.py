@@ -30,11 +30,13 @@ TABLES = [
 
 
 def norm(df) -> list[tuple]:
+    """Sorted, stringified rows over name-sorted columns — vectorized:
+    per-row Python tuples cost minutes on multi-million-row interval
+    joins."""
     cols = sorted(df.columns)
-    out = []
-    for row in df[cols].itertuples(index=False):
-        out.append(tuple(str(v) for v in row))
-    return sorted(out)
+    s = df[cols].astype(str)
+    s = s.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return list(map(tuple, s.itertuples(index=False, name=None)))
 
 
 def main() -> int:
