@@ -197,7 +197,10 @@ def upsert_sql_table(
         + f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
     )
     jvm = spark._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    jprops = jvm.java.util.Properties()
+    for k_, v_ in (properties or {}).items():
+        jprops.setProperty(k_, str(v_))
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         stmt = conn.createStatement()
         stmt.executeUpdate(merge)
