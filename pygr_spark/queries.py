@@ -3596,7 +3596,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_join": q_stream_join,
     "tfidf_terms": q_tfidf_terms,
     "keyword_search": q_keyword_search,
-    # rows-only (no oracle)
+    # every entry below is ALSO oracled (see ORACLES) except
+    # approx_aggs, whose sketches are engine-specific → rows-only
     "stream_gap_merge": q_stream_gap_merge,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
