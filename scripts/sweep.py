@@ -29,14 +29,20 @@ TABLES = [
 ]
 
 
-def norm(df) -> list[tuple]:
-    """Sorted, stringified rows over name-sorted columns — vectorized:
-    per-row Python tuples cost minutes on multi-million-row interval
-    joins."""
+def digest(df) -> tuple[int, int]:
+    """Order-insensitive multiset digest of stringified rows over
+    name-sorted columns: (row_count, wrapping sum of per-row uint64
+    hashes). Stringify first so dtype differences between engines
+    (int32 vs int64) cannot change the hash; summing replaces the
+    multi-minute sort on 16M-row interval-join results."""
+    import numpy as np
+    import pandas as pd
+
     cols = sorted(df.columns)
     s = df[cols].astype(str)
-    s = s.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
-    return list(map(tuple, s.itertuples(index=False, name=None)))
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy(dtype="uint64")
+    with np.errstate(over="ignore"):
+        return len(h), int(h.sum(dtype=np.uint64))
 
 
 def main() -> int:
@@ -89,7 +95,7 @@ def main() -> int:
             bad.append(name)
             continue
         ok_schema = sorted(sdf.columns) == sorted(odf.columns)
-        ok = ok_schema and norm(sdf) == norm(odf)
+        ok = ok_schema and digest(sdf) == digest(odf)
         status = "MATCH" if ok else ("SCHEMA-MISMATCH" if not ok_schema else "VALUE-MISMATCH")
         print(f"{name}: {status} spark={len(sdf)} oracle={len(odf)} ({time.time()-t0:.1f}s)")
         if not ok:
