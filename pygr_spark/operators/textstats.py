@@ -155,6 +155,48 @@ def tfidf_top_terms(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    vocab_k: int = 1000,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Per-document vocabulary coverage against the corpus top-k
+    vocabulary: (n_tokens, n_in_vocab, oov_rate). The OOV rate against
+    a frequency-ranked vocabulary is a standard pretraining quality
+    filter (docs full of rare/garbage tokens score high OOV).
+
+    Two passes over the exploded token stream — one global count to
+    rank the vocabulary (map-side combine, tiny result), one broadcast
+    membership join for the per-doc tally. The vocabulary (k rows)
+    broadcasts; the token stream never joins anything bigger.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(F.length(F.trim(F.col(text))) > 0)
+    tok = base.select(
+        F.col(id_col), F.explode(tokens(F.col(text))).alias("term")
+    ).filter(F.length("term") > 0)
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("_tc"))
+    wv = Window.orderBy(F.col("_tc").desc(), F.col("term"))
+    vocab = (
+        counts.withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") <= vocab_k)
+        .select("term")
+    )
+    tagged = tok.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "term", "left"
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.coalesce("_in", F.lit(0))).cast("long").alias("n_in_vocab"),
+        (
+            (F.count(F.lit(1)) - F.sum(F.coalesce("_in", F.lit(0)))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("oov_rate"),
+    )
+
+
 def keyword_search_topk(
     df: DataFrame,
     queries: DataFrame,

@@ -3382,6 +3382,42 @@ SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 3
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate against the corpus top-500 vocabulary (quality
+    filter; see vocab_coverage). oov_rate is one division of exact
+    integers — engine-deterministic."""
+    from pygr_spark.operators.textstats import vocab_coverage
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return vocab_coverage(docs, vocab_k=500)
+
+
+Q_VOCAB_COVERAGE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM base
+), ftok AS (
+  SELECT doc_id, term FROM tok WHERE length(term) > 0
+), counts AS (
+  SELECT term, count(*) AS tc FROM ftok GROUP BY term
+), vocab AS (
+  SELECT term FROM counts
+  ORDER BY tc DESC, term
+  LIMIT 500
+)
+SELECT f.doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_in_vocab,
+  CAST(count(*) - sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END)
+       AS DOUBLE) / count(*) AS oov_rate
+FROM ftok f LEFT JOIN vocab v ON v.term = f.term
+GROUP BY f.doc_id
+"""
+
+
 #: fixed retrieval queries for the keyword_search entry
 _SEARCH_QUERIES = [
     (1, ["data", "model", "training"]),
@@ -3596,6 +3632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_join": q_stream_join,
     "tfidf_terms": q_tfidf_terms,
     "keyword_search": q_keyword_search,
+    "vocab_coverage": q_vocab_coverage,
     # every entry below is ALSO oracled (see ORACLES) except
     # approx_aggs, whose sketches are engine-specific → rows-only
     "stream_gap_merge": q_stream_gap_merge,
@@ -3667,6 +3704,7 @@ ORACLES: dict[str, str] = {
     "stream_join": Q_STREAM_JOIN_SQL,
     "tfidf_terms": Q_TFIDF_SQL,
     "keyword_search": Q_KEYWORD_SEARCH_SQL,
+    "vocab_coverage": Q_VOCAB_COVERAGE_SQL,
     "pagerank": Q_PAGERANK_SQL,
     "connected_components": Q_CONNECTED_COMPONENTS_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,
