@@ -51,7 +51,12 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", "16g")
+        # Arrow OFF means toPandas() row-converts in Python — minutes
+        # for the 16M-row sf0.1 interval joins. The compare harness
+        # needs it; the queries under test still run under whatever
+        # session the driver gives them.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
