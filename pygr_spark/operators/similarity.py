@@ -208,6 +208,11 @@ def ivf_topk(
         [np.asarray(r[1], dtype=np.float64) for r in cent_rows], dtype=np.float64
     )
     c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+    # ship centroids as a broadcast, not a closure capture: closures
+    # re-serialize per task, broadcasts once per executor — at real
+    # IVF sizes (65k × 768 float64 ≈ 400 MB) that is the difference
+    # between workable and not
+    c_bc = corpus.sparkSession.sparkContext.broadcast(c_mat)
 
     assign_schema = T.StructType(
         [
@@ -219,6 +224,7 @@ def ivf_topk(
     )
 
     def assign(batches):
+        cm = c_bc.value
         for pdf in batches:
             mat = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
@@ -226,7 +232,7 @@ def ivf_topk(
             )
             qmat = np.round(mat * SCALE).astype(np.int64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = (mat / np.maximum(norms, 1e-12)) @ c_mat.T
+            sims = (mat / np.maximum(norms, 1e-12)) @ cm.T
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
