@@ -159,9 +159,14 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
 ) -> DataFrame:
-    """Label propagation: every node takes the min label among itself
-    and its neighbors until fixpoint (undirected view). Returns
-    (node, component). Converges in O(diameter) rounds."""
+    """Min-label propagation with path shortcutting (pointer jumping)
+    to fixpoint: each round every node takes the min of its own label,
+    its neighbors' labels, AND its label's label. The shortcut step
+    doubles the propagation distance per round, so convergence is
+    O(log diameter) rounds instead of O(diameter) — the difference
+    between 10 and 1000 shuffle rounds on a long-chain graph at scale.
+    The fixpoint is identical (component = min reachable node id), so
+    the recursive-CTE oracle is unchanged."""
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -185,17 +190,29 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("_nc").alias("_nmin"))
         )
-        # cut lineage every round: each round's labels are evaluated
-        # twice (convergence probe + next round's join) and fold the
-        # previous rounds' joins into their lineage otherwise
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("_nmin", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: component <- component's component. One
+        # extra keyed join per round buys exponential convergence.
+        hop = labels.select(
+            F.col("node").alias("_ln"), F.col("component").alias("_lc")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(hop, stepped["component"] == hop["_ln"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce("_nmin", F.col("component"))
+                    F.col("component"), F.coalesce("_lc", F.col("component"))
                 ).alias("component"),
             )
+            # cut lineage every round: each round's labels are
+            # evaluated twice (convergence probe + next round's join)
+            # and would fold all prior rounds' joins into their
+            # lineage otherwise
             .localCheckpoint(eager=False)
         )
         changed = (

@@ -51,6 +51,22 @@ def test_connected_components(spark):
     assert cc[1] != cc[10]
 
 
+def test_connected_components_long_chain(spark):
+    """Pointer jumping must converge a path graph whose diameter far
+    exceeds max_iter: distance covered doubles per round (O(log d)),
+    where plain neighbor propagation would silently return unconverged
+    labels after the cap."""
+    from pyspark.sql import functions as F
+
+    chain = spark.range(499).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    out = connected_components(chain, max_iter=12)
+    comps = [r.component for r in out.collect()]
+    assert len(comps) == 500
+    assert set(comps) == {0}  # one component, labeled by the min node
+
+
 def test_splice_graph(spark):
     exons = spark.createDataFrame(
         [
