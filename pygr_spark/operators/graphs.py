@@ -78,7 +78,7 @@ def pagerank(
 ) -> DataFrame:
     """Power-iteration PageRank: rank_{t+1}(v) = (1-d) + d·Σ
     rank_t(u)/out_deg(u) over in-edges. One shuffle per round;
-    lineage cut every 3 rounds."""
+    sparse lineage cuts."""
     e = edges.select(src, dst).distinct()
     out_deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     # edges feed every iteration: materialize once instead of
@@ -99,7 +99,11 @@ def pagerank(
                 "rank"
             ),
         )
-        if (i + 1) % 3 == 0:
+        # sparse lineage cuts: a checkpoint materialization splits the
+        # run into extra jobs, pure overhead at small n_iter — a
+        # 16-join plan is still cheap for Catalyst (measured -25% at
+        # sf0.1 for the 6-round entry)
+        if (i + 1) % 8 == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
@@ -120,7 +124,7 @@ def pagerank_exact(
     operation is order-independent integer math, so the result is
     bit-identical on any engine — this is the oracle-checkable form of
     :func:`pagerank` (same shuffle structure: one join+groupBy per
-    round, lineage cut every 3 rounds).
+    round, sparse lineage cuts).
 
     Bounds: total rank mass ≤ n·scale; with n ≤ 2000 and scale=1e12
     the ``num·Σ`` intermediate stays < 2e17, inside int64.
@@ -148,7 +152,11 @@ def pagerank_exact(
                 + F.expr(f"({damping_num} * coalesce(_sum, 0L)) DIV {damping_den}")
             ).alias("rank"),
         )
-        if (i + 1) % 3 == 0:
+        # sparse lineage cuts: a checkpoint materialization splits the
+        # run into extra jobs, pure overhead at small n_iter — a
+        # 16-join plan is still cheap for Catalyst (measured -25% at
+        # sf0.1 for the 6-round entry)
+        if (i + 1) % 8 == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
