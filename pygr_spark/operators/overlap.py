@@ -220,3 +220,122 @@ def overlap_join_signed(
         ts.alias("target_start"),
         te.alias("target_stop"),
     )
+
+
+def closest_join(
+    query: DataFrame,
+    db: DataFrame,
+    query_key: str = "qid",
+    id_col: str = "id",
+    start: str = "start",
+    stop: str = "stop",
+    strategy: str = "binned",
+    bin_width: int | str = "auto",
+) -> DataFrame:
+    """Nearest-feature join (bedtools-closest analog; the natural
+    companion to J1 the reference answers by walking the NCList
+    outward, intervaldb.c:319-443): for every query interval, the db
+    interval on the same ``id_col`` with minimal gap distance —
+    0 when overlapping or touching, else the base gap. Deterministic
+    tiebreak (distance, db start, db stop). Inner semantics: queries
+    whose id has no db interval are dropped.
+
+    Scale shape — NO all-pairs anywhere:
+    - overlap candidates come from the binned equi-join (distance 0);
+    - the nearest non-overlapping neighbor on each side comes from an
+      as-of pass (union + running window, one shuffle on the id,
+      linear in |Q|+|DB|) — left side keyed on the latest db stop
+      <= query start, right side on the smallest db start >= query
+      stop via coordinate negation.
+    Every query therefore sees at most (overlaps + 2) candidates.
+    """
+    from pygr_spark.operators.asof import asof_join
+
+    q = query.select(
+        F.col(query_key).alias("qid"),
+        F.col(id_col).alias("_qi"),
+        F.col(start).cast("long").alias("qs"),
+        F.col(stop).cast("long").alias("qe"),
+    )
+    d = db.select(
+        F.col(id_col).alias("_di"),
+        F.col(start).cast("long").alias("ds"),
+        F.col(stop).cast("long").alias("de"),
+    )
+
+    ov = overlap_join(
+        q,
+        d,
+        left_id="_qi",
+        left_start="qs",
+        left_stop="qe",
+        right_id="_di",
+        right_start="ds",
+        right_stop="de",
+        strategy=strategy,
+        bin_width=bin_width,
+    ).select("qid", "_qi", "qs", "qe", "ds", "de", F.lit(0).cast("long").alias("dist"))
+
+    # nearest at-or-before: db rows unique per (id, stop) — keep the
+    # min start, which is also the global tiebreak among equal stops
+    # (asof_join keys both sides by the same column name)
+    dl = (
+        d.groupBy("_di", "de")
+        .agg(F.min("ds").alias("ds"))
+        .withColumnRenamed("_di", "_qi")
+    )
+    before = asof_join(
+        q, dl, key="_qi", left_ts="qs", right_ts="de", value_cols=["ds"]
+    ).select(
+        "qid",
+        F.col("_qi"),
+        F.col("qs"),
+        "qe",
+        "ds",
+        F.col("r_ts").alias("de"),
+        (F.col("qs") - F.col("r_ts")).cast("long").alias("dist"),
+    )
+
+    # nearest at-or-after via negation: greatest -ds <= -qe ⟺
+    # smallest ds >= qe; unique per (id, start), keep min stop
+    dr = (
+        d.groupBy("_di", "ds")
+        .agg(F.min("de").alias("de"))
+        .withColumn("_nts", -F.col("ds"))
+        .withColumnRenamed("_di", "_qi")
+    )
+    qn = q.withColumn("_nts", -F.col("qe"))
+    after = asof_join(
+        qn,
+        dr.select("_qi", "_nts", "ds", "de"),
+        key="_qi",
+        left_ts="_nts",
+        right_ts="_nts",
+        value_cols=["ds", "de"],
+    ).select(
+        "qid",
+        F.col("_qi"),
+        "qs",
+        "qe",
+        "ds",
+        "de",
+        (F.col("ds") - F.col("qe")).cast("long").alias("dist"),
+    )
+
+    from pyspark.sql import Window
+
+    cand = ov.unionByName(before).unionByName(after)
+    w = Window.partitionBy("qid").orderBy("dist", "ds", "de")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "qid",
+            F.col("_qi").alias(id_col),
+            F.col("qs").alias("q_start"),
+            F.col("qe").alias("q_stop"),
+            F.col("ds").alias("db_start"),
+            F.col("de").alias("db_stop"),
+            "dist",
+        )
+    )

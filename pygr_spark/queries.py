@@ -3522,6 +3522,40 @@ FROM events l JOIN events r
 """
 
 
+def q_closest_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-feature join (bedtools-closest analog): for each query
+    interval the closest lineitem interval on the same id — overlap
+    candidates via the binned equi-join, flank neighbors via two as-of
+    passes, no all-pairs anywhere (see closest_join). Oracle is the
+    brute-force per-id argmin, feasible at oracle scale."""
+    from pygr_spark.operators.overlap import closest_join
+
+    qv = _order_ivals(spark, sf_dir).filter(F.col("o_orderkey") % 41 == 0).select(
+        F.col("o_orderkey").alias("qid"), "id", "start", "stop"
+    )
+    db = _spread(_lineitem_ivals(spark, sf_dir)).select("id", "start", "stop")
+    return closest_join(qv, db, bin_width=32)
+
+
+Q_CLOSEST_SQL = f"""
+WITH q AS (
+  SELECT o_orderkey AS qid, id, start, stop
+  FROM ({_ORDER_IVALS_SQL}) WHERE o_orderkey % 41 = 0
+), d AS (
+  SELECT id, start AS ds, stop AS de FROM ({_LINEITEM_IVALS_SQL})
+), cand AS (
+  SELECT q.qid, q.id, q.start AS q_start, q.stop AS q_stop, d.ds, d.de,
+    CAST(CASE WHEN d.ds < q.stop AND q.start < d.de THEN 0
+         WHEN d.de <= q.start THEN q.start - d.de
+         ELSE d.ds - q.stop END AS BIGINT) AS dist
+  FROM q JOIN d USING (id)
+)
+SELECT qid, id, q_start, q_stop, ds AS db_start, de AS db_stop, dist
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist, ds, de) = 1
+"""
+
+
 def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S5 under the oracle gate: supplier → JDBC sink (embedded
     Derby, the one JDBC engine on Spark's stock classpath) →
@@ -3633,6 +3667,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_terms": q_tfidf_terms,
     "keyword_search": q_keyword_search,
     "vocab_coverage": q_vocab_coverage,
+    "closest_interval": q_closest_interval,
     # every entry below is ALSO oracled (see ORACLES) except
     # approx_aggs, whose sketches are engine-specific → rows-only
     "stream_gap_merge": q_stream_gap_merge,
@@ -3705,6 +3740,7 @@ ORACLES: dict[str, str] = {
     "tfidf_terms": Q_TFIDF_SQL,
     "keyword_search": Q_KEYWORD_SEARCH_SQL,
     "vocab_coverage": Q_VOCAB_COVERAGE_SQL,
+    "closest_interval": Q_CLOSEST_SQL,
     "pagerank": Q_PAGERANK_SQL,
     "connected_components": Q_CONNECTED_COMPONENTS_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,

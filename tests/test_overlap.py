@@ -105,3 +105,40 @@ def test_auto_bin_width_matches_binned_result(spark):
     auto = overlap_join(left, right, strategy="binned", bin_width="auto")
     plain = overlap_join(left, right, strategy="range")
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_closest_join_goldens(spark):
+    """Nearest-feature join edge cases: overlap wins at distance 0,
+    touching counts as distance 0, flank-only neighbors on either
+    side, deterministic (dist, start, stop) tiebreak, ids isolated."""
+    from pygr_spark.operators.overlap import closest_join
+
+    q = spark.createDataFrame(
+        [
+            (1, "a", 10, 20),   # overlaps d1 -> dist 0
+            (2, "a", 31, 35),   # touches d1's stop=31? no: gap 1 to d2
+            (3, "a", 0, 5),     # d1 starts at 15: right-side dist 10
+            (4, "b", 40, 45),   # only left neighbor (b: [0,8))
+            (5, "c", 7, 9),     # tie: [0,7) touch-left and [9,16) gap... no: dist 0 touch
+        ],
+        ["qid", "id", "start", "stop"],
+    )
+    d = spark.createDataFrame(
+        [
+            ("a", 15, 31),
+            ("a", 36, 40),
+            ("b", 0, 8),
+            ("c", 0, 7),
+            ("c", 9, 16),
+        ],
+        ["id", "start", "stop"],
+    )
+    got = {r.qid: (r.db_start, r.db_stop, r.dist) for r in closest_join(q, d, bin_width=8).collect()}
+    assert got[1] == (15, 31, 0)
+    assert got[2] == (15, 31, 0)   # q2 [31,35) touches d1 stop=31 -> dist 0
+    assert got[3] == (15, 31, 10)  # gap 15 - 5
+    assert got[4] == (0, 8, 32)    # left-only neighbor, dist 40-8
+    # q5 [7,9): touches c1 stop=7 (dist 0) AND touches c2 start=9
+    # (dist 0) -> tiebreak min db_start
+    assert got[5] == (0, 7, 0)
+    assert len(got) == 5
