@@ -52,6 +52,7 @@ HEADLINE = [
     "multimodal_features",
     "embed_near_dup",
     "tfidf_terms",
+    "closest_interval",
 ]
 
 #: timings are min-of-N to damp shared-machine noise (observed ±50%
