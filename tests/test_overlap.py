@@ -142,3 +142,43 @@ def test_closest_join_goldens(spark):
     # (dist 0) -> tiebreak min db_start
     assert got[5] == (0, 7, 0)
     assert len(got) == 5
+
+
+def test_closest_join_matches_brute_force(spark):
+    """Randomized (fixed-seed) cross-check against the per-id
+    brute-force argmin, covering overlap/touch/flank mixes."""
+    import collections
+    import random
+
+    from pygr_spark.operators.overlap import closest_join
+
+    rng = random.Random(7)
+    qrows = [
+        (i, i % 3, s, s + rng.randint(1, 5))
+        for i, s in enumerate(rng.sample(range(100), 30))
+    ]
+    drows = [
+        (i % 3, s, s + rng.randint(1, 4))
+        for i, s in enumerate(rng.sample(range(100), 40))
+    ]
+    q = spark.createDataFrame(qrows, "qid long, id long, start long, stop long")
+    d = spark.createDataFrame(drows, "id long, start long, stop long")
+    got = {
+        r.qid: (r.db_start, r.db_stop, r.dist)
+        for r in closest_join(q, d, bin_width=8).collect()
+    }
+    by_id = collections.defaultdict(list)
+    for i, s, e in drows:
+        by_id[i].append((s, e))
+    for qid, i, qs, qe in qrows:
+        cands = []
+        for ds, de in by_id[i]:
+            if ds < qe and qs < de:
+                dist = 0
+            elif de <= qs:
+                dist = qs - de
+            else:
+                dist = ds - qe
+            cands.append((dist, ds, de))
+        dist, ds, de = min(cands)
+        assert got[qid] == (ds, de, dist), (qid, got[qid], (ds, de, dist))
