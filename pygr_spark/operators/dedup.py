@@ -228,33 +228,43 @@ def minhash_signatures(
     )
 
 
+def _perm_min_aggs(num_perm: int, seed: int) -> list:
+    """The per-permutation ``min((a·_h + b) mod p)`` aggregate columns
+    — THE single source of truth for the signature scheme, shared by
+    :func:`_signatures_from_rows` and the fused one-pass aggregation
+    in :func:`minhash_near_dups` (scalar min() aggregates are
+    whole-stage-codegen'd, ~10× faster than interpreted
+    array_min(transform(...)) higher-order expressions)."""
+    return [
+        F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(MERSENNE_P))).alias(
+            f"_m{i}"
+        )
+        for i, (a, b) in enumerate(_perm_params(num_perm, seed))
+    ]
+
+
+def _sig_select(id_col: str, num_perm: int) -> list:
+    """Projection from the _m0.._mN aggregate to (id, sig, n_shingles)."""
+    return [
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig"),
+        F.col("_n").alias("n_shingles"),
+    ]
+
+
 def _signatures_from_rows(
     rows: DataFrame, id_col: str, num_perm: int, seed: int, hash_fn=F.xxhash64
 ) -> DataFrame:
     """Signatures from prepared (_id, _s) shingle rows — lets pipelines
     that also need the raw shingle sets (candidate verification)
     compute the expensive shingling exactly once."""
-    # row + hash-aggregate formulation: scalar min() aggregates
-    # are whole-stage-codegen'd, ~10× faster than the equivalent
-    # array_min(transform(...)) higher-order expressions, which Spark
-    # interprets per element. Same result, one shuffle on the doc id.
     ex = rows.select(
         "_id", F.pmod(hash_fn(F.col("_s")), F.lit(MERSENNE_P)).alias("_h")
     )
     mins = ex.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[
-            F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(MERSENNE_P))).alias(
-                f"_m{i}"
-            )
-            for i, (a, b) in enumerate(_perm_params(num_perm, seed))
-        ],
+        F.count(F.lit(1)).alias("_n"), *_perm_min_aggs(num_perm, seed)
     )
-    return mins.select(
-        F.col("_id").alias(id_col),
-        F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig"),
-        F.col("_n").alias("n_shingles"),
-    )
+    return mins.select(*_sig_select(id_col, num_perm))
 
 
 def lsh_candidate_pairs(
@@ -343,19 +353,10 @@ def minhash_near_dups(
     per_doc = hashed.groupBy("_id").agg(
         F.collect_list("_s").alias("_sh"),
         F.count(F.lit(1)).alias("_n"),
-        *[
-            F.min(
-                F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(MERSENNE_P))
-            ).alias(f"_m{i}")
-            for i, (a, b) in enumerate(_perm_params(num_perm, seed))
-        ],
+        *_perm_min_aggs(num_perm, seed),
     ).localCheckpoint(eager=False)
     sh = per_doc.select("_id", "_sh")
-    sigs = per_doc.select(
-        F.col("_id").alias(id_col),
-        F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig"),
-        F.col("_n").alias("n_shingles"),
-    )
+    sigs = per_doc.select(*_sig_select(id_col, num_perm))
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, num_bands, band_hash_fn)
     withsets = (
         cand.join(
@@ -493,8 +494,8 @@ def cosine_near_dups(
     per partition against the (small-by-contract) corpus matrix shipped
     in the closure — O(n²/P) flops, no per-pair interpreted lambdas.
 
-    Small-by-contract is ENFORCED: the corpus is counted first and
-    anything over ``max_collect_rows`` raises, pointing at
+    Small-by-contract is ENFORCED: a ``limit(cap+1)`` probe collects at
+    most one row over the cap, and overflow raises, pointing at
     :func:`cosine_near_dups_lsh` — the scale path that buckets with
     integer hyperplanes and verifies candidates only, with no
     driver-side collect (the catalog's ``embed_near_dup`` entry uses
@@ -504,14 +505,16 @@ def cosine_near_dups(
     import numpy as np
     import pandas as pd
 
-    n = corpus.count()
-    if n > max_collect_rows:
+    # one pass enforces the cap AND bounds driver memory during the
+    # check itself: limit(cap+1) instead of count-then-collect, which
+    # would evaluate an expensive upstream lineage twice
+    rows = corpus.select(id_col, vec_col).limit(max_collect_rows + 1).collect()
+    if len(rows) > max_collect_rows:
         raise ValueError(
-            f"cosine_near_dups collects the corpus to the driver; got {n} rows "
-            f"(> max_collect_rows={max_collect_rows}). Use cosine_near_dups_lsh "
+            f"cosine_near_dups collects the corpus to the driver; got more than "
+            f"max_collect_rows={max_collect_rows} rows. Use cosine_near_dups_lsh "
             "for large corpora (LSH-bucketed candidates, no collect)."
         )
-    rows = corpus.select(id_col, vec_col).collect()
     all_ids = np.array([r[0] for r in rows], dtype=np.int64)
     all_mat = np.array(
         [np.round(np.asarray(r[1], dtype=np.float64) * 1_000_000) for r in rows],

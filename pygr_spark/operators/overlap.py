@@ -325,7 +325,10 @@ def closest_join(
     from pyspark.sql import Window
 
     cand = ov.unionByName(before).unionByName(after)
-    w = Window.partitionBy("qid").orderBy("dist", "ds", "de")
+    # partition by the full query row, not just the key: a reused
+    # query_key with several intervals gets one answer per interval
+    # (identical duplicate rows still collapse to one)
+    w = Window.partitionBy("qid", "_qi", "qs", "qe").orderBy("dist", "ds", "de")
     return (
         cand.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -171,19 +171,18 @@ def vocab_coverage(
     membership join for the per-doc tally. The vocabulary (k rows)
     broadcasts; the token stream never joins anything bigger.
     """
-    from pyspark.sql import Window
-
     base = df.filter(F.length(F.trim(F.col(text))) > 0)
     tok = base.select(
         F.col(id_col), F.explode(tokens(F.col(text))).alias("term")
     ).filter(F.length("term") > 0)
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("_tc"))
-    wv = Window.orderBy(F.col("_tc").desc(), F.col("term"))
-    vocab = (
-        counts.withColumn("_r", F.row_number().over(wv))
-        .filter(F.col("_r") <= vocab_k)
-        .select("term")
-    )
+    # orderBy+limit plans as a distributed TakeOrderedAndProject
+    # (per-partition top-k, merge on driver); an unpartitioned
+    # row_number window would funnel every distinct term through ONE
+    # task. Same deterministic total order (count desc, term).
+    vocab = counts.orderBy(F.col("_tc").desc(), F.col("term")).limit(
+        vocab_k
+    ).select("term")
     tagged = tok.join(
         F.broadcast(vocab.withColumn("_in", F.lit(1))), "term", "left"
     )

@@ -38,9 +38,14 @@ _META = "catalog.json"
 
 
 def _safe(name: str) -> str:
-    """Filesystem-safe resource directory name (dots are namespace
-    separators in resource names, keep them readable)."""
-    return "".join(c if (c.isalnum() or c in "._-") else "_" for c in name)
+    """Filesystem-safe, COLLISION-free resource directory name: the
+    readable sanitized form plus a short digest of the exact name —
+    'A.b/c' and 'A.b_c' would otherwise sanitize to the same directory
+    and silently overwrite each other's data."""
+    import hashlib
+
+    readable = "".join(c if (c.isalnum() or c in "._-") else "_" for c in name)
+    return f"{readable}-{hashlib.md5(name.encode()).hexdigest()[:8]}"
 
 
 class DurableCatalog(Catalog):

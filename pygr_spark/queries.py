@@ -2029,11 +2029,13 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = tok.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("doc_freq")
     )
+    # distributed top-k (TakeOrderedAndProject), then rank the 20
+    # survivors — an unpartitioned row_number window would sort the
+    # whole vocabulary in one task
+    top = counts.orderBy(F.col("doc_freq").desc(), F.col("token")).limit(20)
     w = Window.orderBy(F.col("doc_freq").desc(), F.col("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "token", "doc_freq")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "token", "doc_freq"
     )
 
 
@@ -3512,13 +3514,17 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# both sides truncated to MICROSECONDS like the Spark path
+# (timestamp_micros(ts DIV 1000)) — raw TIMESTAMP_NS comparison would
+# diverge on any sub-microsecond event at the 30-minute boundary
 Q_STREAM_JOIN_SQL = """
 SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id,
   CAST(round(r.value * 100) AS BIGINT) AS purchase_cents
 FROM events l JOIN events r
   ON l.user_id = r.user_id
  AND l.event_type = 'click' AND r.event_type = 'purchase'
- AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+ AND epoch_ns(r.ts) // 1000 >= epoch_ns(l.ts) // 1000
+ AND epoch_ns(r.ts) // 1000 <= epoch_ns(l.ts) // 1000 + 1800000000
 """
 
 

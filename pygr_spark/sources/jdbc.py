@@ -102,8 +102,8 @@ def read_sql_table(
         # positional: engines fold the unquoted lo/hi aliases differently
         lower_bound = bounds[0] if lower_bound is None else lower_bound
         upper_bound = bounds[1] if upper_bound is None else upper_bound
-        if lower_bound is None:  # empty table
-            return spark.read.jdbc(url, table, properties=props)
+    if lower_bound is None or upper_bound is None:  # empty table
+        return spark.read.jdbc(url, table, properties=props)
     return spark.read.jdbc(
         url,
         table,
@@ -203,9 +203,17 @@ def upsert_sql_table(
     conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         stmt = conn.createStatement()
-        stmt.executeUpdate(merge)
-        stmt.executeUpdate(f"DROP TABLE {staging}")
-        stmt.close()
+        try:
+            stmt.executeUpdate(merge)
+        finally:
+            # drop staging even when MERGE fails (constraint violation,
+            # engine without ANSI MERGE) — retries must not accumulate
+            # stage tables
+            try:
+                stmt.executeUpdate(f"DROP TABLE {staging}")
+            except Exception:
+                pass
+            stmt.close()
     finally:
         conn.close()
 

@@ -182,3 +182,21 @@ def test_closest_join_matches_brute_force(spark):
             cands.append((dist, ds, de))
         dist, ds, de = min(cands)
         assert got[qid] == (ds, de, dist), (qid, got[qid], (ds, de, dist))
+
+
+def test_closest_join_reused_query_key(spark):
+    """A query_key shared by several intervals yields one answer per
+    interval, not one per key (review finding)."""
+    from pygr_spark.operators.overlap import closest_join
+
+    q = spark.createDataFrame(
+        [(1, "a", 0, 5), (1, "a", 90, 95)], ["qid", "id", "start", "stop"]
+    )
+    d = spark.createDataFrame(
+        [("a", 10, 20), ("a", 80, 85)], ["id", "start", "stop"]
+    )
+    rows = closest_join(q, d, bin_width=8).collect()
+    assert len(rows) == 2
+    got = {(r.q_start, r.q_stop): (r.db_start, r.db_stop, r.dist) for r in rows}
+    assert got[(0, 5)] == (10, 20, 5)
+    assert got[(90, 95)] == (80, 85, 5)

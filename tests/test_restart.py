@@ -111,3 +111,23 @@ def test_catalog_sql_view(spark):
     cat.add_view("Views.Filtered", "SELECT * FROM cat_view_src WHERE id > 1", spark)
     rows = cat("Views.Filtered").collect()
     assert [(r.id, r.v) for r in rows] == [(2, "y")]
+
+
+def test_durable_catalog_name_collision(spark):
+    """Distinct resource names that sanitize to the same readable form
+    must not share a data directory (review finding: 'A.b/c' vs
+    'A.b_c' silently overwrote each other)."""
+    from pygr_spark.plans.durable import _safe
+
+    assert _safe("Genome.hg18/chr1") != _safe("Genome.hg18_chr1")
+
+    root = tempfile.mkdtemp(prefix="pygr_wbase_coll_")
+    from pygr_spark.plans.durable import DurableCatalog
+
+    cat = DurableCatalog(spark, root)
+    df1 = spark.createDataFrame([(1,)], "v long")
+    df2 = spark.createDataFrame([(2,)], "v long")
+    cat.save_resource("A.b/c", df1)
+    cat.save_resource("A.b_c", df2)
+    assert [r.v for r in cat("A.b/c").collect()] == [1]
+    assert [r.v for r in cat("A.b_c").collect()] == [2]
