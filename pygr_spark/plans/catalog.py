@@ -92,3 +92,26 @@ class Catalog:
         if e.relation in ("one:one", "many:one"):
             return joined  # uniqueness is the writer's contract
         return joined
+
+    def auto_join_path(self, source: str, attrs: list[str]) -> DataFrame:
+        """Chained bound attributes — the reference's
+        ``item.nation.region`` attribute walks (ItemDescriptor chains,
+        metabase.py:40-93 applied transitively): each attr hops one
+        declared schema edge, emitting one equi-join per hop. The
+        whole chain is ONE lazy plan, so Catalyst reorders/broadcasts
+        the dimension hops like any star join."""
+        try:
+            e0 = self._edges[(source, attrs[0])]
+        except KeyError:
+            raise KeyError(f"no schema relation {source}.{attrs[0]}") from None
+        out = self.auto_join(source, attrs[0])
+        cur = e0.target
+        for attr in attrs[1:]:
+            try:
+                e = self._edges[(cur, attr)]
+            except KeyError:
+                raise KeyError(f"no schema relation {cur}.{attr}") from None
+            dst = self(e.target)
+            out = out.join(dst, out[e.source_key] == dst[e.target_key])
+            cur = e.target
+        return out

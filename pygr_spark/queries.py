@@ -3117,6 +3117,46 @@ GROUP BY 1
 """
 
 
+def q_catalog_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained bound attributes through the schema graph
+    (supplier.nation.region — metabase ItemDescriptor chains applied
+    transitively): one lazy plan, one equi-join per declared hop,
+    Catalyst broadcasts the dimension hops."""
+    from pygr_spark.plans.catalog import Catalog, SchemaEdge
+
+    cat = Catalog()
+    cat.add_resource("Tpc.Supplier", _t(spark, sf_dir, "supplier"))
+    cat.add_resource("Tpc.Nation", _t(spark, sf_dir, "nation"))
+    cat.add_resource("Tpc.Region", _t(spark, sf_dir, "region"))
+    cat.add_schema(
+        SchemaEdge(
+            "Tpc.Supplier", "nation", "Tpc.Nation",
+            "many:one", "s_nationkey", "n_nationkey",
+        )
+    )
+    cat.add_schema(
+        SchemaEdge(
+            "Tpc.Nation", "region", "Tpc.Region",
+            "many:one", "n_regionkey", "r_regionkey",
+        )
+    )
+    j = cat.auto_join_path("Tpc.Supplier", ["nation", "region"])
+    return j.groupBy(F.col("r_name").alias("region")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(cents(F.col("s_acctbal"))).cast("long").alias("acctbal_cents"),
+    )
+
+
+Q_CATALOG_PATH_SQL = """
+SELECT r_name AS region, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
 def q_motif_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U7 SubqueryGQI OR-semantics (graphquery.py:661-683): the union
     of two alternative motif constraints, deduplicated — path a→b→c
@@ -3528,6 +3568,48 @@ FROM events l JOIN events r
 """
 
 
+def q_overlap_reciprocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-overlap-fraction filter (bedtools -f/-r analog, and
+    the reference's minAlignSize/percentIdentity-style hit filters,
+    nlmsa_utils segment predicates): keep overlapping pairs whose
+    intersection covers >= 50% of BOTH intervals. The fraction
+    predicate rides the binned equi-join as an extra_condition (exact
+    integers: 2*inter >= span)."""
+    from pygr_spark.operators.overlap import overlap_join
+
+    left = _order_ivals(spark, sf_dir)
+    right = _spread(_lineitem_ivals(spark, sf_dir))
+    inter = F.least(F.col("stop"), F.col("stop_r")) - F.greatest(
+        F.col("start"), F.col("start_r")
+    )
+    frac = (inter * 2 >= F.col("stop") - F.col("start")) & (
+        inter * 2 >= F.col("stop_r") - F.col("start_r")
+    )
+    out = overlap_join(
+        left, right, strategy="binned", bin_width=32, extra_condition=frac
+    )
+    return out.select(
+        "id",
+        "o_orderkey",
+        F.col("start").alias("o_start"),
+        F.col("stop").alias("o_stop"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("start_r").alias("l_start"),
+        F.col("stop_r").alias("l_stop"),
+    )
+
+
+Q_OVERLAP_RECIP_SQL = f"""
+SELECT o.id, o.o_orderkey, o.start AS o_start, o.stop AS o_stop,
+  l.l_orderkey, l.l_linenumber, l.start AS l_start, l.stop AS l_stop
+FROM ({_ORDER_IVALS_SQL}) o JOIN ({_LINEITEM_IVALS_SQL}) l
+  ON o.id = l.id AND o.start < l.stop AND l.start < o.stop
+ AND 2 * (LEAST(o.stop, l.stop) - GREATEST(o.start, l.start)) >= o.stop - o.start
+ AND 2 * (LEAST(o.stop, l.stop) - GREATEST(o.start, l.start)) >= l.stop - l.start
+"""
+
+
 def q_closest_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-feature join (bedtools-closest analog): for each query
     interval the closest lineitem interval on the same id — overlap
@@ -3674,6 +3756,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keyword_search": q_keyword_search,
     "vocab_coverage": q_vocab_coverage,
     "closest_interval": q_closest_interval,
+    "catalog_path": q_catalog_path,
+    "overlap_reciprocal": q_overlap_reciprocal,
     # every entry below is ALSO oracled (see ORACLES) except
     # approx_aggs, whose sketches are engine-specific → rows-only
     "stream_gap_merge": q_stream_gap_merge,
@@ -3747,6 +3831,8 @@ ORACLES: dict[str, str] = {
     "keyword_search": Q_KEYWORD_SEARCH_SQL,
     "vocab_coverage": Q_VOCAB_COVERAGE_SQL,
     "closest_interval": Q_CLOSEST_SQL,
+    "catalog_path": Q_CATALOG_PATH_SQL,
+    "overlap_reciprocal": Q_OVERLAP_RECIP_SQL,
     "pagerank": Q_PAGERANK_SQL,
     "connected_components": Q_CONNECTED_COMPONENTS_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,

@@ -131,3 +131,24 @@ def test_durable_catalog_name_collision(spark):
     cat.save_resource("A.b_c", df2)
     assert [r.v for r in cat("A.b/c").collect()] == [1]
     assert [r.v for r in cat("A.b_c").collect()] == [2]
+
+
+def test_auto_join_path(spark, sf_dir):
+    """Chained bound attributes: supplier.nation.region resolves two
+    schema hops into one plan (ItemDescriptor chains)."""
+    import pytest
+
+    from pygr_spark.plans.catalog import Catalog, SchemaEdge
+
+    cat = Catalog()
+    cat.add_resource("T.S", spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")))
+    cat.add_resource("T.N", spark.read.parquet(os.path.join(sf_dir, "nation.parquet")))
+    cat.add_resource("T.R", spark.read.parquet(os.path.join(sf_dir, "region.parquet")))
+    cat.add_schema(SchemaEdge("T.S", "nation", "T.N", "many:one", "s_nationkey", "n_nationkey"))
+    cat.add_schema(SchemaEdge("T.N", "region", "T.R", "many:one", "n_regionkey", "r_regionkey"))
+    j = cat.auto_join_path("T.S", ["nation", "region"])
+    n_sup = cat("T.S").count()
+    assert j.count() == n_sup  # many:one hops preserve cardinality
+    assert "r_name" in j.columns and "s_name" in j.columns
+    with pytest.raises(KeyError):
+        cat.auto_join_path("T.S", ["nation", "bogus"])
