@@ -140,6 +140,18 @@ def test_dedup_clusters_keyed_joins_only(spark, sf_dir):
     assert "BatchEvalPython" not in p
 
 
+def test_closest_interval_plan_shape(spark, sf_dir):
+    # binned hash join for the overlap leg, running windows for the
+    # as-of flank legs, WindowGroupLimit (top-1 pushdown) for the
+    # final argmin; never a cartesian/nested-loop or Python stage
+    p = plan_of(QUERIES["closest_interval"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p
+    assert "WindowGroupLimit" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_asof_join_is_single_window_no_join(spark, sf_dir):
     # the union+running-window form must not plan any join operator
     p = plan_of(QUERIES["asof_join"](spark, sf_dir))
