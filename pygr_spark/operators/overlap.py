@@ -342,3 +342,105 @@ def closest_join(
             "dist",
         )
     )
+
+
+def subtract_join(
+    query: DataFrame,
+    db: DataFrame,
+    query_key: str = "qid",
+    id_col: str = "id",
+    start: str = "start",
+    stop: str = "stop",
+    strategy: str = "binned",
+    bin_width: int | str = "auto",
+) -> DataFrame:
+    """Interval subtraction (bedtools-subtract analog; the set
+    complement U3 of pygr's interval algebra lifted to a join): each
+    query interval minus the union of all overlapping db intervals on
+    the same id, emitted as the surviving fragments
+    (qid, id, frag_start, frag_stop). Queries with no overlap pass
+    through whole; fully-covered queries vanish.
+
+    Scale shape: overlap candidates from the binned equi-join; per
+    query the clipped hits are merged with one gaps-and-islands window
+    pass (keyed on the query row — no skew wider than one query's hit
+    list); fragments fall out of a lag() over the merged islands. The
+    no-hit passthrough is a left_anti on the same join keys.
+    """
+    q = query.select(
+        F.col(query_key).alias("qid"),
+        F.col(id_col).alias("_qi"),
+        F.col(start).cast("long").alias("qs"),
+        F.col(stop).cast("long").alias("qe"),
+    )
+    d = db.select(
+        F.col(id_col).alias("_di"),
+        F.col(start).cast("long").alias("ds"),
+        F.col(stop).cast("long").alias("de"),
+    )
+    ov = overlap_join(
+        q,
+        d,
+        left_id="_qi",
+        left_start="qs",
+        left_stop="qe",
+        right_id="_di",
+        right_start="ds",
+        right_stop="de",
+        strategy=strategy,
+        bin_width=bin_width,
+    ).select(
+        "qid",
+        "_qi",
+        "qs",
+        "qe",
+        F.greatest("ds", "qs").alias("cs"),
+        F.least("de", "qe").alias("ce"),
+    )
+
+    from pyspark.sql import Window
+
+    # merge the clipped hits per query row: materialize ONE row order
+    # and drive both window passes from it (duplicate (cs, ce) keys
+    # would otherwise fracture islands nondeterministically)
+    keys = ["qid", "_qi", "qs", "qe"]
+    wn = Window.partitionBy(*keys).orderBy("cs", "ce")
+    numbered = ov.withColumn("_rn", F.row_number().over(wn))
+    wrn = Window.partitionBy(*keys).orderBy("_rn")
+    run = numbered.withColumn(
+        "_maxce",
+        F.max("ce").over(wrn.rowsBetween(Window.unboundedPreceding, -1)),
+    ).withColumn(
+        "_new", F.when(F.col("cs") > F.coalesce("_maxce", F.lit(-(1 << 62))), 1).otherwise(0)
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(wrn.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = run.groupBy(*keys, "_island").agg(
+        F.min("cs").alias("is_"), F.max("ce").alias("ie")
+    )
+    wi = Window.partitionBy(*keys).orderBy("is_", "ie")
+    mids = islands.withColumn(
+        "_prev_ie", F.lag("ie").over(wi)
+    ).select(
+        *keys,
+        F.coalesce("_prev_ie", F.col("qs")).alias("frag_start"),
+        F.col("is_").alias("frag_stop"),
+    )
+    tails = islands.groupBy(*keys).agg(F.max("ie").alias("frag_start")).select(
+        *keys, "frag_start", F.col("qe").alias("frag_stop")
+    )
+    no_hit = q.join(
+        ov.select(*keys).distinct(), keys, "left_anti"
+    ).select(*keys, F.col("qs").alias("frag_start"), F.col("qe").alias("frag_stop"))
+    return (
+        mids.unionByName(tails)
+        .unionByName(no_hit)
+        .filter(F.col("frag_start") < F.col("frag_stop"))
+        .select(
+            "qid",
+            F.col("_qi").alias(id_col),
+            "frag_start",
+            "frag_stop",
+        )
+    )
