@@ -55,13 +55,15 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read ns-as-long (runtime conf, safe to set in the
-    driver's session too) and expose ``ts_sec`` (bigint, truncated) +
-    ``ts_ts`` (timestamp at µs precision) alongside the raw ``ts`` ns.
-    """
+    """events.parquet has shipped ``ts`` as TIMESTAMP(NANOS) and as
+    timestamp[us] across testdata generations; ``normalize_event_ts``
+    folds both to the engine contract — raw ``ts`` ns (bigint) — and
+    this reader adds ``ts_sec`` (bigint, truncated) + ``ts_ts``
+    (timestamp at µs precision)."""
+    from pygr_spark.streaming.events import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
+    ev = normalize_event_ts(_t(spark, sf_dir, "events"))
     return ev.withColumn(
         "ts_sec", F.expr("CAST(ts DIV 1000000000 AS BIGINT)")
     ).withColumn("ts_ts", F.timestamp_micros(F.expr("ts DIV 1000")))

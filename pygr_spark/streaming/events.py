@@ -25,9 +25,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events table's ``ts`` column to ns-since-epoch
+    (bigint) regardless of how the parquet shipped it.
+
+    The driver's testdata has carried ``ts`` as TIMESTAMP(NANOS)
+    (which Spark reads as a ns long under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and, in newer
+    generations, as timestamp[us] (read as TIMESTAMP_NTZ). Every
+    engine operator assumes the ns-long contract, so convert the
+    timestamp flavors here. The NTZ→instant cast is pinned to UTC via
+    the session timezone so the integers match DuckDB's ``epoch_ns``
+    (which treats naive timestamps as UTC) on any driver machine."""
+    dt = dict(df.dtypes).get("ts", "")
+    if dt.startswith("timestamp"):
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the driver's events.parquet with a
-    proper event-time column (nanos → timestamp)."""
+    proper event-time column (ns long → timestamp)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
     batch = spark.read.parquet(src)
@@ -35,7 +56,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file through a temp dir of symlinks (testdata is read-only)
     d = tempfile.mkdtemp(prefix="pygr_spark_stream_")
     os.symlink(src, os.path.join(d, "events.parquet"))
-    stream = spark.readStream.schema(batch.schema).parquet(d)
+    stream = normalize_event_ts(spark.readStream.schema(batch.schema).parquet(d))
     return stream.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 

@@ -5,6 +5,7 @@ equivalence)."""
 from pyspark.sql import functions as F
 
 from pygr_spark.streaming.events import (
+    normalize_event_ts,
     read_events_stream,
     run_stream_to_table,
     session_counts,
@@ -31,9 +32,9 @@ def test_interval_join_streams_matches_batch(spark, sf_dir):
     assert j.isStreaming
     got = run_stream_to_table(j, spark, mode="append")
 
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    batch = normalize_event_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
     b = batch.alias("l").join(
         batch.alias("r"),
         (F.col("l.user_id") == F.col("r.user_id"))
@@ -56,9 +57,9 @@ def test_tumbling_counts_match_batch(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     got = run_stream_to_table(tumbling_counts(stream), spark)
 
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    batch = normalize_event_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
     want = (
         batch.groupBy(F.window("event_time", "5 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
