@@ -53,6 +53,10 @@ HEADLINE = [
     "embed_near_dup",
     "tfidf_terms",
     "closest_interval",
+    "decontaminate",
+    "chunk_dedup",
+    "repetition_stats",
+    "bm25_search",
 ]
 
 #: timings are min-of-N to damp shared-machine noise (observed ±50%

@@ -261,3 +261,74 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
     return df.filter(F.length(F.trim(F.col(text))) > 0).select(
         F.col(id_col), fp.alias("fingerprint")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """BM25 retrieval: top-k documents per query, scored with the
+    standard Okapi weighting at k1=1.2, b=0.75 — expressed entirely in
+    exact integer arithmetic so any SQL engine reproduces the ranking
+    bit-for-bit (same convention as :func:`tfidf_top_terms`: idf is
+    ``(N*TFIDF_SCALE) DIV df``, no logarithm, order-preserving).
+
+    The tf-saturation factor ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+    is rationalized with k1=6/5, b=3/4, avgdl=total/N and scaled to
+    per-mille::
+
+        sat1000 = (22000*total*tf) DIV (10*total*tf + 3*total + 9*dl*N)
+        score   = sum over query terms of idf * sat1000
+
+    Intermediates stay under 2^63 for corpora up to ~1e12 tokens
+    (22000·total·tf needs total·tf < 4e14).
+
+    Scale shape mirrors keyword_search_topk: doc lengths come from one
+    full-corpus pass (groupBy doc — one shuffle), the tf/df work runs
+    only on the broadcast-filtered query-term stream, and the final
+    per-query top-k is a window over (query, score). No all-pairs.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(F.length(F.trim(F.col(text))) > 0)
+    qterms = queries.select("query_id", F.lower(F.col("term")).alias("term"))
+    distinct_terms = F.broadcast(qterms.select("term").distinct())
+    tok = base.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("term")).filter(
+        F.length("term") > 0
+    )
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    totals = dl.agg(
+        F.sum("dl").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    tf = (
+        tok.join(distinct_terms, "term")  # broadcast semi-filter, pre-agg
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+        .withColumn("idf", F.expr(f"(_n * {TFIDF_SCALE}) DIV df"))
+        .withColumn(
+            "sat1000",
+            F.expr(
+                "(22000 * _total * tf) DIV "
+                "(10 * _total * tf + 3 * _total + 9 * dl * _n)"
+            ),
+        )
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("idf") * F.col("sat1000")).cast("long").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score")
+    )

@@ -3684,6 +3684,330 @@ FROM supplier
 """
 
 
+# ---------------------------------------------------------------------------
+# training-pipeline ops round 3: decontamination, chunk dedup,
+# repetition signals, stratified split, corpus mixing, PII scrub, BM25
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id % 37 != 0)
+    sharing any 8-gram with the held-out benchmark subset
+    (doc_id % 37 == 0) — the eval-leak check run before training.
+    One equi-join on the shingle string, benchmark side broadcast."""
+    from pygr_spark.operators.pipeline import decontaminate
+
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return decontaminate(corpus, bench, n=8)
+
+
+Q_DECONTAMINATE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(range(1, len(t)-6),
+           i -> array_to_string(list_slice(t, i, i+7), ' ')))) AS s
+  FROM base WHERE len(t) >= 8
+), c AS (SELECT doc_id, s FROM sh WHERE doc_id % 37 <> 0),
+b AS (SELECT doc_id AS bid, s FROM sh WHERE doc_id % 37 = 0),
+per_pair AS (
+  SELECT c.doc_id, b.bid, CAST(count(*) AS BIGINT) AS shared
+  FROM c JOIN b USING (s) GROUP BY 1, 2
+)
+SELECT doc_id,
+  CAST(sum(shared) AS BIGINT) AS n_hit_shingles,
+  CAST(count(*) AS BIGINT) AS n_bench_docs,
+  CAST(max(shared) AS BIGINT) AS max_bench_overlap
+FROM per_pair GROUP BY doc_id
+"""
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-chunk removal (C4 line-dedup shape with
+    8-token chunks as the line unit): drop chunks occurring in >1
+    distinct doc, reassemble survivors in document order."""
+    from pygr_spark.operators.pipeline import chunk_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return chunk_dedup(docs, chunk_tokens=8, max_docs=1)
+
+
+Q_CHUNK_DEDUP_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), ch AS (
+  SELECT doc_id,
+    list_transform(range(1, len(t)+1, 8),
+                   i -> array_to_string(list_slice(t, i, i+7), ' ')) AS chunks
+  FROM base
+), cr AS (
+  SELECT doc_id, i AS cidx, chunks[i] AS chunk
+  FROM ch, unnest(range(1, len(chunks)+1)) AS u(i)
+), freq AS (
+  SELECT chunk, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+  FROM cr GROUP BY chunk
+), marked AS (
+  SELECT cr.doc_id, cr.cidx, cr.chunk, freq.ndocs <= 1 AS keep
+  FROM cr JOIN freq USING (chunk)
+)
+SELECT doc_id,
+  COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY cidx), '')
+    AS clean_text,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM marked GROUP BY doc_id
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: per-doc fraction of
+    tokens in the most frequent token / bigram / trigram. All exact
+    ints + one derived double."""
+    from pygr_spark.operators.pipeline import repetition_stats
+
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return repetition_stats(docs)
+
+
+Q_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), uni AS (
+  SELECT doc_id, unnest(t) AS g FROM base
+), bi AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         i -> t[i] || ' ' || t[i+1])) AS g FROM base WHERE len(t) >= 2
+), tri AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM base WHERE len(t) >= 3
+), a1 AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS top_n, CAST(sum(n) AS BIGINT) AS tot
+  FROM (SELECT doc_id, g, count(*) AS n FROM uni GROUP BY 1, 2) GROUP BY doc_id
+), a2 AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS top_n, CAST(sum(n) AS BIGINT) AS tot
+  FROM (SELECT doc_id, g, count(*) AS n FROM bi GROUP BY 1, 2) GROUP BY doc_id
+), a3 AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS top_n, CAST(sum(n) AS BIGINT) AS tot
+  FROM (SELECT doc_id, g, count(*) AS n FROM tri GROUP BY 1, 2) GROUP BY doc_id
+)
+SELECT a1.doc_id,
+  a1.top_n AS top_token_n, a1.tot AS n_tokens,
+  a1.top_n / a1.tot AS top_token_frac,
+  CAST(COALESCE(a2.top_n, 0) AS BIGINT) AS top_bigram_n,
+  CAST(COALESCE(a2.tot, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(a3.top_n, 0) AS BIGINT) AS top_trigram_n,
+  CAST(COALESCE(a3.tot, 0) AS BIGINT) AS n_trigrams
+FROM a1 LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+"""
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split (80/10/10 by
+    md5 bucket of doc_id) — per-(source, split) counts verify the
+    stratification is hash-stable, engine-portable, shuffle-free."""
+    from pygr_spark.operators.pipeline import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, cuts=(800, 900), buckets=1000)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+Q_TRAIN_SPLIT_SQL = """
+WITH d AS (
+  SELECT source, n_chars,
+    (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000) AS bucket
+  FROM documents
+)
+SELECT source,
+  CASE WHEN bucket < 800 THEN 'train'
+       WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM d GROUP BY 1, 2
+"""
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: per-source hash-gated keep rates
+    (rate‰ = 1000 - 47·source_number) — deterministic downsampling
+    that reweights the mixture without RNG state; per-source kept
+    counts summarize the mix."""
+    from pygr_spark.operators.pipeline import corpus_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {f"src{i}": max(0, 1000 - 47 * i) for i in range(64)}
+    mixed = corpus_mix(docs, rates, default_rate=500)
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+
+
+Q_CORPUS_MIX_SQL = """
+WITH d AS (
+  SELECT source, n_chars,
+    (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000) AS bucket,
+    GREATEST(0, 1000 - 47 * CAST(substr(source, 4) AS INT)) AS rate
+  FROM documents
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM d WHERE bucket < rate GROUP BY source
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII extraction + redaction over text with deterministically
+    planted PII (the raw synthetic corpus contains none): emails /
+    IPv4s / phone numbers derived from doc_id land in one third of
+    docs each, then pii_stats counts and redacts them. Pure JVM-side
+    regexp projections."""
+    from pygr_spark.operators.pipeline import pii_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@"),
+                    F.col("source"),
+                    F.lit(".com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 3 == 1,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 3 == 2,
+                F.concat(
+                    F.lit(" tel +1555"),
+                    F.lpad((did % 10000).cast("string"), 7, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_stats(planted)
+
+
+Q_PII_SCRUB_SQL = r"""
+WITH planted AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0
+         THEN ' contact user'||CAST(doc_id AS VARCHAR)||'@'||source||'.com'
+         ELSE '' END ||
+    CASE WHEN doc_id % 3 = 1
+         THEN ' host 10.0.'||CAST(doc_id % 256 AS VARCHAR)||'.'
+              ||CAST((doc_id * 7) % 256 AS VARCHAR)
+         ELSE '' END ||
+    CASE WHEN doc_id % 3 = 2
+         THEN ' tel +1555'||lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+         ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t, '\+\d[\d-]{7,14}\d')) AS BIGINT) AS n_phone,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+    '\+\d[\d-]{7,14}\d', '<PHONE>', 'g') AS redacted
+FROM planted
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) in exact integer arithmetic:
+    top-10 docs per query; tf-saturation and length normalization as
+    integer rationals so the ranking is engine-deterministic."""
+    from pygr_spark.operators.textstats import bm25_topk
+
+    qrows = [(qid, t) for qid, terms in _SEARCH_QUERIES for t in terms]
+    queries = spark.createDataFrame(qrows, "query_id long, term string")
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return bm25_topk(docs, queries, k=10)
+
+
+def _bm25_search_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _SEARCH_QUERIES for t in terms
+    )
+    return rf"""
+WITH q(query_id, term) AS (
+  VALUES {vals}
+), base AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM base
+), ftok AS (
+  SELECT doc_id, term FROM tok WHERE length(term) > 0
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ftok GROUP BY doc_id
+), totals AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ftok WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT q.query_id, t.doc_id,
+    CAST(sum(((totals.n * 1000000) // d.df) *
+      ((22000 * totals.total * t.tf) //
+       (10 * totals.total * t.tf + 3 * totals.total + 9 * dl.dl * totals.n)))
+      AS BIGINT) AS score
+  FROM tf t JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN totals JOIN q ON q.term = t.term
+  GROUP BY q.query_id, t.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -3771,6 +4095,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessions": q_stream_sessions,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
+    "decontaminate": q_decontaminate,
+    "chunk_dedup": q_chunk_dedup,
+    "repetition_stats": q_repetition_stats,
+    "train_split": q_train_split,
+    "corpus_mix": q_corpus_mix,
+    "pii_scrub": q_pii_scrub,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -3837,6 +4168,13 @@ ORACLES: dict[str, str] = {
     "overlap_reciprocal": Q_OVERLAP_RECIP_SQL,
     "pagerank": Q_PAGERANK_SQL,
     "connected_components": Q_CONNECTED_COMPONENTS_SQL,
+    "decontaminate": Q_DECONTAMINATE_SQL,
+    "chunk_dedup": Q_CHUNK_DEDUP_SQL,
+    "repetition_stats": Q_REPETITION_SQL,
+    "train_split": Q_TRAIN_SPLIT_SQL,
+    "corpus_mix": Q_CORPUS_MIX_SQL,
+    "pii_scrub": Q_PII_SCRUB_SQL,
+    "bm25_search": _bm25_search_sql(),
     "minhash_near_dups": Q_MINHASH_SQL,
     "simhash_near_dups": Q_SIMHASH_SQL,
     "lsh_ann": Q_LSH_ANN_SQL,

@@ -1,0 +1,167 @@
+"""Unit tests for the training-pipeline operators (decontamination,
+chunk dedup, repetition signals, splits, mixing, PII) on literal
+fixtures with hand-computed goldens."""
+
+from pyspark.sql import functions as F
+
+from pygr_spark.operators.pipeline import (
+    chunk_dedup,
+    corpus_mix,
+    decontaminate,
+    hash_split,
+    pii_stats,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_shared_ngram(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h unique tail words here"),
+            (2, "totally different words with no overlap at all"),
+        ],
+    )
+    bench = _docs(spark, [(100, "x y a b c d e f g h z")])
+    out = decontaminate(corpus, bench, n=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    # corpus doc 1 shares exactly 'a b c d e f g h' (one 8-gram)
+    assert (r.doc_id, r.n_hit_shingles, r.n_bench_docs, r.max_bench_overlap) == (
+        1,
+        1,
+        1,
+        1,
+    )
+
+
+def test_decontaminate_empty_when_clean(spark):
+    corpus = _docs(spark, [(1, "a b c d e f g h")])
+    bench = _docs(spark, [(100, "p q r s t u v w")])
+    assert decontaminate(corpus, bench, n=8).count() == 0
+
+
+def test_chunk_dedup_removes_cross_doc_chunk(spark):
+    shared = "one two three four"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{shared} alpha beta gamma delta"),
+            (2, f"{shared} epsilon zeta eta theta"),
+            (3, "solo only tokens here nothing shared at all"),
+        ],
+    )
+    out = {
+        r.doc_id: r for r in chunk_dedup(docs, chunk_tokens=4, max_docs=1).collect()
+    }
+    # the shared 4-token chunk is dropped from both docs; unique chunks kept
+    assert out[1].clean_text == "alpha beta gamma delta"
+    assert out[2].clean_text == "epsilon zeta eta theta"
+    assert (out[1].n_chunks, out[1].n_kept) == (2, 1)
+    # doc 3: two chunks, both unique, order preserved on reassembly
+    assert out[3].clean_text == "solo only tokens here nothing shared at all"
+    assert (out[3].n_chunks, out[3].n_kept) == (2, 2)
+
+
+def test_chunk_dedup_all_dropped_yields_empty(spark):
+    docs = _docs(spark, [(1, "a b c d"), (2, "a b c d")])
+    out = {r.doc_id: r for r in chunk_dedup(docs, chunk_tokens=4).collect()}
+    assert out[1].clean_text == "" and out[1].n_kept == 0
+
+
+def test_repetition_stats_golden(spark):
+    docs = _docs(spark, [(1, "x x x y"), (2, "a b a b a")])
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    # doc 1: top token x=3 of 4; bigrams: 'x x'(2), 'x y'(1) -> top 2 of 3
+    assert (out[1].top_token_n, out[1].n_tokens) == (3, 4)
+    assert (out[1].top_bigram_n, out[1].n_bigrams) == (2, 3)
+    # doc 2: trigrams 'a b a'(2), 'b a b'(1) -> top 2 of 3
+    assert (out[2].top_trigram_n, out[2].n_trigrams) == (2, 3)
+    assert out[1].top_token_frac == 0.75
+
+
+def test_repetition_stats_short_doc_coalesces(spark):
+    out = repetition_stats(_docs(spark, [(1, "solo")])).collect()[0]
+    assert (out.top_token_n, out.n_tokens) == (1, 1)
+    assert (out.top_bigram_n, out.n_bigrams) == (0, 0)
+    assert (out.top_trigram_n, out.n_trigrams) == (0, 0)
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    docs = _docs(spark, [(i, "t") for i in range(500)])
+    a = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    assert a == b  # stable across runs
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert sum(counts.values()) == 500  # partition: nothing lost
+
+
+def test_hash_split_stable_under_growth(spark):
+    """A doc's split never changes when the corpus grows — the reason
+    to hash rather than sample."""
+    small = hash_split(_docs(spark, [(i, "t") for i in range(100)]))
+    big = hash_split(_docs(spark, [(i, "t") for i in range(1000)]))
+    s = {r.doc_id: r.split for r in small.collect()}
+    g = {r.doc_id: r.split for r in big.collect()}
+    assert all(g[k] == v for k, v in s.items())
+
+
+def test_corpus_mix_rates(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", "keep" if i % 2 == 0 else "drop") for i in range(400)],
+        "doc_id long, text string, source string",
+    )
+    out = corpus_mix(docs, {"keep": 1000, "drop": 0})
+    got = out.groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in got} == {"keep": 200}
+    # unknown source falls back to default_rate
+    half = corpus_mix(docs, {}, default_rate=500).count()
+    assert 0 < half < 400
+
+
+def test_pii_stats_counts_and_redacts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail a.user@example.org and 10.1.2.3 plus +1-555-123-4567 ok"),
+            (2, "clean text with no sensitive content"),
+        ],
+    )
+    out = {r.doc_id: r for r in pii_stats(docs).collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1)
+    assert "<EMAIL>" in out[1].redacted
+    assert "<IPV4>" in out[1].redacted
+    assert "<PHONE>" in out[1].redacted
+    assert "a.user@example.org" not in out[1].redacted
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
+    assert out[2].redacted == "clean text with no sensitive content"
+
+
+def test_bm25_prefers_higher_tf_and_shorter_docs(spark):
+    from pygr_spark.operators.textstats import bm25_topk
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spark spark spark filler filler"),
+            (2, "spark filler filler filler filler"),
+            (3, "spark " + "pad " * 40),
+            (4, "nothing relevant here"),
+        ],
+    )
+    queries = spark.createDataFrame([(1, "spark")], "query_id long, term string")
+    out = bm25_topk(docs, queries, k=10).orderBy("rank").collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1  # highest tf wins
+    assert 4 not in ids  # no hit, no row
+    # same tf=1: the shorter doc (2) outranks the longer doc (3)
+    assert ids.index(2) < ids.index(3)
+    assert all(out[i].score >= out[i + 1].score for i in range(len(out) - 1))
