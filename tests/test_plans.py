@@ -158,3 +158,59 @@ def test_asof_join_is_single_window_no_join(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "Join" not in p  # no join at all: union + window + filter
     assert "Window" in p
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark (eval-set) side is tiny by contract — the shingle
+    equi-join must broadcast it, and nothing may nested-loop."""
+    p = plan_of(QUERIES["decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "PythonUDF" not in p
+
+
+def test_chunk_dedup_keyed_joins_only(spark, sf_dir):
+    p = plan_of(QUERIES["chunk_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "PythonUDF" not in p
+
+
+def test_repetition_stats_single_doc_key_shuffles(spark, sf_dir):
+    """All aggregation keys start with the doc id — no cross-doc
+    shuffle key anywhere, no Python."""
+    p = plan_of(QUERIES["repetition_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "PythonUDF" not in p
+
+
+def test_train_split_is_shuffle_free_projection(spark, sf_dir):
+    """hash_split adds no exchange before the summary groupBy: one
+    shuffle total (the aggregate), nothing else."""
+    from pygr_spark.operators.pipeline import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(hash_split(docs))
+    assert "Exchange" not in p  # pure per-row projection
+    assert "PythonUDF" not in p
+
+
+def test_bm25_broadcasts_terms_and_stats(spark, sf_dir):
+    """Query terms, df, and corpus totals ride broadcasts; the only
+    big-side shuffles are the per-doc aggregations."""
+    p = plan_of(QUERIES["bm25_search"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    # exactly one nested-loop join is allowed: the broadcast of the
+    # single-row corpus totals (N, total tokens) — a constant join
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "PythonUDF" not in p
+
+
+def test_pii_scrub_is_scan_project_only(spark, sf_dir):
+    p = plan_of(QUERIES["pii_scrub"](spark, sf_dir))
+    assert "Exchange" not in p  # no shuffle at all
+    assert "PythonUDF" not in p
+    # column pruning: only doc_id, text, source feed the projection
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in p
