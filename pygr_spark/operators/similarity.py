@@ -473,3 +473,59 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    levels: int = 255,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension min-max scalar quantization of an embedding
+    column to ``levels`` integer codes (int8 at 255) — the compression
+    step an at-scale ANN index (IVF-SQ/PQ family) applies before
+    storing vectors; reports per-vector reconstruction error so a
+    pipeline can gate on quantization quality.
+
+    Everything is exact integer arithmetic over embedding mills
+    (``round(x*scale)``, the repo-wide convention), so results are
+    engine-deterministic: code ``q = (xi-mn)*levels DIV (mx-mn)``,
+    reconstruction ``mn + (q*(mx-mn) + levels DIV 2) DIV levels``.
+    All intermediates are non-negative, making Spark's truncating
+    ``DIV`` and ANSI floor division agree.
+
+    Returns ``(id, n_dims, q_sum, sq_err)`` where ``sq_err`` is the
+    summed squared reconstruction error in mills².
+
+    Scale shape: one posexplode (linear), a 30-ish-row per-dimension
+    stats aggregate that broadcasts back, and a per-vector regroup —
+    two shuffles total, the second on the high-cardinality vector id.
+    No driver-side collect; stats stay in the plan.
+    """
+    e = emb.select(
+        F.col(id_col).alias("_vid"), F.posexplode(vec).alias("_pos", "_x")
+    ).withColumn(
+        "_xi", F.round(F.col("_x").cast("double") * scale).cast("long")
+    )
+    stats = e.groupBy("_pos").agg(
+        F.min("_xi").alias("_mn"), F.max("_xi").alias("_mx")
+    )
+    j = e.join(F.broadcast(stats), "_pos").withColumn(
+        "_q",
+        F.when(
+            F.col("_mx") > F.col("_mn"),
+            F.expr(f"((_xi - _mn) * {levels}) DIV (_mx - _mn)"),
+        ).otherwise(F.lit(0)),
+    )
+    r = j.withColumn(
+        "_recon",
+        F.expr(f"_mn + (_q * (_mx - _mn) + {levels // 2}) DIV {levels}"),
+    )
+    return r.groupBy("_vid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.sum("_q").cast("long").alias("q_sum"),
+        F.sum((F.col("_xi") - F.col("_recon")) * (F.col("_xi") - F.col("_recon")))
+        .cast("long")
+        .alias("sq_err"),
+    ).withColumnRenamed("_vid", id_col)

@@ -4008,6 +4008,86 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
 """
 
 
+def q_quantize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus with exact
+    integer codes and reconstruction error (the IVF-SQ compression
+    step) — per-dim stats broadcast back, two shuffles, no collect."""
+    from pygr_spark.operators.similarity import quantize_embeddings
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    return quantize_embeddings(emb, levels=255)
+
+
+Q_QUANTIZE_EMB_SQL = """
+WITH e AS (
+  SELECT vec_id, i AS pos,
+    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+  FROM embeddings, unnest(range(1, len(embedding)+1)) AS u(i)
+), stats AS (
+  SELECT pos, min(xi) AS mn, max(xi) AS mx FROM e GROUP BY pos
+), j AS (
+  SELECT vec_id, xi, mn, mx,
+    CASE WHEN mx > mn THEN ((xi - mn) * 255) // (mx - mn) ELSE 0 END AS q
+  FROM e JOIN stats USING (pos)
+), r AS (
+  SELECT vec_id, q, xi, mn + (q * (mx - mn) + 127) // 255 AS recon FROM j
+)
+SELECT vec_id,
+  CAST(count(*) AS BIGINT) AS n_dims,
+  CAST(sum(q) AS BIGINT) AS q_sum,
+  CAST(sum((xi - recon) * (xi - recon)) AS BIGINT) AS sq_err
+FROM r GROUP BY vec_id
+"""
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed top-k: a real availableNow run aggregating
+    per-user counts in 15-minute tumbling windows (keyed state =
+    (window, user)), then a batch top-3-per-window rank over the
+    drained table — the two-stage shape a production leaderboard
+    pipeline uses. Complete-mode drain == the batch aggregate, so the
+    SQL oracle is exact."""
+    from pygr_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    counts = (
+        ev.withWatermark("event_time", "30 minutes")
+        .groupBy(F.window("event_time", "15 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    t = run_stream_to_table(counts, spark)
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("user_id")
+    )
+    return (
+        t.select(
+            F.unix_seconds(F.col("window.start")).cast("long").alias("win_start"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+Q_STREAM_TOPK_SQL = """
+WITH c AS (
+  SELECT CAST((epoch_ns(ts) // 1000000000) // 900 * 900 AS BIGINT) AS win_start,
+         user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT win_start, user_id, n_events,
+    CAST(row_number() OVER (PARTITION BY win_start
+                            ORDER BY n_events DESC, user_id) AS BIGINT) AS rank
+  FROM c
+)
+SELECT win_start, user_id, n_events, rank FROM r WHERE rank <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -4102,6 +4182,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix": q_corpus_mix,
     "pii_scrub": q_pii_scrub,
     "bm25_search": q_bm25_search,
+    "quantize_emb": q_quantize_emb,
+    "stream_topk": q_stream_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -4175,6 +4257,8 @@ ORACLES: dict[str, str] = {
     "corpus_mix": Q_CORPUS_MIX_SQL,
     "pii_scrub": Q_PII_SCRUB_SQL,
     "bm25_search": _bm25_search_sql(),
+    "quantize_emb": Q_QUANTIZE_EMB_SQL,
+    "stream_topk": Q_STREAM_TOPK_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,
     "simhash_near_dups": Q_SIMHASH_SQL,
     "lsh_ann": Q_LSH_ANN_SQL,

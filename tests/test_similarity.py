@@ -59,3 +59,33 @@ def test_ivf_topk(spark):
     # partial probe still finds the planted neighbor (same list w.h.p.)
     part = ivf_topk(vecs, queries, n_centroids=8, n_probe=3, k=3).collect()
     assert any(r.vec_id == 100 and r.rank == 1 for r in part)
+
+
+def test_quantize_embeddings_golden(spark):
+    from pygr_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [0.001, 0.0]), (3, [0.0005, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(emb, levels=255).collect()}
+    # dim0 mills: {0, 1000, 500} -> codes {0, 255, 127}
+    # dim1 mills: {0, 1000000, 500000} -> codes {0, 255, 127}
+    assert out[1].n_dims == 2 and out[2].n_dims == 2
+    assert out[1].q_sum == 0 + 255  # min dim0, max dim1
+    assert out[2].q_sum == 255 + 0
+    # extremes reconstruct exactly -> zero error for vecs 1 and 2
+    assert out[1].sq_err == 0 and out[2].sq_err == 0
+    # midpoint: code 127 reconstructs to (127*1000+127)//255 = 498,
+    # err 2 on dim0; (127*1000000+127)//255 = 498039, err 1961 on dim1
+    assert out[3].sq_err == 2 * 2 + 1961 * 1961
+
+
+def test_quantize_constant_dim_is_code_zero(spark):
+    from pygr_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [3.0]), (2, [3.0])], "vec_id long, embedding array<float>"
+    )
+    out = quantize_embeddings(emb).collect()
+    assert all(r.q_sum == 0 and r.sq_err == 0 for r in out)
