@@ -299,7 +299,13 @@ def bm25_topk(
     tok = base.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("term")).filter(
         F.length("term") > 0
     )
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    # doc length is the token-array size — a projection, NOT an
+    # explode+groupBy (split of trimmed non-empty text on \s+ yields
+    # no empty tokens, so this equals count(*) over the token stream);
+    # saves one full-corpus shuffle
+    dl = base.select(
+        F.col(id_col), F.size(tokens(F.col(text))).cast("long").alias("dl")
+    )
     totals = dl.agg(
         F.sum("dl").cast("long").alias("_total"),
         F.count(F.lit(1)).cast("long").alias("_n"),
