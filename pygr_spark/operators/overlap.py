@@ -242,15 +242,17 @@ def closest_join(
 
     Scale shape — NO all-pairs anywhere:
     - overlap candidates come from the binned equi-join (distance 0);
-    - the nearest non-overlapping neighbor on each side comes from an
-      as-of pass (union + running window, one shuffle on the id,
-      linear in |Q|+|DB|) — left side keyed on the latest db stop
-      <= query start, right side on the smallest db start >= query
-      stop via coordinate negation.
+    - BOTH flank neighbors (latest db stop <= query start, smallest
+      db start >= query stop) come from ONE fused boundary sweep: db
+      intervals emit a stop event and a start event, queries emit two
+      probe rows, and a single sort by (id, pos, tiebreak) feeds two
+      window frames over the same ordering — a backward
+      last(ignorenulls) carry for the before-neighbor and a forward
+      first(ignorenulls) carry for the after-neighbor. One shuffle of
+      the db side total (the previous shape paid four: two dedup
+      aggregations plus two as-of union windows), linear in |Q|+|DB|.
     Every query therefore sees at most (overlaps + 2) candidates.
     """
-    from pygr_spark.operators.asof import asof_join
-
     q = query.select(
         F.col(query_key).alias("qid"),
         F.col(id_col).alias("_qi"),
@@ -276,53 +278,121 @@ def closest_join(
         bin_width=bin_width,
     ).select("qid", "_qi", "qs", "qe", "ds", "de", F.lit(0).cast("long").alias("dist"))
 
-    # nearest at-or-before: db rows unique per (id, stop) — keep the
-    # min start, which is also the global tiebreak among equal stops
-    # (asof_join keys both sides by the same column name)
-    dl = (
-        d.groupBy("_di", "de")
-        .agg(F.min("ds").alias("ds"))
-        .withColumnRenamed("_di", "_qi")
+    # fused flank sweep. Event rows sort by (pos, sub); sub encodes
+    # both the probe inclusivity and the per-kind tiebreak:
+    #   stop events  (pos=de, sub=-ds): at equal de the LAST in
+    #     ascending sub has the smallest ds — the backward carry then
+    #     holds "greatest de <= qs, min ds" exactly;
+    #   start events (pos=ds, sub=de): at equal ds the FIRST ahead has
+    #     the smallest de — forward carry = "least ds >= qe, min de";
+    #   probe_before (pos=qs, sub=+BIG) sorts after every stop event
+    #     at qs (de == qs included, touching = distance 0);
+    #   probe_after  (pos=qe, sub=-BIG) sorts before every start event
+    #     at qe (ds == qe included).
+    BIG = 1 << 62
+    nl = F.lit(None).cast("long")
+    stops = d.select(
+        F.col("_di").alias("_qi"),
+        F.col("de").alias("_pos"),
+        (-F.col("ds")).alias("_sub"),
+        F.col("ds").alias("_b_ds"),
+        F.col("de").alias("_b_de"),
+        nl.alias("_a_ds"),
+        nl.alias("_a_de"),
+        nl.alias("qid"),
+        nl.alias("qs"),
+        nl.alias("qe"),
+        F.lit(0).alias("_probe"),
     )
-    before = asof_join(
-        q, dl, key="_qi", left_ts="qs", right_ts="de", value_cols=["ds"]
-    ).select(
+    starts = d.select(
+        F.col("_di").alias("_qi"),
+        F.col("ds").alias("_pos"),
+        F.col("de").alias("_sub"),
+        nl.alias("_b_ds"),
+        nl.alias("_b_de"),
+        F.col("ds").alias("_a_ds"),
+        F.col("de").alias("_a_de"),
+        nl.alias("qid"),
+        nl.alias("qs"),
+        nl.alias("qe"),
+        F.lit(0).alias("_probe"),
+    )
+    probe_cols = ["_b_ds", "_b_de", "_a_ds", "_a_de"]
+    p_before = q.select(
+        "_qi",
+        F.col("qs").alias("_pos"),
+        F.lit(BIG).alias("_sub"),
+        *[nl.alias(c) for c in probe_cols],
         "qid",
-        F.col("_qi"),
-        F.col("qs"),
-        "qe",
-        "ds",
-        F.col("r_ts").alias("de"),
-        (F.col("qs") - F.col("r_ts")).cast("long").alias("dist"),
-    )
-
-    # nearest at-or-after via negation: greatest -ds <= -qe ⟺
-    # smallest ds >= qe; unique per (id, start), keep min stop
-    dr = (
-        d.groupBy("_di", "ds")
-        .agg(F.min("de").alias("de"))
-        .withColumn("_nts", -F.col("ds"))
-        .withColumnRenamed("_di", "_qi")
-    )
-    qn = q.withColumn("_nts", -F.col("qe"))
-    after = asof_join(
-        qn,
-        dr.select("_qi", "_nts", "ds", "de"),
-        key="_qi",
-        left_ts="_nts",
-        right_ts="_nts",
-        value_cols=["ds", "de"],
-    ).select(
-        "qid",
-        F.col("_qi"),
         "qs",
         "qe",
-        "ds",
-        "de",
-        (F.col("ds") - F.col("qe")).cast("long").alias("dist"),
+        F.lit(1).alias("_probe"),
     )
+    p_after = q.select(
+        "_qi",
+        F.col("qe").alias("_pos"),
+        F.lit(-BIG).alias("_sub"),
+        *[nl.alias(c) for c in probe_cols],
+        "qid",
+        "qs",
+        "qe",
+        F.lit(2).alias("_probe"),
+    )
+    events = stops.unionByName(starts).unionByName(p_before).unionByName(p_after)
 
     from pyspark.sql import Window
+
+    # both carries are RUNNING frames (unboundedPreceding→currentRow):
+    # Spark executes those in O(n); the tempting alternative — a
+    # (currentRow→unboundedFollowing) frame for the forward carry —
+    # re-aggregates the partition tail per row, O(n²) per partition
+    # (measured 10× slower at sf0.1). The forward carry is therefore
+    # a backward carry over the REVERSED ordering: same hash exchange
+    # on the id (Catalyst keeps one shuffle), one extra in-partition
+    # sort.
+    w_back = (
+        Window.partitionBy("_qi")
+        .orderBy(F.col("_pos").asc(), F.col("_sub").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("_qi")
+        .orderBy(F.col("_pos").desc(), F.col("_sub").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = events.select(
+        "_qi",
+        "qid",
+        "qs",
+        "qe",
+        "_probe",
+        F.last("_b_ds", ignorenulls=True).over(w_back).alias("bds"),
+        F.last("_b_de", ignorenulls=True).over(w_back).alias("bde"),
+        F.last("_a_ds", ignorenulls=True).over(w_fwd).alias("ads"),
+        F.last("_a_de", ignorenulls=True).over(w_fwd).alias("ade"),
+    )
+    before = carried.filter(
+        (F.col("_probe") == 1) & F.col("bde").isNotNull()
+    ).select(
+        "qid",
+        "_qi",
+        "qs",
+        "qe",
+        F.col("bds").alias("ds"),
+        F.col("bde").alias("de"),
+        (F.col("qs") - F.col("bde")).cast("long").alias("dist"),
+    )
+    after = carried.filter(
+        (F.col("_probe") == 2) & F.col("ads").isNotNull()
+    ).select(
+        "qid",
+        "_qi",
+        "qs",
+        "qe",
+        F.col("ads").alias("ds"),
+        F.col("ade").alias("de"),
+        (F.col("ads") - F.col("qe")).cast("long").alias("dist"),
+    )
 
     cand = ov.unionByName(before).unionByName(after)
     # partition by the full query row, not just the key: a reused
