@@ -200,3 +200,53 @@ def test_closest_join_reused_query_key(spark):
     got = {(r.q_start, r.q_stop): (r.db_start, r.db_stop, r.dist) for r in rows}
     assert got[(0, 5)] == (10, 20, 5)
     assert got[(90, 95)] == (80, 85, 5)
+
+
+def test_closest_join_tie_torture_hypothesis(spark):
+    """Property check of the fused boundary sweep under heavy ties:
+    tiny coordinate range forces duplicate intervals, equal stops with
+    different starts, and probe positions colliding with both event
+    kinds — exactly the cases the (pos, sub) encoding must order
+    correctly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pygr_spark.operators.overlap import closest_join
+
+    ivals = st.lists(
+        st.tuples(st.integers(0, 12), st.integers(1, 4)),
+        min_size=1,
+        max_size=8,
+    )
+
+    @given(qs=ivals, ds=ivals)
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(qs, ds):
+        qrows = [(i, 0, s, s + l) for i, (s, l) in enumerate(qs)]
+        drows = [(0, s, s + l) for (s, l) in ds]
+        q = spark.createDataFrame(
+            qrows, "qid long, id long, start long, stop long"
+        )
+        d = spark.createDataFrame(drows, "id long, start long, stop long")
+        got = {
+            r.qid: (r.db_start, r.db_stop, r.dist)
+            for r in closest_join(q, d, bin_width=4).collect()
+        }
+        for qid, _, s, e in qrows:
+            cands = []
+            for _, ds_, de_ in drows:
+                if ds_ < e and s < de_:
+                    dist = 0
+                elif de_ <= s:
+                    dist = s - de_
+                else:
+                    dist = ds_ - e
+                cands.append((dist, ds_, de_))
+            dist, ds_, de_ = min(cands)
+            assert got[qid] == (ds_, de_, dist), (qid, got[qid], (ds_, de_, dist))
+
+    run()
