@@ -4088,6 +4088,49 @@ SELECT win_start, user_id, n_events, rank FROM r WHERE rank <= 3
 """
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing under the oracle gate: every
+    doc_id % 3 == 2 document becomes a fake video payload; the planned
+    frame grid (one row per 1000 ms of decoded duration) is exploded
+    JVM-side so the Python decode stage only ever sees (media_id,
+    frame_ts) work items. Oracle reproduces the deterministic fake
+    decoder's duration from sha256 hex bytes."""
+    from pygr_spark.operators.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(F.lit("application/x-"), kind).alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        "frame_ts_ms",
+    )
+
+
+def _media_frames_sql() -> str:
+    dur = f"5000 + {_hex_byte(6)} * 256 + {_hex_byte(7)}"
+    return f"""
+WITH v AS (
+  SELECT doc_id AS media_id, sha256(text) AS h
+  FROM documents WHERE doc_id % 3 = 2
+), d AS (
+  SELECT media_id, CAST(({dur}) // 1000 AS BIGINT) AS n_frames FROM v
+)
+SELECT media_id, CAST(i AS BIGINT) AS frame_no,
+       CAST(i * 1000 AS BIGINT) AS frame_ts_ms
+FROM d, unnest(range(0, n_frames)) AS u(i)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -4184,6 +4227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "quantize_emb": q_quantize_emb,
     "stream_topk": q_stream_topk,
+    "media_frames": q_media_frames,
 }
 
 ORACLES: dict[str, str] = {
@@ -4259,6 +4303,7 @@ ORACLES: dict[str, str] = {
     "bm25_search": _bm25_search_sql(),
     "quantize_emb": Q_QUANTIZE_EMB_SQL,
     "stream_topk": Q_STREAM_TOPK_SQL,
+    "media_frames": _media_frames_sql(),
     "minhash_near_dups": Q_MINHASH_SQL,
     "simhash_near_dups": Q_SIMHASH_SQL,
     "lsh_ann": Q_LSH_ANN_SQL,
