@@ -529,3 +529,60 @@ def quantize_embeddings(
         .cast("long")
         .alias("sq_err"),
     ).withColumnRenamed("_vid", id_col)
+
+
+def kmer_seed_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 12,
+    min_seeds: int = 2,
+    max_kmer_docs: int | None = 50,
+) -> DataFrame:
+    """Engine-native homology (similarity) join by character k-mer
+    seeding — the in-engine replacement for the reference's external
+    BLAST pipeline (J8: blast.py:158-351 shells out to blastall; the
+    seed step of BLAST's seed-and-extend is exactly a k-mer equi-join,
+    which Spark does natively). Pairs of documents sharing at least
+    ``min_seeds`` distinct k-length character substrings, with the
+    shared-seed count as the alignment-candidate score.
+
+    Scale shape mirrors the word-shingle dedup family: distinct
+    (id, kmer) rows, an optional ubiquity cap dropping k-mers present
+    in more than ``max_kmer_docs`` documents (the skew guard — a
+    repeated motif would otherwise quadratically blow up one join
+    key; BLAST's low-complexity masking plays the same role), then ONE
+    equi-join on the k-mer and a pair-count aggregate. No all-pairs.
+    """
+    idx = F.when(
+        F.length(text) >= k, F.sequence(F.lit(1), F.length(text) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    base = docs.filter(F.length(text) >= k)
+    km = base.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.col(text).substr(i, F.lit(k)))
+            )
+        ).alias("_km"),
+    )
+    if max_kmer_docs is not None:
+        freq = km.groupBy("_km").agg(F.count(F.lit(1)).alias("_nd"))
+        km = km.join(
+            F.broadcast(freq.filter(F.col("_nd") > max_kmer_docs)),
+            "_km",
+            "left_anti",
+        )
+    a = km
+    b = km.select(F.col("_id").alias("_id_b"), "_km")
+    pairs = a.join(b, "_km").filter(F.col("_id") < F.col("_id_b"))
+    return (
+        pairs.groupBy("_id", "_id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_seeds"))
+        .filter(F.col("n_seeds") >= min_seeds)
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_id_b").alias("id_b"),
+            "n_seeds",
+        )
+    )

@@ -4131,6 +4131,35 @@ FROM d, unnest(range(0, n_frames)) AS u(i)
 """
 
 
+def q_seed_homology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native homology join (J8 without the external tool):
+    document pairs sharing >= 3 distinct character 20-mers, ubiquitous
+    20-mers (> 20 docs) masked as the skew guard — BLAST's seed step
+    as ONE k-mer equi-join."""
+    from pygr_spark.operators.similarity import kmer_seed_join
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return kmer_seed_join(docs, k=20, min_seeds=3, max_kmer_docs=20)
+
+
+Q_SEED_HOMOLOGY_SQL = """
+WITH km AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+      range(1, length(text) - 20 + 2), i -> substr(text, i, 20)))) AS m
+  FROM documents WHERE length(text) >= 20
+), freq AS (
+  SELECT m, count(*) AS nd FROM km GROUP BY m
+), kept AS (
+  SELECT km.doc_id, km.m FROM km JOIN freq USING (m) WHERE nd <= 20
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_seeds
+  FROM kept a JOIN kept b ON a.m = b.m AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_seeds FROM p WHERE n_seeds >= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -4228,6 +4257,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_emb": q_quantize_emb,
     "stream_topk": q_stream_topk,
     "media_frames": q_media_frames,
+    "seed_homology": q_seed_homology,
 }
 
 ORACLES: dict[str, str] = {
@@ -4304,6 +4334,7 @@ ORACLES: dict[str, str] = {
     "quantize_emb": Q_QUANTIZE_EMB_SQL,
     "stream_topk": Q_STREAM_TOPK_SQL,
     "media_frames": _media_frames_sql(),
+    "seed_homology": Q_SEED_HOMOLOGY_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,
     "simhash_near_dups": Q_SIMHASH_SQL,
     "lsh_ann": Q_LSH_ANN_SQL,

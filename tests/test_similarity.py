@@ -89,3 +89,35 @@ def test_quantize_constant_dim_is_code_zero(spark):
     )
     out = quantize_embeddings(emb).collect()
     assert all(r.q_sum == 0 and r.sq_err == 0 for r in out)
+
+
+def test_kmer_seed_join_golden(spark):
+    from pygr_spark.operators.similarity import kmer_seed_join
+
+    shared = "ABCDEFGHIJKLMNOPQRSTUV"  # 22 chars -> three 20-mers
+    docs = spark.createDataFrame(
+        [
+            (1, f"xx{shared}yy"),
+            (2, f"zz{shared}ww"),
+            (3, "completely unrelated text with no shared kmers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = kmer_seed_join(docs, k=20, min_seeds=2, max_kmer_docs=50).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b, r.n_seeds) == (1, 2, 3)
+
+
+def test_kmer_seed_join_ubiquity_cap_masks(spark):
+    from pygr_spark.operators.similarity import kmer_seed_join
+
+    # the same 20-mer in every doc: with cap 2 it is masked and no
+    # pair reaches min_seeds
+    docs = spark.createDataFrame(
+        [(i, "Q" * 10 + "SHAREDSHAREDSHAREDSH" + "W" * i) for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    assert kmer_seed_join(docs, k=20, min_seeds=1, max_kmer_docs=2).count() > 0
+    masked = kmer_seed_join(docs, k=20, min_seeds=4, max_kmer_docs=2).count()
+    assert masked == 0
