@@ -4160,6 +4160,118 @@ SELECT id_a, id_b, n_seeds FROM p WHERE n_seeds >= 3
 """
 
 
+def q_liftover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pygr use-case (msa[annotation] → target coords,
+    annotation.py:24-37 composed with the NLMSA hop,
+    cnestedlist.pyx:446-543): lift annotation intervals from source
+    sequence coordinates to the aligned (mid/LPO) coordinate system —
+    ONE binned overlap join, clip to the aligned span, then the offset
+    remap (F5 xform). Partial overlaps clip; disjoint annotations
+    drop (EmptySliceError analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    lday = F.datediff(F.col("l_shipdate").cast("date"), F.lit(EPOCH).cast("date"))
+    annots = li.filter(F.col("l_orderkey") % 29 == 0).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("annot_id"),
+        F.concat(F.lit("o"), (F.col("l_orderkey") % 23).cast("string")).alias("id"),
+        lday.cast("long").alias("start"),
+        (lday + 3).cast("long").alias("stop"),
+    )
+    aln = _derived_alignment(spark, sf_dir)
+    hit = overlap_join(
+        annots,
+        aln,
+        left_id="id",
+        left_start="start",
+        left_stop="stop",
+        right_id="src_id",
+        right_start="src_start",
+        right_stop="src_stop",
+        strategy="binned",
+        bin_width=32,
+    )
+    cs = F.greatest(F.col("start"), F.col("src_start"))
+    ce = F.least(F.col("stop"), F.col("src_stop"))
+    return hit.select(
+        "annot_id",
+        "id",
+        (F.col("mid_start") + cs - F.col("src_start")).alias("dst_start"),
+        (F.col("mid_start") + ce - F.col("src_start")).alias("dst_stop"),
+        (ce - cs).alias("lifted_len"),
+    )
+
+
+Q_LIFTOVER_SQL = f"""
+WITH aln AS ({_ALN_SQL}),
+a AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS annot_id,
+    'o' || CAST(l_orderkey % 23 AS VARCHAR) AS id,
+    CAST(date_diff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) AS BIGINT) AS start,
+    CAST(date_diff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) + 3 AS BIGINT) AS stop
+  FROM lineitem WHERE l_orderkey % 29 = 0
+)
+SELECT a.annot_id, a.id,
+  CAST(aln.mid_start + GREATEST(a.start, aln.src_start) - aln.src_start AS BIGINT)
+    AS dst_start,
+  CAST(aln.mid_start + LEAST(a.stop, aln.src_stop) - aln.src_start AS BIGINT)
+    AS dst_stop,
+  CAST(LEAST(a.stop, aln.src_stop) - GREATEST(a.start, aln.src_start) AS BIGINT)
+    AS lifted_len
+FROM a JOIN aln ON a.id = aln.src_id
+  AND a.start < aln.src_stop AND aln.src_start < a.stop
+"""
+
+
+def q_seq_n50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assembly-style length statistics per source (the seq-db summary
+    a genomics user expects): contig count, total length, and N50 —
+    the length at which the descending cumulative sum first reaches
+    half the total. One window over (source, length desc)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    tot = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("n_chars").over(tot).alias("total"),
+        F.count(F.lit(1)).over(tot).alias("n_docs"),
+    ).filter(F.col("cum") * 2 >= F.col("total"))
+    w2 = Window.partitionBy("source").orderBy(F.col("cum"))
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_contigs"),
+            F.col("total").cast("long").alias("total_len"),
+            F.col("n_chars").cast("long").alias("n50"),
+        )
+    )
+
+
+Q_SEQ_N50_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+    sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(n_chars) OVER (PARTITION BY source) AS total,
+    count(*) OVER (PARTITION BY source) AS n_docs
+  FROM documents
+), hit AS (
+  SELECT source, n_chars, cum, total, n_docs,
+    row_number() OVER (PARTITION BY source ORDER BY cum) AS rn
+  FROM ranked WHERE cum * 2 >= total
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_contigs,
+       CAST(total AS BIGINT) AS total_len, CAST(n_chars AS BIGINT) AS n50
+FROM hit WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -4258,6 +4370,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_topk": q_stream_topk,
     "media_frames": q_media_frames,
     "seed_homology": q_seed_homology,
+    "liftover": q_liftover,
+    "seq_n50": q_seq_n50,
 }
 
 ORACLES: dict[str, str] = {
@@ -4335,6 +4449,8 @@ ORACLES: dict[str, str] = {
     "stream_topk": Q_STREAM_TOPK_SQL,
     "media_frames": _media_frames_sql(),
     "seed_homology": Q_SEED_HOMOLOGY_SQL,
+    "liftover": Q_LIFTOVER_SQL,
+    "seq_n50": Q_SEQ_N50_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,
     "simhash_near_dups": Q_SIMHASH_SQL,
     "lsh_ann": Q_LSH_ANN_SQL,
