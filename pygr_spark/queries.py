@@ -4272,6 +4272,66 @@ FROM hit WHERE rn = 1
 """
 
 
+def q_interval_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval subtraction (U3 complement lifted to a join,
+    bedtools-subtract shape): each sampled order interval minus the
+    union of overlapping lineitem intervals — binned overlap
+    candidates, per-query island merge, fragments from a lag window.
+    Queries with no hits pass through whole; covered ones vanish."""
+    from pygr_spark.operators.overlap import subtract_join
+
+    qv = _order_ivals(spark, sf_dir).filter(F.col("o_orderkey") % 53 == 0).select(
+        F.col("o_orderkey").alias("qid"), "id", "start", "stop"
+    )
+    db = _spread(_lineitem_ivals(spark, sf_dir)).select("id", "start", "stop")
+    return subtract_join(qv, db, bin_width=32)
+
+
+Q_INTERVAL_SUBTRACT_SQL = f"""
+WITH q AS (
+  SELECT o_orderkey AS qid, id, start AS qs, stop AS qe
+  FROM ({_ORDER_IVALS_SQL}) WHERE o_orderkey % 53 = 0
+), d AS (
+  SELECT id, start AS ds, stop AS de FROM ({_LINEITEM_IVALS_SQL})
+), hits AS (
+  SELECT q.qid, q.id, q.qs, q.qe,
+    GREATEST(d.ds, q.qs) AS cs, LEAST(d.de, q.qe) AS ce
+  FROM q JOIN d ON q.id = d.id AND d.ds < q.qe AND q.qs < d.de
+), run AS (
+  SELECT *, max(ce) OVER (PARTITION BY qid, id, qs, qe ORDER BY cs, ce
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    AS prev_max
+  FROM hits
+), isl AS (
+  SELECT *, sum(CASE WHEN prev_max IS NULL OR cs > prev_max THEN 1 ELSE 0 END)
+    OVER (PARTITION BY qid, id, qs, qe ORDER BY cs, ce
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM run
+), merged AS (
+  SELECT qid, id, qs, qe, island, min(cs) AS ms, max(ce) AS me
+  FROM isl GROUP BY qid, id, qs, qe, island
+), mids AS (
+  SELECT qid, id,
+    COALESCE(lag(me) OVER (PARTITION BY qid, id, qs, qe ORDER BY ms, me), qs)
+      AS frag_start,
+    ms AS frag_stop
+  FROM merged
+), tails AS (
+  SELECT qid, id, max(me) AS frag_start, qe AS frag_stop
+  FROM merged GROUP BY qid, id, qs, qe
+), no_hit AS (
+  SELECT q.qid, q.id, q.qs AS frag_start, q.qe AS frag_stop
+  FROM q ANTI JOIN hits ON q.qid = hits.qid AND q.id = hits.id
+    AND q.qs = hits.qs AND q.qe = hits.qe
+)
+SELECT qid, id, CAST(frag_start AS BIGINT) AS frag_start,
+       CAST(frag_stop AS BIGINT) AS frag_stop
+FROM (SELECT * FROM mids UNION ALL SELECT * FROM tails
+      UNION ALL SELECT * FROM no_hit)
+WHERE frag_start < frag_stop
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -4372,6 +4432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seed_homology": q_seed_homology,
     "liftover": q_liftover,
     "seq_n50": q_seq_n50,
+    "interval_subtract": q_interval_subtract,
 }
 
 ORACLES: dict[str, str] = {
@@ -4451,6 +4512,7 @@ ORACLES: dict[str, str] = {
     "seed_homology": Q_SEED_HOMOLOGY_SQL,
     "liftover": Q_LIFTOVER_SQL,
     "seq_n50": Q_SEQ_N50_SQL,
+    "interval_subtract": Q_INTERVAL_SUBTRACT_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,
     "simhash_near_dups": Q_SIMHASH_SQL,
     "lsh_ann": Q_LSH_ANN_SQL,

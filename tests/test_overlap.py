@@ -250,3 +250,37 @@ def test_closest_join_tie_torture_hypothesis(spark):
             assert got[qid] == (ds_, de_, dist), (qid, got[qid], (ds_, de_, dist))
 
     run()
+
+
+def test_subtract_join_goldens(spark):
+    from pygr_spark.operators.overlap import subtract_join
+
+    q = spark.createDataFrame(
+        [(1, "a", 0, 20), (2, "a", 3, 7), (3, "a", 100, 110), (4, "b", 0, 5)],
+        ["qid", "id", "start", "stop"],
+    )
+    d = spark.createDataFrame(
+        [("a", 3, 5), ("a", 4, 8), ("a", 12, 14)], ["id", "start", "stop"]
+    )
+    rows = sorted(
+        (r.qid, r.frag_start, r.frag_stop)
+        for r in subtract_join(q, d, bin_width=8).collect()
+    )
+    # q1 minus merged islands [3,8) and [12,14) -> three fragments;
+    # q2 fully covered vanishes; q3/q4 pass through whole
+    assert rows == [(1, 0, 3), (1, 8, 12), (1, 14, 20), (3, 100, 110), (4, 0, 5)]
+
+
+def test_subtract_join_touching_islands_merge(spark):
+    from pygr_spark.operators.overlap import subtract_join
+
+    q = spark.createDataFrame([(1, "a", 0, 10)], ["qid", "id", "start", "stop"])
+    d = spark.createDataFrame(
+        [("a", 2, 5), ("a", 5, 7)], ["id", "start", "stop"]
+    )
+    rows = sorted(
+        (r.frag_start, r.frag_stop)
+        for r in subtract_join(q, d, bin_width=8).collect()
+    )
+    # touching db intervals merge into one island [2,7)
+    assert rows == [(0, 2), (7, 10)]
