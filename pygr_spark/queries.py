@@ -4332,6 +4332,64 @@ WHERE frag_start < frag_stop
 """
 
 
+def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Count-Min sketch under the exact-hash gate: build
+    a 4×256 sketch of the token stream with md5-derived cell hashes
+    (engine-portable, unlike HLL registers), then point-query the
+    exact top-20 tokens — (exact, estimate) side by side, estimate
+    provably >= exact. The sketch is <= 1024 rows regardless of corpus
+    size."""
+    from pygr_spark.operators.sketches import countmin_build, countmin_estimate
+    from pygr_spark.operators.textstats import tokens
+
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("item")).filter(
+        F.length("item") > 0
+    )
+    sketch = countmin_build(tok, depth=4, width=256)
+    exact = tok.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    w = Window.orderBy(F.col("exact").desc(), F.col("item"))
+    top = (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
+    est = countmin_estimate(sketch, top.select("item"), depth=4, width=256)
+    return top.join(est, "item").select("item", "rank", "exact", "estimate")
+
+
+Q_COUNTMIN_SQL = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS item
+  FROM documents WHERE length(trim(text)) > 0
+), ftok AS (
+  SELECT item FROM tok WHERE length(item) > 0
+), cells AS (
+  SELECT j,
+    (('0x'||substr(md5(CAST(j AS VARCHAR)||','||item),1,15))::BIGINT % 256)
+      AS cell,
+    CAST(count(*) AS BIGINT) AS total
+  FROM ftok, unnest(range(0, 4)) AS u(j)
+  GROUP BY 1, 2
+), exact AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS exact FROM ftok GROUP BY item
+), top AS (
+  SELECT item, exact,
+    CAST(row_number() OVER (ORDER BY exact DESC, item) AS BIGINT) AS rank
+  FROM exact QUALIFY rank <= 20
+), probe AS (
+  SELECT t.item, t.rank, t.exact, u.j,
+    (('0x'||substr(md5(CAST(u.j AS VARCHAR)||','||t.item),1,15))::BIGINT % 256)
+      AS cell
+  FROM top t CROSS JOIN unnest(range(0, 4)) AS u(j)
+)
+SELECT p.item, p.rank, p.exact, CAST(min(c.total) AS BIGINT) AS estimate
+FROM probe p JOIN cells c ON c.j = p.j AND c.cell = p.cell
+GROUP BY p.item, p.rank, p.exact
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -4433,6 +4491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "liftover": q_liftover,
     "seq_n50": q_seq_n50,
     "interval_subtract": q_interval_subtract,
+    "countmin_topk": q_countmin_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -4513,6 +4572,7 @@ ORACLES: dict[str, str] = {
     "liftover": Q_LIFTOVER_SQL,
     "seq_n50": Q_SEQ_N50_SQL,
     "interval_subtract": Q_INTERVAL_SUBTRACT_SQL,
+    "countmin_topk": Q_COUNTMIN_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,
     "simhash_near_dups": Q_SIMHASH_SQL,
     "lsh_ann": Q_LSH_ANN_SQL,

@@ -284,3 +284,52 @@ def test_subtract_join_touching_islands_merge(spark):
     )
     # touching db intervals merge into one island [2,7)
     assert rows == [(0, 2), (7, 10)]
+
+
+def test_subtract_join_matches_positional_brute_force(spark):
+    """Property check: fragments == the per-position complement of the
+    db union within each query, on tie-heavy small-range inputs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pygr_spark.operators.overlap import subtract_join
+
+    ivals = st.lists(
+        st.tuples(st.integers(0, 14), st.integers(1, 5)),
+        min_size=1,
+        max_size=6,
+    )
+
+    @given(qs=ivals, ds=ivals)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(qs, ds):
+        qrows = [(i, 0, s, s + l) for i, (s, l) in enumerate(qs)]
+        drows = [(0, s, s + l) for (s, l) in ds]
+        q = spark.createDataFrame(
+            qrows, "qid long, id long, start long, stop long"
+        )
+        d = spark.createDataFrame(drows, "id long, start long, stop long")
+        got = sorted(
+            (r.qid, r.frag_start, r.frag_stop)
+            for r in subtract_join(q, d, bin_width=4).collect()
+        )
+        covered = set()
+        for _, s, e in drows:
+            covered.update(range(s, e))
+        want = []
+        for qid, _, s, e in qrows:
+            run_start = None
+            for p in range(s, e + 1):
+                free = p < e and p not in covered
+                if free and run_start is None:
+                    run_start = p
+                if not free and run_start is not None:
+                    want.append((qid, run_start, p))
+                    run_start = None
+        assert got == sorted(want), (got, sorted(want))
+
+    run()
