@@ -4390,6 +4390,76 @@ GROUP BY p.item, p.rank, p.exact
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase, each step
+    strictly after the previous, all within 24h of the first view):
+    per-user earliest-completion semantics via three chained min
+    aggregations — the standard product-analytics query, exact over
+    epoch-second integers. One shuffle per step on the user id."""
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts_sec")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_sec").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_sec") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts_sec").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_sec") > F.col("t_click"))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("ts_sec").alias("t_purchase"))
+    )
+    done = p.filter(F.col("t_purchase") - F.col("t_view") <= 86400)
+    return (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("long").alias("n_clicked")))
+        .crossJoin(
+            done.agg(
+                F.count(F.lit(1)).cast("long").alias("n_converted"),
+                F.coalesce(
+                    F.sum(F.col("t_purchase") - F.col("t_view")), F.lit(0)
+                )
+                .cast("long")
+                .alias("sum_funnel_secs"),
+            )
+        )
+    )
+
+
+Q_EVENT_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+  FROM events
+), v AS (
+  SELECT user_id, min(ts_sec) AS t_view FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, v.t_view, min(e.ts_sec) AS t_click
+  FROM e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts_sec > v.t_view
+  GROUP BY e.user_id, v.t_view
+), p AS (
+  SELECT e.user_id, c.t_view, c.t_click, min(e.ts_sec) AS t_purchase
+  FROM e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_sec > c.t_click
+  GROUP BY e.user_id, c.t_view, c.t_click
+), done AS (
+  SELECT * FROM p WHERE t_purchase - t_view <= 86400
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked,
+       (SELECT CAST(count(*) AS BIGINT) FROM done) AS n_converted,
+       (SELECT CAST(COALESCE(sum(t_purchase - t_view), 0) AS BIGINT) FROM done)
+         AS sum_funnel_secs
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -4492,6 +4562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_n50": q_seq_n50,
     "interval_subtract": q_interval_subtract,
     "countmin_topk": q_countmin_topk,
+    "event_funnel": q_event_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -4573,6 +4644,7 @@ ORACLES: dict[str, str] = {
     "seq_n50": Q_SEQ_N50_SQL,
     "interval_subtract": Q_INTERVAL_SUBTRACT_SQL,
     "countmin_topk": Q_COUNTMIN_SQL,
+    "event_funnel": Q_EVENT_FUNNEL_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,
     "simhash_near_dups": Q_SIMHASH_SQL,
     "lsh_ann": Q_LSH_ANN_SQL,
