@@ -57,6 +57,10 @@ HEADLINE = [
     "chunk_dedup",
     "repetition_stats",
     "bm25_search",
+    "seed_homology",
+    "liftover",
+    "quantize_emb",
+    "countmin_topk",
 ]
 
 #: timings are min-of-N to damp shared-machine noise (observed ±50%
