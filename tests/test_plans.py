@@ -214,3 +214,51 @@ def test_pii_scrub_is_scan_project_only(spark, sf_dir):
     assert "PythonUDF" not in p
     # column pruning: only doc_id, text, source feed the projection
     assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in p
+
+
+def test_seed_homology_equi_join_no_python(spark, sf_dir):
+    p = plan_of(QUERIES["seed_homology"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "PythonUDF" not in p
+
+
+def test_liftover_binned_hash_join(spark, sf_dir):
+    p = plan_of(QUERIES["liftover"](spark, sf_dir))
+    assert "HashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_countmin_sketch_broadcasts(spark, sf_dir):
+    """The d*w sketch side must broadcast into the probe join."""
+    p = plan_of(QUERIES["countmin_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "PythonUDF" not in p
+
+
+def test_interval_subtract_no_cartesian(spark, sf_dir):
+    p = plan_of(QUERIES["interval_subtract"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "PythonUDF" not in p
+
+
+def test_closest_interval_single_flank_exchange(spark, sf_dir):
+    """The fused boundary sweep: both flank carries ride ONE hash
+    exchange of the event union (two Window ops, same partitioning)."""
+    from pygr_spark.operators.overlap import closest_join
+
+    q = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey as qid", "cast(o_custkey % 7 as string) as id",
+        "o_orderkey % 100 as start", "o_orderkey % 100 + 5 as stop"
+    )
+    d = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "cast(l_suppkey % 7 as string) as id",
+        "l_orderkey % 100 as start", "l_orderkey % 100 + 3 as stop"
+    )
+    p = plan_of(closest_join(q, d, bin_width=16))
+    # running frames only — the O(n^2) unboundedFollowing frame shape
+    # prints as "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+    assert "CURRENT ROW AND UNBOUNDED FOLLOWING" not in p
