@@ -566,6 +566,10 @@ def kmer_seed_join(
             )
         ).alias("_km"),
     )
+    # the k-mer rows feed the ubiquity count AND both join legs —
+    # cut the lineage once so the substring explode runs one time,
+    # not three (same pattern as minhash's shingling pass)
+    km = km.localCheckpoint(eager=False)
     if max_kmer_docs is not None:
         freq = km.groupBy("_km").agg(F.count(F.lit(1)).alias("_nd"))
         km = km.join(
