@@ -119,6 +119,9 @@ def chunk_dedup(
             ),
         ).alias("_chunk")
     )
+    # chunk_rows feeds the corpus-wide frequency count AND the
+    # mark-join — checkpoint so tokenize+regroup runs once, not twice
+    chunk_rows = chunk_rows.localCheckpoint(eager=False)
     freq = chunk_rows.groupBy("_chunk").agg(
         F.countDistinct("_id").cast("long").alias("_ndocs")
     )
