@@ -294,3 +294,48 @@ def splice_graph(
         "alt5": _alt("genomic_start", "shared_start"),
         "alt3": _alt("genomic_end", "shared_end"),
     }
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 20,
+) -> DataFrame:
+    """BFS shortest-hop levels from a source node set — the graph
+    traversal the reference walks per-object through dict lookups
+    (mapping.py:688-750 ``g[src]`` chains), done level-synchronously:
+    each round joins the frontier against the edge table and anti-
+    joins already-visited nodes. Converges in O(diameter) rounds with
+    early stop on an empty frontier.
+
+    Returns (node, level) with the minimal hop count <= max_depth.
+
+    Scale shape: per round one equi-join on the frontier (broadcast
+    while small) + one anti-join on the visited set; lineage is cut
+    every round (localCheckpoint) so plans stay flat — the same
+    iterative-DataFrame discipline as pagerank/connected_components.
+    """
+    visited = sources.select(
+        F.col(sources.columns[0]).cast("long").alias("node")
+    ).distinct().withColumn("level", F.lit(0).cast("long"))
+    visited = visited.localCheckpoint()
+    frontier = visited
+    e = edges.select(
+        F.col(src).cast("long").alias("_s"), F.col(dst).cast("long").alias("_d")
+    ).distinct()
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e._s)
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(depth).cast("long"))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

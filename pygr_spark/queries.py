@@ -4460,6 +4460,49 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
 """
 
 
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronous BFS from a seed set over the orders-derived
+    graph: minimal hop count per reachable node, one frontier join +
+    visited anti-join per round with early stop — the engine's answer
+    to the reference's per-object ``g[src]`` traversal chains
+    (mapping.py:688-750). Oracle is DuckDB's recursive CTE (UNION
+    dedup bounds the state at nodes × depth)."""
+    from pygr_spark.operators.graphs import bfs_levels
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        orders.select(
+            (F.col("o_custkey") % 1999).cast("long").alias("src"),
+            (F.col("o_orderkey") % 1999).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sources = edges.filter(F.col("src") % 211 == 0).select("src").distinct()
+    return bfs_levels(edges, sources, max_depth=8).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("level").cast("long").alias("level"),
+    )
+
+
+Q_GRAPH_BFS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT CAST(o_custkey % 1999 AS BIGINT) AS src,
+                  CAST(o_orderkey % 1999 AS BIGINT) AS dst
+  FROM orders WHERE o_custkey % 1999 != o_orderkey % 1999
+), srcs AS (
+  SELECT DISTINCT src AS node FROM e WHERE src % 211 = 0
+), bfs(node, level) AS (
+  SELECT node, CAST(0 AS BIGINT) FROM srcs
+  UNION
+  SELECT e.dst, b.level + 1 FROM bfs b JOIN e ON e.src = b.node
+  WHERE b.level < 8
+)
+SELECT node, CAST(min(level) AS BIGINT) AS level FROM bfs GROUP BY node
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -4563,6 +4606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_subtract": q_interval_subtract,
     "countmin_topk": q_countmin_topk,
     "event_funnel": q_event_funnel,
+    "graph_bfs": q_graph_bfs,
 }
 
 ORACLES: dict[str, str] = {
@@ -4645,6 +4689,7 @@ ORACLES: dict[str, str] = {
     "interval_subtract": Q_INTERVAL_SUBTRACT_SQL,
     "countmin_topk": Q_COUNTMIN_SQL,
     "event_funnel": Q_EVENT_FUNNEL_SQL,
+    "graph_bfs": Q_GRAPH_BFS_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,
     "simhash_near_dups": Q_SIMHASH_SQL,
     "lsh_ann": Q_LSH_ANN_SQL,

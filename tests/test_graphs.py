@@ -88,3 +88,24 @@ def test_splice_graph(spark):
     alt5 = [(r.exon_a, r.exon_b) for r in g["alt5"].collect()]
     assert alt5 == [("e2", "e3")]  # shared genomic_start
     assert g["alt3"].count() == 0
+
+
+def test_bfs_levels_golden(spark):
+    from pygr_spark.operators.graphs import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (4, 1)], ["src", "dst"]
+    )
+    srcs = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.level for r in bfs_levels(edges, srcs).collect()}
+    # cycle back to 1 does not lower its level; 10/11 unreachable
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_levels_max_depth_truncates(spark):
+    from pygr_spark.operators.graphs import bfs_levels
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)], ["src", "dst"])
+    srcs = spark.createDataFrame([(0,)], ["node"])
+    got = {r.node: r.level for r in bfs_levels(chain, srcs, max_depth=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
