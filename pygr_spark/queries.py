@@ -4503,6 +4503,54 @@ SELECT node, CAST(min(level) AS BIGINT) AS level FROM bfs GROUP BY node
 """
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/J6 under the oracle gate: orders and lineitem persisted
+    hash-bucketed on the join key (the write-once pre-shuffle,
+    clusterKey analog of SQLTableClustered, sqlgraph.py:992-1031),
+    then joined WITHOUT a shuffle — the co-located join a 100 TB
+    pipeline relies on to amortize one bucketing write across every
+    later join/agg on that key. Unique table names per run keep the
+    warehouse state disposable."""
+    import uuid
+
+    from pygr_spark.operators.partitioning import bucketed_table, write_bucketed
+
+    sfx = uuid.uuid4().hex[:8]
+    to, tl = f"pygr_b_orders_{sfx}", f"pygr_b_lineitem_{sfx}"
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        to,
+        "o_orderkey",
+        buckets=8,
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", cents(F.col("l_extendedprice")).alias("price_c")
+        ),
+        tl,
+        "l_orderkey",
+        buckets=8,
+    )
+    o, li = bucketed_table(spark, to), bucketed_table(spark, tl)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy((F.col("o_custkey") % 100).cast("long").alias("cust_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("price_c").cast("long").alias("sum_price_c"),
+        )
+    )
+
+
+Q_BUCKETED_JOIN_SQL = """
+SELECT CAST(o_custkey % 100 AS BIGINT) AS cust_bucket,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -4607,6 +4655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "countmin_topk": q_countmin_topk,
     "event_funnel": q_event_funnel,
     "graph_bfs": q_graph_bfs,
+    "bucketed_join": q_bucketed_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -4690,6 +4739,7 @@ ORACLES: dict[str, str] = {
     "countmin_topk": Q_COUNTMIN_SQL,
     "event_funnel": Q_EVENT_FUNNEL_SQL,
     "graph_bfs": Q_GRAPH_BFS_SQL,
+    "bucketed_join": Q_BUCKETED_JOIN_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,
     "simhash_near_dups": Q_SIMHASH_SQL,
     "lsh_ann": Q_LSH_ANN_SQL,

@@ -262,3 +262,35 @@ def test_closest_interval_single_flank_exchange(spark, sf_dir):
     # running frames only — the O(n^2) unboundedFollowing frame shape
     # prints as "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
     assert "CURRENT ROW AND UNBOUNDED FOLLOWING" not in p
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """S10/J6: after bucketing both sides on the join key, the join
+    itself must plan with ZERO Exchange operators — the co-located
+    join that amortizes one bucketing write across every later join."""
+    from pygr_spark.operators.partitioning import (
+        bucketed_table,
+        write_bucketed,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(o, "pygr_t_b_orders", "o_orderkey", buckets=4)
+    write_bucketed(li, "pygr_t_b_lineitem", "l_orderkey", buckets=4)
+    bo, bl = bucketed_table(spark, "pygr_t_b_orders"), bucketed_table(
+        spark, "pygr_t_b_lineitem"
+    )
+    # disable broadcast so the join strategy question is real (at
+    # sf0.001 the small side would broadcast and hide the bucketing)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(bo.join(bl, bo.o_orderkey == bl.l_orderkey))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange" not in p
+    assert "SortMergeJoin" in p
