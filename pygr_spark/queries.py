@@ -4551,6 +4551,80 @@ GROUP BY 1
 """
 
 
+def q_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality signal (the integer-exact stand-in for
+    perplexity filtering): per document, the mean inverse corpus
+    frequency of its word bigrams — documents full of corpus-rare
+    bigrams (machine gibberish, encoding damage) score high and get
+    filtered. surprise(bigram) = (total_bigrams · 1e6) DIV count;
+    doc score = Σ surprise DIV n_bigrams. Wordcount-shaped: one
+    explode + two groupBys + a broadcast count join."""
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "_p", "_t"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("_p")
+    bi = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", "_t", F.lead("_t", 1).over(w)).alias("bg"),
+            F.lead("_t", 1).over(w).isNotNull().alias("_ok"),
+        )
+        .filter(F.col("_ok"))
+        .drop("_ok")
+    )
+    bi = bi.localCheckpoint(eager=False)  # feeds counts AND the join
+    counts = bi.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("bgc"))
+    total = counts.agg(F.sum("bgc").cast("long").alias("_total"))
+    scored = (
+        bi.join(counts, "bg")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.expr("(_total * 1000000) DIV bgc"))
+            .cast("long")
+            .alias("sum_surprise"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_surprise",
+        F.expr("sum_surprise DIV n_bigrams").cast("long").alias("mean_surprise"),
+    )
+
+
+Q_LM_SURPRISE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), bi AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM base WHERE len(t) >= 2
+), counts AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS bgc FROM bi GROUP BY bg
+), total AS (
+  SELECT CAST(sum(bgc) AS BIGINT) AS tot FROM counts
+), scored AS (
+  SELECT bi.doc_id,
+    CAST(count(*) AS BIGINT) AS n_bigrams,
+    CAST(sum((total.tot * 1000000) // c.bgc) AS BIGINT) AS sum_surprise
+  FROM bi JOIN counts c USING (bg) CROSS JOIN total
+  GROUP BY bi.doc_id
+)
+SELECT doc_id, n_bigrams, sum_surprise,
+  CAST(sum_surprise // n_bigrams AS BIGINT) AS mean_surprise
+FROM scored
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -4656,6 +4730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_funnel": q_event_funnel,
     "graph_bfs": q_graph_bfs,
     "bucketed_join": q_bucketed_join,
+    "lm_surprise": q_lm_surprise,
 }
 
 ORACLES: dict[str, str] = {
@@ -4740,6 +4815,7 @@ ORACLES: dict[str, str] = {
     "event_funnel": Q_EVENT_FUNNEL_SQL,
     "graph_bfs": Q_GRAPH_BFS_SQL,
     "bucketed_join": Q_BUCKETED_JOIN_SQL,
+    "lm_surprise": Q_LM_SURPRISE_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,
     "simhash_near_dups": Q_SIMHASH_SQL,
     "lsh_ann": Q_LSH_ANN_SQL,
