@@ -4625,6 +4625,47 @@ FROM scored
 """
 
 
+def q_coverage_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 regions-reuse: the A6 sweep's coverage segments re-aggregated
+    into a depth histogram (bases covered at each depth — the
+    genome-coverage summary a seq pipeline reports, samtools-depth
+    shape). Composes coverage_segments output as input, exactly how
+    the reference reuses slice regions (cnestedlist.pyx:1031-1067)."""
+    from pygr_spark.operators.sweep import coverage_segments
+
+    seg = coverage_segments(_order_ivals(spark, sf_dir), ["id"])
+    return seg.filter(F.col("coverage") > 0).groupBy(
+        F.col("coverage").cast("long").alias("depth")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.col("seg_stop") - F.col("seg_start")).cast("long").alias("n_bases"),
+    )
+
+
+Q_COVERAGE_HIST_SQL = f"""
+WITH iv AS ({_ORDER_IVALS_SQL}),
+ev AS (
+  SELECT id, start AS pos, 1 AS delta FROM iv
+  UNION ALL
+  SELECT id, stop AS pos, -1 AS delta FROM iv
+), net AS (
+  SELECT id, pos, SUM(delta) AS delta FROM ev GROUP BY id, pos
+), seg AS (
+  SELECT id, pos AS seg_start,
+    LEAD(pos) OVER (PARTITION BY id ORDER BY pos) AS seg_stop,
+    SUM(delta) OVER (PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS coverage
+  FROM net
+)
+SELECT CAST(coverage AS BIGINT) AS depth,
+  CAST(count(*) AS BIGINT) AS n_segments,
+  CAST(sum(seg_stop - seg_start) AS BIGINT) AS n_bases
+FROM seg
+WHERE seg_stop IS NOT NULL AND seg_stop > seg_start AND coverage > 0
+GROUP BY coverage
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -4731,6 +4772,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_bfs": q_graph_bfs,
     "bucketed_join": q_bucketed_join,
     "lm_surprise": q_lm_surprise,
+    "coverage_hist": q_coverage_hist,
 }
 
 ORACLES: dict[str, str] = {
@@ -4816,6 +4858,7 @@ ORACLES: dict[str, str] = {
     "graph_bfs": Q_GRAPH_BFS_SQL,
     "bucketed_join": Q_BUCKETED_JOIN_SQL,
     "lm_surprise": Q_LM_SURPRISE_SQL,
+    "coverage_hist": Q_COVERAGE_HIST_SQL,
     "minhash_near_dups": Q_MINHASH_SQL,
     "simhash_near_dups": Q_SIMHASH_SQL,
     "lsh_ann": Q_LSH_ANN_SQL,
