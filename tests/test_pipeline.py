@@ -165,3 +165,52 @@ def test_bm25_prefers_higher_tf_and_shorter_docs(spark):
     # same tf=1: the shorter doc (2) outranks the longer doc (3)
     assert ids.index(2) < ids.index(3)
     assert all(out[i].score >= out[i + 1].score for i in range(len(out) - 1))
+
+
+def test_chunk_dedup_properties_hypothesis(spark):
+    """Properties: (1) with max_docs >= n_docs nothing is dropped and
+    reassembly reproduces the tokenized text; (2) kept text is always
+    a chunk-subsequence of the original; (3) n_kept <= n_chunks."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=12
+    )
+    corpora = st.lists(words, min_size=1, max_size=4)
+
+    @given(docs=corpora)
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(docs):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        keep_all = {
+            r.doc_id: r
+            for r in chunk_dedup(df, chunk_tokens=3, max_docs=len(rows)).collect()
+        }
+        for i, ws in enumerate(rows):
+            assert keep_all[i].clean_text == ws[1]
+            assert keep_all[i].n_kept == keep_all[i].n_chunks
+        strict = {
+            r.doc_id: r for r in chunk_dedup(df, chunk_tokens=3, max_docs=1).collect()
+        }
+        for i, ws in enumerate(rows):
+            r = strict[i]
+            assert r.n_kept <= r.n_chunks
+            # kept text is a chunk-subsequence of the original
+            orig_chunks = [
+                " ".join(ws[1].split()[j : j + 3])
+                for j in range(0, len(ws[1].split()), 3)
+            ]
+            kept = r.clean_text.split(" ") if r.clean_text else []
+            it = iter(orig_chunks)
+            for ch in [
+                " ".join(kept[j : j + 3]) for j in range(0, len(kept), 3)
+            ]:
+                assert any(ch == o for o in it)
+
+    run()
