@@ -2032,12 +2032,17 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("doc_freq")
     )
     # distributed top-k (TakeOrderedAndProject), then rank the 20
-    # survivors — an unpartitioned row_number window would sort the
-    # whole vocabulary in one task
-    top = counts.orderBy(F.col("doc_freq").desc(), F.col("token")).limit(20)
-    w = Window.orderBy(F.col("doc_freq").desc(), F.col("token"))
-    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
-        "rank", "token", "doc_freq"
+    # survivors windowless (coalesce(1) + in-partition sort +
+    # monotonically_increasing_id, consecutive-in-order within one
+    # partition) — an unpartitioned row_number window would both sort
+    # the whole vocabulary in one task and emit the WindowExec warning.
+    return (
+        counts.orderBy(F.col("doc_freq").desc(), F.col("token"))
+        .limit(20)
+        .coalesce(1)
+        .sortWithinPartitions(F.col("doc_freq").desc(), F.col("token"))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("long"))
+        .select("rank", "token", "doc_freq")
     )
 
 
@@ -4350,10 +4355,19 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = countmin_build(tok, depth=4, width=256)
     exact = tok.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("exact"))
-    w = Window.orderBy(F.col("exact").desc(), F.col("item"))
+    # distributed top-k (TakeOrderedAndProject) over the full vocabulary,
+    # then rank only the 20 survivors — ranking the whole exact-count
+    # table through an unpartitioned window would sort every distinct
+    # token in a single task. The survivors are ranked windowless
+    # (coalesce(1) + in-partition sort + monotonically_increasing_id,
+    # which is consecutive-in-order within a partition), so no
+    # single-partition WindowExec appears anywhere in the plan.
     top = (
-        exact.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+        exact.orderBy(F.col("exact").desc(), F.col("item"))
+        .limit(20)
+        .coalesce(1)
+        .sortWithinPartitions(F.col("exact").desc(), F.col("item"))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("long"))
     )
     est = countmin_estimate(sketch, top.select("item"), depth=4, width=256)
     return top.join(est, "item").select("item", "rank", "exact", "estimate")

@@ -238,6 +238,23 @@ def test_countmin_sketch_broadcasts(spark, sf_dir):
     assert "PythonUDF" not in p
 
 
+def test_countmin_topk_distributed_topk(spark, sf_dir):
+    """Top-20 over the exact counts must be a distributed
+    TakeOrderedAndProject, not an unpartitioned row_number window that
+    sorts the whole vocabulary in one task; the survivor ranking is
+    windowless, so no Window operator may appear at all."""
+    p = plan_of(QUERIES["countmin_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
+def test_token_topk_distributed_topk(spark, sf_dir):
+    """Same invariant for the vocabulary-build query."""
+    p = plan_of(QUERIES["token_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
 def test_interval_subtract_no_cartesian(spark, sf_dir):
     p = plan_of(QUERIES["interval_subtract"](spark, sf_dir))
     assert "CartesianProduct" not in p
