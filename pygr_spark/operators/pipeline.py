@@ -45,7 +45,8 @@ def decontaminate(
 
     Returns one row per contaminated corpus doc:
     ``(doc_id, n_hit_shingles, n_bench_docs, max_bench_overlap)``
-    where ``n_hit_shingles`` counts distinct leaked n-grams,
+    where ``n_hit_shingles`` counts (shingle × benchmark-doc) hit
+    pairs — a shingle shared with k benchmark docs contributes k —
     ``n_bench_docs`` counts distinct benchmark docs hit, and
     ``max_bench_overlap`` is the largest per-benchmark-doc shared
     count (the usual report-triage columns).
@@ -237,7 +238,7 @@ def hash_split(
 
 def corpus_mix(
     docs: DataFrame,
-    rates: dict[str, int],
+    rates: dict[str, int] | Column,
     source_col: str = "source",
     id_col: str = "doc_id",
     default_rate: int = 0,
@@ -249,18 +250,25 @@ def corpus_mix(
     to crawl). Deterministic — the mix is reproducible and stable
     under corpus growth, unlike ``df.sample``.
 
-    The rates map enters the plan as a broadcast literal map
-    (``F.create_map``) — a per-row projection, no shuffle, no join.
+    ``rates`` is either a literal dict (enters the plan as a
+    broadcast literal map via ``F.create_map`` — per-row projection,
+    no shuffle, no join) or a Column computing the per-mille rate
+    from the row itself (e.g. a formula over the source name), for
+    mixes defined by rule rather than enumeration.
     """
-    pairs: list[Column] = []
-    for k, v in sorted(rates.items()):
-        pairs += [F.lit(k), F.lit(int(v))]
-    if pairs:
-        rate = F.coalesce(
-            F.create_map(*pairs)[F.col(source_col)], F.lit(int(default_rate))
-        )
+    if isinstance(rates, Column):
+        rate = rates
     else:
-        rate = F.lit(int(default_rate))
+        pairs: list[Column] = []
+        for k, v in sorted(rates.items()):
+            pairs += [F.lit(k), F.lit(int(v))]
+        if pairs:
+            rate = F.coalesce(
+                F.create_map(*pairs)[F.col(source_col)],
+                F.lit(int(default_rate)),
+            )
+        else:
+            rate = F.lit(int(default_rate))
     b = F.pmod(md5_hash60(F.col(id_col).cast("string")), F.lit(buckets))
     return docs.withColumn("bucket", b.cast("long")).filter(F.col("bucket") < rate)
 

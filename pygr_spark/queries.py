@@ -3855,12 +3855,19 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted corpus mixing: per-source hash-gated keep rates
     (rate‰ = 1000 - 47·source_number) — deterministic downsampling
     that reweights the mixture without RNG state; per-source kept
-    counts summarize the mix."""
+    counts summarize the mix. The rate is computed from the SAME
+    formula on both sides (try_cast the digits after 'src', NULL →
+    rate 0) rather than a Spark-side dict vs an oracle-side formula,
+    so a regenerated corpus with new/odd source names cannot make the
+    two sides silently diverge."""
     from pygr_spark.operators.pipeline import corpus_mix
 
     docs = _t(spark, sf_dir, "documents")
-    rates = {f"src{i}": max(0, 1000 - 47 * i) for i in range(64)}
-    mixed = corpus_mix(docs, rates, default_rate=500)
+    srcn = F.substring(F.col("source"), 4, 100).try_cast("int")
+    rate = F.when(srcn.isNull(), F.lit(0)).otherwise(
+        F.greatest(F.lit(0), F.lit(1000) - F.lit(47) * srcn)
+    )
+    mixed = corpus_mix(docs, rate)
     return mixed.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.sum("n_chars").cast("long").alias("kept_chars"),
@@ -3871,7 +3878,9 @@ Q_CORPUS_MIX_SQL = """
 WITH d AS (
   SELECT source, n_chars,
     (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000) AS bucket,
-    GREATEST(0, 1000 - 47 * CAST(substr(source, 4) AS INT)) AS rate
+    CASE WHEN TRY_CAST(substr(source, 4) AS INT) IS NULL THEN 0
+         ELSE GREATEST(0, 1000 - 47 * TRY_CAST(substr(source, 4) AS INT))
+    END AS rate
   FROM documents
 )
 SELECT source,
@@ -4523,14 +4532,13 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusterKey analog of SQLTableClustered, sqlgraph.py:992-1031),
     then joined WITHOUT a shuffle — the co-located join a 100 TB
     pipeline relies on to amortize one bucketing write across every
-    later join/agg on that key. Unique table names per run keep the
-    warehouse state disposable."""
-    import uuid
-
+    later join/agg on that key. Fixed table names: write_bucketed
+    drops-then-writes, so repeated bench/correctness runs reuse the
+    same two warehouse entries instead of leaking a copy per run
+    (the result is materialized by the caller before any rerun)."""
     from pygr_spark.operators.partitioning import bucketed_table, write_bucketed
 
-    sfx = uuid.uuid4().hex[:8]
-    to, tl = f"pygr_b_orders_{sfx}", f"pygr_b_lineitem_{sfx}"
+    to, tl = "pygr_b_orders", "pygr_b_lineitem"
     write_bucketed(
         _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
         to,

@@ -34,14 +34,33 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong``) and, in newer
     generations, as timestamp[us] (read as TIMESTAMP_NTZ). Every
     engine operator assumes the ns-long contract, so convert the
-    timestamp flavors here. The NTZ→instant cast is pinned to UTC via
-    the session timezone so the integers match DuckDB's ``epoch_ns``
-    (which treats naive timestamps as UTC) on any driver machine."""
+    timestamp flavors here. The naive (NTZ) flavor is interpreted as
+    UTC to match DuckDB's ``epoch_ns`` — via pure field extraction
+    (timezone-free on TIMESTAMP_NTZ), NOT by mutating
+    ``spark.sql.session.timeZone``, which would leak order-dependent
+    global state into every later timezone-sensitive expression."""
     dt = dict(df.dtypes).get("ts", "")
-    if dt.startswith("timestamp"):
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    if dt == "timestamp_ntz":
+        c = F.col("ts")
+        micros = (
+            (
+                F.datediff(c.cast("date"), F.lit("1970-01-01")).cast("long")
+                * 86400
+                + F.hour(c).cast("long") * 3600
+                + F.minute(c).cast("long") * 60
+            )
+            * 1000000
+            # SECOND extracts a decimal(8,6) incl. the µs fraction;
+            # ×1e6 is exact, so the cast to long is lossless
+            + (
+                F.expr("extract(SECOND FROM ts)") * F.lit(1000000)
+            ).cast("long")
+        )
+        df = df.withColumn("ts", (micros * 1000).cast("long"))
+    elif dt.startswith("timestamp"):
+        # instant-typed column: unix_micros is timezone-independent
         df = df.withColumn(
-            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            "ts", F.unix_micros(F.col("ts")) * F.lit(1000)
         )
     return df
 
