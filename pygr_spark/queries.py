@@ -1246,6 +1246,91 @@ FROM grp GROUP BY id, g
 """
 
 
+def q_coverage_indelcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 ``indelCut``: the reference's full vertical pipeline —
+    groupByIntervals (per-sequence gap-merge) then
+    groupBySequences(sourceOnly=True, indelCut=True, minAligned=2)
+    (cnestedlist.pyx:999-1008): masked regions split wherever a
+    contributing sequence's alignment breaks (both bounds of every
+    non-first per-sequence interval), instead of merging across the
+    indel. Synthetic alignment: orders as intervals keyed by
+    id = o_orderkey % 97, sequence = o_orderkey % 5."""
+    from pygr_spark.operators.groupmerge import gap_merge
+    from pygr_spark.operators.sweep import sweep_coverage_mask
+
+    iv0 = _order_ivals(spark, sf_dir).select(
+        "id",
+        (F.col("o_orderkey") % 5).cast("long").alias("seq"),
+        "start",
+        "stop",
+    )
+    # groupByIntervals: per-(id, seq) merge — the reference's
+    # horizontal pass whose output groupBySequences consumes
+    merged = gap_merge(iv0, ["id", "seq"], maxgap=0).drop("n_merged")
+    out = sweep_coverage_mask(
+        merged, ["id"], min_aligned=2, indel_cut=True, seq="seq"
+    )
+    return out.select(
+        "id",
+        F.col("start").cast("long").alias("start"),
+        F.col("stop").cast("long").alias("stop"),
+        F.col("n_merged").cast("long").alias("n_merged"),
+    )
+
+
+Q_COVERAGE_INDELCUT_SQL = f"""
+WITH iv0 AS (
+  SELECT id, CAST(o_orderkey % 5 AS BIGINT) AS seq, start, stop
+  FROM ({_ORDER_IVALS_SQL})
+), w1 AS (
+  SELECT *, MAX(stop) OVER (PARTITION BY id, seq ORDER BY start, stop
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv0
+), g1 AS (
+  SELECT *, SUM(CASE WHEN pmax IS NULL OR start - pmax > 0 THEN 1 ELSE 0 END)
+       OVER (PARTITION BY id, seq ORDER BY start, stop
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM w1
+), iv AS (
+  SELECT id, seq, MIN(start) AS start, MAX(stop) AS stop
+  FROM g1 GROUP BY id, seq, g
+), ev AS (
+  SELECT id, start AS pos, 1 AS delta FROM iv
+  UNION ALL SELECT id, stop, -1 FROM iv
+), net AS (SELECT id, pos, SUM(delta) AS delta FROM ev GROUP BY id, pos),
+seg AS (
+  SELECT id, pos AS s, LEAD(pos) OVER (PARTITION BY id ORDER BY pos) AS e,
+    SUM(delta) OVER (PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov
+  FROM net
+), kept AS (
+  SELECT id, s, e FROM seg WHERE e IS NOT NULL AND e > s AND cov >= 2
+), rn AS (
+  SELECT id, seq, start, stop,
+    ROW_NUMBER() OVER (PARTITION BY id, seq ORDER BY start, stop) AS r
+  FROM iv
+), cuts AS (
+  SELECT DISTINCT id, pos FROM (
+    SELECT id, start AS pos FROM rn WHERE r > 1
+    UNION ALL SELECT id, stop FROM rn WHERE r > 1)
+), m AS (
+  SELECT k.id, k.s, k.e, c.pos IS NOT NULL AS is_cut
+  FROM kept k LEFT JOIN cuts c ON c.id = k.id AND c.pos = k.s
+), w AS (
+  SELECT *, LAG(e) OVER (PARTITION BY id ORDER BY s, e) AS prev_e FROM m
+), grp AS (
+  SELECT *, SUM(CASE WHEN prev_e IS NULL OR prev_e != s OR is_cut
+                     THEN 1 ELSE 0 END)
+       OVER (PARTITION BY id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM w
+)
+SELECT id, CAST(MIN(s) AS BIGINT) AS start, CAST(MAX(e) AS BIGINT) AS stop,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM grp GROUP BY id, g
+"""
+
+
 def q_letter_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Letter-graph adjacency (§2.5) over bounded document prefixes."""
     from pygr_spark.operators.alignments import letter_graph
@@ -4727,6 +4812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_union": q_prefix_union,
     "merge_pairs": q_merge_pairs,
     "coverage_mask": q_coverage_mask,
+    "coverage_indelcut": q_coverage_indelcut,
     "letter_graph": q_letter_graph,
     "conserved_pairs": q_conserved_pairs,
     "multimodal_features": q_multimodal_features,
@@ -4836,6 +4922,7 @@ ORACLES: dict[str, str] = {
     "prefix_union": Q_PREFIX_UNION_SQL,
     "merge_pairs": Q_MERGE_PAIRS_SQL,
     "coverage_mask": Q_COVERAGE_MASK_SQL,
+    "coverage_indelcut": Q_COVERAGE_INDELCUT_SQL,
     "letter_graph": Q_LETTER_GRAPH_SQL,
     "conserved_pairs": Q_CONSERVED_SQL,
     "multimodal_features": _multimodal_sql(),
