@@ -2,11 +2,15 @@
 metadata, processed via Arrow-batched mapInPandas (north star).
 
 The Spark-side plumbing — schema, partitioning, UDF signature, batch
-shapes — is real and tested; the decode kernels are deterministic
-fakes behind ``FAKE_DECODERS`` because codec libraries are not in this
-container. Swapping a fake for a real decoder (PIL/librosa/av) changes
-ONE dict entry and nothing else: the contract is
-bytes → dict of features per row, applied per Arrow batch.
+shapes — is real and tested. Decode kernels come in two registries:
+``FAKE_DECODERS`` (deterministic hash-derived stand-ins, the oracled
+default) and ``real_decoders()`` (import-gated real codecs — PIL for
+image, soundfile/stdlib-wave for audio; video has no lib in this
+container and stays a documented fake). ``default_decoders()`` merges
+them, preferring real. The contract either way is bytes → dict of
+features per row, applied per Arrow batch; ``synthesize_media`` builds
+VALID containers (pure-struct BMP/WAV) so the real path has genuine
+bytes to parse.
 
 Scale notes: binary payloads ride the normal shuffle paths; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a partition of blobs
@@ -88,6 +92,169 @@ FAKE_DECODERS: dict[str, Callable[[bytes], dict]] = {
     "audio": _fake_audio_decode,
     "video": _fake_video_decode,
 }
+
+
+# ---------------------------------------------------------------------------
+# real codecs (used when the libraries exist; fakes stay the oracled
+# default — swapping in a real decoder is exactly one dict entry)
+# ---------------------------------------------------------------------------
+
+
+def synth_bmp(seed: bytes, width: int | None = None, height: int | None = None) -> bytes:
+    """Deterministic VALID 24-bit uncompressed BMP built with pure
+    struct packing (no codec lib needed to ENCODE) — so the real
+    decode path has genuine containers to parse. Geometry defaults to
+    the same hash-derived values the fake decoder reports, keeping
+    fake and real metadata comparable."""
+    import struct
+
+    h = hashlib.sha256(seed).digest()
+    w = width if width is not None else 8 + h[0] % 8
+    ht = height if height is not None else 8 + h[1] % 8
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    pixels = bytearray()
+    for y in range(ht):
+        for x in range(w):
+            i = (y * w + x) % 32
+            pixels += bytes((h[i], h[(i + 7) % 32], h[(i + 13) % 32]))
+        pixels += b"\x00" * pad
+    img_size = len(pixels)
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, ht, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + dib + bytes(pixels)
+
+
+def synth_wav(seed: bytes, rate: int = 8000, n_samples: int | None = None) -> bytes:
+    """Deterministic VALID 16-bit PCM mono WAV, pure struct packing."""
+    import struct
+
+    h = hashlib.sha256(seed).digest()
+    n = n_samples if n_samples is not None else 200 + int.from_bytes(h[2:4], "big") % 800
+    frames = bytearray()
+    for i in range(n):
+        frames += struct.pack("<h", (h[i % 32] - 128) * 256)
+    data = bytes(frames)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+        rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def _real_image_decode(payload: bytes) -> dict:
+    """PIL-backed image decode: true geometry + 8 grayscale row-means
+    of the 8x8 thumbnail as the feature."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    w, h = img.size
+    px = list(img.convert("L").resize((8, 8)).getdata())
+    feature = [sum(px[r * 8:(r + 1) * 8]) / (8 * 255.0) for r in range(8)]
+    return {"width": w, "height": h, "duration_ms": None, "feature": feature}
+
+
+def _real_audio_decode(payload: bytes) -> dict:
+    """Audio decode: soundfile when importable, else the stdlib wave
+    module (a genuine WAV container parse either way). Feature: mean
+    |amplitude| over 8 equal chunks."""
+    import io
+
+    try:
+        import numpy as np
+        import soundfile as sf
+
+        data, rate = sf.read(io.BytesIO(payload), dtype="float64")
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        samples = np.abs(data)
+        n = len(samples)
+        dur = int(n * 1000 // rate)
+        feature = [
+            float(c.mean()) if len(c) else 0.0 for c in np.array_split(samples, 8)
+        ]
+        return {"width": None, "height": None, "duration_ms": dur, "feature": feature}
+    except ImportError:
+        import struct
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            rate, n = w.getframerate(), w.getnframes()
+            raw = w.readframes(n)
+        vals = [abs(v) / 32768.0 for (v,) in struct.iter_unpack("<h", raw)]
+        dur = int(n * 1000 // rate)
+        k = max(1, len(vals) // 8)
+        chunks = [vals[i * k:(i + 1) * k] for i in range(8)]
+        feature = [sum(c) / len(c) if c else 0.0 for c in chunks]
+        return {"width": None, "height": None, "duration_ms": dur, "feature": feature}
+
+
+def real_decoders() -> dict[str, Callable[[bytes], dict]]:
+    """The decoders whose libraries import in THIS environment: audio
+    always (stdlib wave fallback), image only with PIL, video never in
+    this container (no av/imageio — stays a documented fake)."""
+    reg: dict[str, Callable[[bytes], dict]] = {"audio": _real_audio_decode}
+    try:
+        import PIL.Image  # noqa: F401
+
+        reg["image"] = _real_image_decode
+    except ImportError:
+        pass
+    return reg
+
+
+def default_decoders() -> dict[str, Callable[[bytes], dict]]:
+    """Real codecs where available, deterministic fakes elsewhere."""
+    return {**FAKE_DECODERS, **real_decoders()}
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Turn a documents table into a mixed-modality media table with
+    VALID containers: doc_id%3==0 → BMP image, %3==1 → WAV audio,
+    %3==2 → opaque video bytes. mapInPandas so payload bytes are built
+    on executors, never the driver."""
+    import sys
+
+    from pygr_spark.sources import ship_to_workers
+
+    ship_to_workers(sys.modules[__name__])
+    src = docs.select(
+        F.col(id_col).alias("media_id"),
+        F.col("text").cast("binary").alias("seed"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                mid = int(r["media_id"])
+                seed = bytes(r["seed"]) if r["seed"] is not None else b""
+                kind = kinds[mid % 3]
+                if kind == "image":
+                    payload = synth_bmp(seed)
+                elif kind == "audio":
+                    payload = synth_wav(seed)
+                else:
+                    payload = seed
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "mime": f"application/x-{kind}",
+                        "payload": payload,
+                        "meta": {"synthetic": "1"},
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, MEDIA_SCHEMA)
 
 
 def extract_features(

@@ -4230,6 +4230,36 @@ FROM d, unnest(range(0, n_frames)) AS u(i)
 """
 
 
+def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec decode path (rows-only: the output depends on which
+    codec libraries exist in the environment, so there is no portable
+    SQL oracle). synthesize_media builds VALID containers on the
+    executors (pure-struct BMP / PCM WAV), then extract_features runs
+    with real_decoders() where importable — PIL for image, soundfile
+    or stdlib wave for audio — falling back to the oracled
+    deterministic fakes (video always). One row per document either
+    way; tests pin the audio path's true duration_ms against the WAV
+    generation parameters."""
+    from pygr_spark.operators.multimodal import (
+        default_decoders,
+        extract_features,
+        synthesize_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    feats = extract_features(media, default_decoders())
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        "duration_ms",
+        F.size("feature").cast("long").alias("feat_dim"),
+    )
+
+
 def q_seed_homology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-native homology join (J8 without the external tool):
     document pairs sharing >= 3 distinct character 20-mers, ubiquitous
@@ -4813,6 +4843,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_pairs": q_merge_pairs,
     "coverage_mask": q_coverage_mask,
     "coverage_indelcut": q_coverage_indelcut,
+    "media_real_decode": q_media_real_decode,
     "letter_graph": q_letter_graph,
     "conserved_pairs": q_conserved_pairs,
     "multimodal_features": q_multimodal_features,

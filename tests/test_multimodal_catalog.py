@@ -92,3 +92,77 @@ def test_catalog(spark):
         cat("Nope")
     with pytest.raises(KeyError):
         cat.auto_join("Bio.Seq.Test", "nothing")
+
+
+def test_synth_containers_are_valid():
+    """synth_bmp/synth_wav emit genuinely parseable containers."""
+    import io
+    import struct
+    import wave
+
+    from pygr_spark.operators.multimodal import synth_bmp, synth_wav
+
+    bmp = synth_bmp(b"seed", width=10, height=6)
+    assert bmp[:2] == b"BM"
+    (file_size,) = struct.unpack_from("<I", bmp, 2)
+    assert file_size == len(bmp)
+    w, h = struct.unpack_from("<ii", bmp, 18)
+    assert (w, h) == (10, 6)
+
+    wav = synth_wav(b"seed", rate=8000, n_samples=1234)
+    with wave.open(io.BytesIO(wav)) as f:
+        assert f.getframerate() == 8000
+        assert f.getnframes() == 1234
+        assert f.getsampwidth() == 2 and f.getnchannels() == 1
+
+
+def test_real_audio_decode_true_duration():
+    """The real audio decoder (soundfile or stdlib wave) reports the
+    TRUE duration of the generated WAV, not the fake's hash value."""
+    from pygr_spark.operators.multimodal import _real_audio_decode, synth_wav
+
+    wav = synth_wav(b"hello", rate=8000, n_samples=4000)
+    out = _real_audio_decode(wav)
+    assert out["duration_ms"] == 500  # 4000 samples @ 8 kHz
+    assert out["width"] is None and out["height"] is None
+    assert len(out["feature"]) == 8
+    assert all(0.0 <= x <= 1.0 for x in out["feature"])
+
+
+def test_default_decoders_registry():
+    """Audio is always real (stdlib wave fallback); image is real only
+    with PIL; video stays the documented fake."""
+    from pygr_spark.operators import multimodal as mm
+
+    d = mm.default_decoders()
+    assert d["audio"] is mm._real_audio_decode
+    assert d["video"] is mm._fake_video_decode
+    try:
+        import PIL.Image  # noqa: F401
+
+        assert d["image"] is mm._real_image_decode
+    except ImportError:
+        assert d["image"] is mm._fake_image_decode
+
+
+def test_media_real_decode_pipeline(spark, sf_dir):
+    """End-to-end: synthesize valid containers on executors, decode
+    with the environment's best decoders; audio rows carry the true
+    WAV duration (n = 200 + sha256(text)[2:4] % 800 samples @ 8 kHz)."""
+    import hashlib
+
+    from pygr_spark.queries import QUERIES
+
+    rows = QUERIES["media_real_decode"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    text = {r.doc_id: r.text for r in docs}
+    assert len(rows) == len(docs)
+    audio = [r for r in rows if r.kind == "audio"]
+    assert audio
+    for r in audio[:20]:
+        h = hashlib.sha256(text[r.media_id].encode()).digest()
+        n = 200 + int.from_bytes(h[2:4], "big") % 800
+        assert r.duration_ms == n * 1000 // 8000
+        assert r.feat_dim == 8
