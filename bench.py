@@ -61,6 +61,8 @@ HEADLINE = [
     "liftover",
     "quantize_emb",
     "countmin_topk",
+    "kmeans_clusters",
+    "semdedup",
 ]
 
 #: timings are min-of-N to damp shared-machine noise (observed ±50%

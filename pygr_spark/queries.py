@@ -4803,7 +4803,161 @@ GROUP BY coverage
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer spherical k-means (operators/clustering.py): two
+    Lloyd rounds over quantized embeddings with md5-sampled init;
+    assignment is a literal-centroid codegen projection (no join), each
+    round collects only the k·dim aggregated sums — MLlib's shape under
+    the oracle gate. floor(sum/count) integer centroids keep every
+    iteration exact on both engines."""
+    from pygr_spark.operators.clustering import kmeans_spherical
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans_spherical(emb, k=8, n_iter=2)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.round("cos_center", 6).alias("cos_center"),
+    )
+
+
+def _kmeans_cte_sql(src_sql: str, k: int, n_iter: int, dim: int) -> str:
+    """Shared DuckDB CTE chain reproducing kmeans_spherical bit-for-bit:
+    quantize → md5-sampled cent0 → n_iter × (argmax assign, floor-mean
+    recompute) → final assignment ``af(vec_id, q, nn, cid, csim)``."""
+    dot_qc = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), i -> n.q[i]*c.cq[i]),"
+        " (x,y) -> x+y)"
+    )
+    sq_cq = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), i -> cq[i]*cq[i]),"
+        " (x,y) -> x+y)"
+    )
+    parts = [
+        f"""src AS ({src_sql}), n AS (
+  SELECT vec_id,
+    list_transform(v, e -> CAST(round(e * 1000000) AS BIGINT)) AS q
+  FROM src
+), nn_t AS (
+  SELECT vec_id, q,
+    list_reduce(list_transform(range(1, {dim + 1}), i -> q[i]*q[i]),
+                (x,y) -> x+y) AS nn
+  FROM n
+), cent0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, q AS cq, nn AS cn
+  FROM (
+    SELECT vec_id, q, nn,
+      ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT AS h
+    FROM nn_t ORDER BY h, vec_id LIMIT {k}
+  )
+)"""
+    ]
+    for r in range(n_iter + 1):
+        parts.append(f"""a{r} AS (
+  SELECT vec_id, q, nn, cid, csim,
+    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+  FROM (
+    SELECT n.vec_id, n.q, n.nn, c.cid,
+      {dot_qc} / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS csim
+    FROM nn_t n CROSS JOIN cent{r} c
+  )
+), m{r} AS (SELECT * FROM a{r} WHERE rn = 1)""")
+        if r < n_iter:
+            parts.append(f"""s{r} AS (
+  SELECT cid, i, SUM(q[i]) AS s, COUNT(*) AS c
+  FROM m{r} CROSS JOIN range(1, {dim + 1}) t(i)
+  GROUP BY cid, i
+), cent{r + 1} AS (
+  SELECT cid, cq, {sq_cq} AS cn
+  FROM (
+    SELECT cid,
+      list(CAST(floor(CAST(s AS DOUBLE)/c) AS BIGINT) ORDER BY i) AS cq
+    FROM s{r} GROUP BY cid
+  )
+)""")
+    parts.append(
+        f"af AS (SELECT vec_id, q, nn, cid, csim FROM m{n_iter})"
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+Q_KMEANS_SQL = (
+    _kmeans_cte_sql(
+        "SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v"
+        " FROM embeddings",
+        k=8,
+        n_iter=2,
+        dim=64,
+    )
+    + """
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cluster_id,
+       round(csim, 6) AS cos_center
+FROM af
+"""
+)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) under the gate: plant perturbed
+    copies of every 50th vector (the embed_near_dup planting), cluster
+    with the exact-int spherical k-means, and inside each cluster drop
+    any vector with a cosine ≥ 0.9 lower-id neighbour — the planted
+    copies land in their base's cluster and are the removed set. Pair
+    verify is the unrolled integer dot (codegen'd), quadratic only
+    within a cluster (the paper's cost model: k bounds cluster size)."""
+    from pygr_spark.operators.clustering import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda e: e.cast("double")).alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda e: e.cast("double") * 1.01 + 0.001
+        ).alias("embedding"),
+    )
+    out = semdedup(
+        base.unionAll(planted), k=8, n_iter=2, threshold=0.9, dim=64
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("kept").cast("long").alias("kept"),
+    )
+
+
+Q_SEMDEDUP_SQL = (
+    _kmeans_cte_sql(
+        """SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+    list_transform(embedding, e -> CAST(e AS DOUBLE) * 1.01 + 0.001)
+  FROM embeddings WHERE vec_id % 50 = 0""",
+        k=8,
+        n_iter=2,
+        dim=64,
+    )
+    + """,
+rm AS (
+  SELECT DISTINCT b.vec_id AS rid
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_reduce(list_transform(range(1, 65), i -> a.q[i]*b.q[i]),
+                    (x,y) -> x+y)
+        / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) >= 0.9
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN rm.rid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM af a LEFT JOIN rm ON a.vec_id = rm.rid
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kmeans_clusters": q_kmeans_clusters,
+    "semdedup": q_semdedup,
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "top_orders_per_cust": q_top_orders_per_cust,
@@ -4915,6 +5069,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "kmeans_clusters": Q_KMEANS_SQL,
+    "semdedup": Q_SEMDEDUP_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q5_revenue_by_nation": Q5_SQL,
     "top_orders_per_cust": Q_TOPK_SQL,
