@@ -180,3 +180,29 @@ def slice_from_chunks(
             "letters",
         )
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout: one directory per distinct value
+    of the partition columns. A filter on a partition column prunes
+    whole directories at PLANNING time (``PartitionFilters`` in the
+    scan node — zero IO for excluded partitions), which is THE 100 TB
+    scan lever: a lang/tenant/date-partitioned corpus answers
+    single-partition queries at single-partition cost. This is the
+    Spark-native replacement for the reference's clustered prefetch
+    (sqlgraph.py:992-1031 loads a whole cluster by cluster key ≈ one
+    partition directory) and resource-per-namespace layout. Fixed
+    ``path`` + overwrite keeps reruns leak-free."""
+    df.write.mode(mode).format(fmt).partitionBy(*partition_by).save(path)
+
+
+def read_partitioned(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a partitioned layout; partition columns come back as real
+    columns recovered from directory names."""
+    return spark.read.format(fmt).load(path)

@@ -4955,9 +4955,81 @@ FROM af a LEFT JOIN rm ON a.vec_id = rm.rid
 )
 
 
+def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write → pruned read: documents land in one
+    directory per lang; the lang='en' filter is a PartitionFilter
+    (directory pruning at plan time — the scan never opens the other
+    langs' files; asserted in tests/test_partitioning.py). THE 100 TB
+    scan lever — the Spark-native form of the reference's clustered
+    prefetch (sqlgraph.py:992-1031). Path is per-SF and overwritten
+    each run (leak-free reruns)."""
+    from pygr_spark.operators.partitioning import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = f"/tmp/pygr_spark_part/docs_by_lang_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_partitioned(docs, path, ["lang"])
+    back = read_partitioned(spark, path)
+    return (
+        back.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+Q_PARTITIONED_SCAN_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE lang = 'en' GROUP BY source
+"""
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar source matrix beyond parquet: lineitem projection
+    written as ORC (money pre-converted to exact integer cents), read
+    back with the l_returnflag='R' predicate pushed into the ORC
+    reader (PushedFilters, min/max stripe skipping at scale), then a
+    hash aggregate. Oracle recomputes from the parquet view — a full
+    write→scan roundtrip gate like jdbc_roundtrip."""
+    li = _t(spark, sf_dir, "lineitem")
+    path = f"/tmp/pygr_spark_part/lineitem_orc_{os.path.basename(sf_dir.rstrip('/'))}"
+    li.select(
+        "l_orderkey",
+        "l_linestatus",
+        "l_returnflag",
+        cents(F.col("l_quantity")).alias("qty_c"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+    ).write.mode("overwrite").format("orc").save(path)
+    back = spark.read.format("orc").load(path)
+    return (
+        back.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("qty_c").cast("long").alias("sum_qty_c"),
+            F.sum("price_c").cast("long").alias("sum_price_c"),
+        )
+    )
+
+
+Q_ORC_ROUNDTRIP_SQL = """
+SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
+    "partitioned_scan": q_partitioned_scan,
+    "orc_roundtrip": q_orc_roundtrip,
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "top_orders_per_cust": q_top_orders_per_cust,
@@ -5071,6 +5143,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "kmeans_clusters": Q_KMEANS_SQL,
     "semdedup": Q_SEMDEDUP_SQL,
+    "partitioned_scan": Q_PARTITIONED_SCAN_SQL,
+    "orc_roundtrip": Q_ORC_ROUNDTRIP_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q5_revenue_by_nation": Q5_SQL,
     "top_orders_per_cust": Q_TOPK_SQL,

@@ -115,3 +115,38 @@ def test_slices_from_chunks_batch(spark):
         ("b", 0, 3): "xyz",
         ("b", 1, 2): "y",
     }
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (plan-time directory pruning), not a data filter over all files."""
+    from pygr_spark.operators.partitioning import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+    back = read_partitioned(spark, path)
+    pruned = back.filter(back.lang == "en").select("doc_id")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    # pruned scan answers match the unpartitioned source
+    want = docs.filter(docs.lang == "en").count()
+    assert pruned.count() == want
+    # every partition value round-trips (string column survives inference)
+    langs = {r.lang for r in back.select("lang").distinct().collect()}
+    assert langs == {r.lang for r in docs.select("lang").distinct().collect()}
+
+
+def test_orc_roundtrip_pushes_filter(spark, sf_dir, tmp_path):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag"
+    )
+    path = str(tmp_path / "li_orc")
+    li.write.mode("overwrite").format("orc").save(path)
+    back = spark.read.format("orc").load(path).filter("l_returnflag = 'R'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_returnflag" in plan
+    assert back.count() == li.filter("l_returnflag = 'R'").count()
