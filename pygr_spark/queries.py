@@ -5025,7 +5025,107 @@ FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus
 """
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy join (dedup.edit_distance_join): titles are
+    the first 40 chars of each doc; planted variants mutate position
+    11 to 'Z' (edit distance 1, prefix-8 block intact). Blocked
+    equi-join + levenshtein verify — identical function in DuckDB, so
+    the oracle reproduces distances exactly."""
+    from pygr_spark.operators.dedup import edit_distance_join
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.substring("text", 1, 40).alias("title")
+    )
+    planted = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 10),
+            F.lit("Z"),
+            F.substring("text", 12, 29),
+        ).alias("title"),
+    )
+    both = base.unionAll(planted)
+    return edit_distance_join(
+        both, both, "title", id_col="doc_id", max_dist=2, block_prefix=8
+    )
+
+
+Q_FUZZY_JOIN_SQL = """
+WITH base AS (
+  SELECT doc_id, substr(text, 1, 40) AS title FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         substr(text, 1, 10) || 'Z' || substr(text, 12, 29)
+  FROM documents WHERE doc_id % 40 = 0
+), blk AS (
+  SELECT doc_id, title, substr(title, 1, 8) AS b FROM base
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+FROM blk a JOIN blk b ON a.b = b.b AND a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 2
+"""
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill (operators/timeseries.py):
+    each user's irregular events land on an hourly grid; empty hours
+    carry the last observed value (integer cents) forward. Grid size
+    is users × hours (output-proportional, never a cross join); the
+    fill is the O(n) running-frame direction."""
+    from pygr_spark.operators.timeseries import resample_ffill
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "value_c", cents(F.col("value"))
+    )
+    out = resample_ffill(
+        ev, key="user_id", ts_ns="ts", value="value_c",
+        step_s=3600, order_tiebreak="event_id",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("bucket_start_s").cast("long").alias("bucket_start_s"),
+        F.col("value_c").cast("long").alias("value_c"),
+        F.col("observed").cast("long").alias("observed"),
+    )
+
+
+Q_GAP_FILL_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+    CAST(epoch_ns(ts) AS BIGINT) AS ns,
+    CAST(epoch_ns(ts) // 1000000000 AS BIGINT)
+      - CAST(epoch_ns(ts) // 1000000000 AS BIGINT) % 3600 AS bk,
+    CAST(round(value*100) AS BIGINT) AS v_c
+  FROM events
+), lastv AS (
+  SELECT user_id, bk, v_c FROM (
+    SELECT user_id, bk, v_c,
+      row_number() OVER (PARTITION BY user_id, bk
+                         ORDER BY ns DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+), bounds AS (
+  SELECT user_id, min(bk) AS a, max(bk) AS b FROM e GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(a, b, 3600)) AS bk FROM bounds
+), j AS (
+  SELECT g.user_id, g.bk, l.v_c
+  FROM grid g LEFT JOIN lastv l ON g.user_id = l.user_id AND g.bk = l.bk
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(bk AS BIGINT) AS bucket_start_s,
+  CAST(last_value(v_c IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY bk
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS value_c,
+  CAST(CASE WHEN v_c IS NULL THEN 0 ELSE 1 END AS BIGINT) AS observed
+FROM j
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "fuzzy_join": q_fuzzy_join,
+    "gap_fill": q_gap_fill,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
     "partitioned_scan": q_partitioned_scan,
@@ -5141,6 +5241,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "fuzzy_join": Q_FUZZY_JOIN_SQL,
+    "gap_fill": Q_GAP_FILL_SQL,
     "kmeans_clusters": Q_KMEANS_SQL,
     "semdedup": Q_SEMDEDUP_SQL,
     "partitioned_scan": Q_PARTITIONED_SCAN_SQL,
