@@ -63,6 +63,8 @@ HEADLINE = [
     "countmin_topk",
     "kmeans_clusters",
     "semdedup",
+    "fuzzy_join",
+    "gap_fill",
 ]
 
 #: timings are min-of-N to damp shared-machine noise (observed ±50%

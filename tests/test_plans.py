@@ -311,3 +311,28 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "Exchange" not in p
     assert "SortMergeJoin" in p
+
+
+def test_fuzzy_join_is_hash_join_on_block(spark, sf_dir):
+    """Blocked fuzzy join must be an equi-join on the prefix block,
+    never a nested-loop theta join; levenshtein runs post-join."""
+    p = plan_of(QUERIES["fuzzy_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_gap_fill_no_cartesian_and_running_frame(spark, sf_dir):
+    """Grid is a per-key sequence explode (no cross join); the fill
+    window is the O(n) unboundedPreceding→currentRow direction."""
+    p = plan_of(QUERIES["gap_fill"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "unboundedpreceding" in p.lower()
+    assert "unboundedfollowing" not in p.lower()  # no O(n^2) frame
+
+
+def test_semdedup_pair_join_is_cluster_equi_join(spark, sf_dir):
+    p = plan_of(QUERIES["semdedup"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
