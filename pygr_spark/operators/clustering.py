@@ -120,7 +120,7 @@ def kmeans_spherical(
     v = (
         corpus.select(F.col(id_col), quantized(F.col(vec_col)).alias("qv"))
         .withColumn("qn", sqnorm(F.col("qv")))
-        .persist()  # reused n_iter+1 times; freed by the ContextCleaner
+        .persist()  # reused by the init collect + every Lloyd round
     )
     init = (
         v.withColumn("_h", md5_hash60(F.col(id_col).cast("string")))
@@ -151,6 +151,13 @@ def kmeans_spherical(
             # floor(CAST(s AS DOUBLE)/c) while |s| < 2^53
             cq = [math.floor(comp[p][0] / comp[p][1]) for p in sorted(comp)]
             cents.append((cid, cq, sum(x * x for x in cq)))
+    # the cache only serves the (already-run) iteration jobs; drop it
+    # NOW so no cached RDDs linger to be GC-collected mid-bench (the
+    # deferred ContextCleaner pass shows up as a burst of harmless but
+    # noisy "Failed to update accumulator" errors at session scale).
+    # The returned lazy plan rescans the source once — cheaper than it
+    # looks, since assignment is a single narrow projection pass.
+    v.unpersist(blocking=False)
     return _assign(v, cents)
 
 

@@ -5123,9 +5123,42 @@ FROM j
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Python UDTF (§2.10): LATERAL doc_chunks(doc_id, text)
+    expands each document into non-overlapping 32-token chunks inside
+    the engine (variable fan-out per input row; Arrow-batched eval
+    where the runtime supports it). The token rule is a single-space
+    split so DuckDB's string_split + list-slice oracle reproduces it
+    byte-for-byte — the UDTF mechanism is what's under test; hot
+    paths use JVM-side explode (operators/pipeline.py chunkers)."""
+    from pygr_spark.functions.udtfs import chunk_udtf
+
+    spark.udtf.register("doc_chunks", chunk_udtf(32))
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.chunk_no, s.chunk, s.n_tokens
+        FROM _docs_udtf d, LATERAL doc_chunks(d.doc_id, d.text) s
+        """
+    )
+
+
+Q_DOC_CHUNKS_SQL = """
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(u.j AS BIGINT) AS chunk_no,
+       array_to_string(l[(u.j-1)*32+1 : u.j*32], ' ') AS chunk,
+       CAST(len(l[(u.j-1)*32+1 : u.j*32]) AS BIGINT) AS n_tokens
+FROM s, LATERAL (
+  SELECT unnest(range(1, CAST(ceil(len(l) / 32.0) AS BIGINT) + 1)) AS j
+) u
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_join": q_fuzzy_join,
     "gap_fill": q_gap_fill,
+    "doc_chunks": q_doc_chunks,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
     "partitioned_scan": q_partitioned_scan,
@@ -5243,6 +5276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "fuzzy_join": Q_FUZZY_JOIN_SQL,
     "gap_fill": Q_GAP_FILL_SQL,
+    "doc_chunks": Q_DOC_CHUNKS_SQL,
     "kmeans_clusters": Q_KMEANS_SQL,
     "semdedup": Q_SEMDEDUP_SQL,
     "partitioned_scan": Q_PARTITIONED_SCAN_SQL,

@@ -78,3 +78,25 @@ def test_edit_distance_join_emits_each_pair_once(spark):
     pairs = [(r.id_a, r.id_b) for r in out.collect()]
     assert sorted(pairs) == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
     assert all(a < b for a, b in pairs)
+
+
+def test_chunk_udtf_fanout_and_ragged_tail(spark):
+    from pygr_spark.functions.udtfs import chunk_udtf
+
+    spark.udtf.register("chunks3", chunk_udtf(3))
+    spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("_t_udtf")
+    got = {
+        (r.doc_id, r.chunk_no): (r.chunk, r.n_tokens)
+        for r in spark.sql(
+            "SELECT s.* FROM _t_udtf d, LATERAL chunks3(d.doc_id, d.text) s"
+        ).collect()
+    }
+    assert got == {
+        (1, 1): ("a b c", 3),
+        (1, 2): ("d e", 2),        # ragged tail
+        (2, 1): ("x", 1),
+        (3, 1): ("", 1),           # ''.split(' ') == [''] — one empty token
+    }
