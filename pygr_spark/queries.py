@@ -5155,10 +5155,116 @@ FROM s, LATERAL (
 """
 
 
+def q_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-classifier corpus filtering (the fasttext-style quality
+    gate every LLM pipeline runs): score = w·v + b with a FIXED
+    integer weight vector embedded as literal coefficients — model
+    inference as a pure no-shuffle codegen projection, millions of
+    rows/core/sec, no UDF. Exact-integer dot (quantized micro-units)
+    keeps the decision boundary engine-portable: the margin, not a
+    sigmoid, is the output (same monotone ranking; libm exp() may
+    differ in the last ulp across engines). Weights are a deterministic
+    ±(1..4) pattern standing in for trained parameters."""
+    from pygr_spark.operators.similarity import quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    # deterministic stand-in weights: w_i = ((i*7) % 9) - 4  ∈ [-4, 4]
+    w = [((i * 7) % 9) - 4 for i in range(dim)]
+    terms = " ".join(
+        ("+" if c >= 0 else "-") + f" {abs(c)} * element_at(qv, {i + 1})"
+        for i, c in enumerate(w)
+    )
+    v = emb.select("vec_id", "label", quantized(F.col("embedding")).alias("qv"))
+    return v.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("string").alias("label"),
+        F.expr(f"CAST(0 {terms} AS BIGINT)").alias("margin_u"),
+    ).withColumn(
+        "keep", (F.col("margin_u") >= F.lit(0)).cast("long")
+    )
+
+
+def _classifier_sql(dim: int = 64) -> str:
+    w = [((i * 7) % 9) - 4 for i in range(dim)]
+    terms = " ".join(
+        ("+" if c >= 0 else "-") + f" {abs(c)} * q[{i + 1}]"
+        for i, c in enumerate(w)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, label,
+    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS q
+  FROM embeddings
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS VARCHAR) AS label,
+  CAST(0 {terms} AS BIGINT) AS margin_u,
+  CAST(CASE WHEN (0 {terms}) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM v
+"""
+
+
+Q_CLASSIFIER_SQL = _classifier_sql()
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view refresh (operators/incremental.py): the
+    pre-split lineitem partial aggregates are persisted as view state;
+    the post-split delta is absorbed by re-aggregating state ∪
+    delta-partials — the base is never rescanned during refresh. The
+    oracle is the FULL recompute, so the hash match proves the
+    incremental path is exact (sum/count self-maintainability)."""
+    from pygr_spark.operators.incremental import (
+        materialize_partials,
+        refresh_with_delta,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_d", F.col("l_shipdate").cast("date")
+    )
+    split = F.lit("1995-06-17").cast("date")
+    aggs = {
+        "sum_qty_c": F.sum(cents(F.col("l_quantity"))).cast("long"),
+        "sum_price_c": F.sum(cents(F.col("l_extendedprice"))).cast("long"),
+        "n_rows": F.count(F.lit(1)).cast("long"),
+    }
+    path = (
+        "/tmp/pygr_spark_part/incr_state_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    materialize_partials(
+        li.filter(F.col("ship_d") < split), path,
+        ["l_returnflag", "l_linestatus"], aggs,
+    )
+    out = refresh_with_delta(
+        spark, path, li.filter(F.col("ship_d") >= split),
+        ["l_returnflag", "l_linestatus"], aggs,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty_c").cast("long").alias("sum_qty_c"),
+        F.col("sum_price_c").cast("long").alias("sum_price_c"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+Q_INCREMENTAL_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_join": q_fuzzy_join,
     "gap_fill": q_gap_fill,
     "doc_chunks": q_doc_chunks,
+    "classifier_filter": q_classifier_filter,
+    "incremental_agg": q_incremental_agg,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
     "partitioned_scan": q_partitioned_scan,
@@ -5277,6 +5383,8 @@ ORACLES: dict[str, str] = {
     "fuzzy_join": Q_FUZZY_JOIN_SQL,
     "gap_fill": Q_GAP_FILL_SQL,
     "doc_chunks": Q_DOC_CHUNKS_SQL,
+    "classifier_filter": Q_CLASSIFIER_SQL,
+    "incremental_agg": Q_INCREMENTAL_AGG_SQL,
     "kmeans_clusters": Q_KMEANS_SQL,
     "semdedup": Q_SEMDEDUP_SQL,
     "partitioned_scan": Q_PARTITIONED_SCAN_SQL,
