@@ -65,6 +65,7 @@ HEADLINE = [
     "semdedup",
     "fuzzy_join",
     "gap_fill",
+    "corpus_pipeline",
 ]
 
 #: timings are min-of-N to damp shared-machine noise (observed ±50%

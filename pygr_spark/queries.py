@@ -4812,7 +4812,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration exact on both engines."""
     from pygr_spark.operators.clustering import kmeans_spherical
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     out = kmeans_spherical(emb, k=8, n_iter=2)
     return out.select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -4907,7 +4907,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within a cluster (the paper's cost model: k bounds cluster size)."""
     from pygr_spark.operators.clustering import semdedup
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # _spread: the heavy per-row work (assignment projection, pair
+    # verify) runs before any shuffle, and the single-row-group
+    # testdata parquet scans as 2 splits — without the round-robin
+    # repartition the 64-term dot verify runs on 2 of 32 cores
+    # (measured 9s -> 2.5s at sf0.1)
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     base = emb.select(
         "vec_id",
         F.transform("embedding", lambda e: e.cast("double")).alias("embedding"),
@@ -5259,12 +5264,77 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed END-TO-END corpus clean (what a real training-data
+    job chains): quality gate (length bounds) → exact dedup (keep the
+    lowest doc_id per identical text) → benchmark decontamination
+    (drop any doc sharing an 8-gram with the held-out doc_id%41 set) →
+    per-source survivor stats. Each stage is an already-oracled
+    operator (dedup.exact_dedup, pipeline.decontaminate); this entry
+    gates their COMPOSITION — one pipeline, three shuffles (dedup
+    groupBy, shingle join, final agg), benchmark side broadcastable."""
+    from pygr_spark.operators.dedup import exact_dedup
+    from pygr_spark.operators.pipeline import decontaminate
+
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    quality = docs.filter(F.col("n_chars").between(120, 5000))
+    canon = exact_dedup(quality).select("doc_id")
+    kept = quality.join(canon, "doc_id")
+    corpus = kept.filter(F.col("doc_id") % 41 != 0)
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    flagged = decontaminate(corpus, bench, n=8).select("doc_id")
+    clean = corpus.join(flagged, "doc_id", "left_anti")
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+Q_CORPUS_PIPELINE_SQL = r"""
+WITH d AS (
+  SELECT * FROM documents
+  WHERE length(trim(text)) > 0 AND n_chars BETWEEN 120 AND 5000
+), canon AS (
+  SELECT min(doc_id) AS doc_id FROM d GROUP BY text
+), kept AS (
+  SELECT d.* FROM d JOIN canon USING (doc_id)
+), corpus AS (
+  SELECT * FROM kept WHERE doc_id % 41 <> 0
+), nonempty AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+), bench AS (
+  SELECT doc_id, text FROM nonempty WHERE doc_id % 41 = 0
+), csh AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(range(1, len(t)-6),
+           i -> array_to_string(list_slice(t, i, i+7), ' ')))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM corpus) WHERE len(t) >= 8
+), bsh AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(range(1, len(t)-6),
+           i -> array_to_string(list_slice(t, i, i+7), ' ')))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM bench) WHERE len(t) >= 8
+), flagged AS (
+  SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b USING (s)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_join": q_fuzzy_join,
     "gap_fill": q_gap_fill,
     "doc_chunks": q_doc_chunks,
     "classifier_filter": q_classifier_filter,
     "incremental_agg": q_incremental_agg,
+    "corpus_pipeline": q_corpus_pipeline,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
     "partitioned_scan": q_partitioned_scan,
@@ -5385,6 +5455,7 @@ ORACLES: dict[str, str] = {
     "doc_chunks": Q_DOC_CHUNKS_SQL,
     "classifier_filter": Q_CLASSIFIER_SQL,
     "incremental_agg": Q_INCREMENTAL_AGG_SQL,
+    "corpus_pipeline": Q_CORPUS_PIPELINE_SQL,
     "kmeans_clusters": Q_KMEANS_SQL,
     "semdedup": Q_SEMDEDUP_SQL,
     "partitioned_scan": Q_PARTITIONED_SCAN_SQL,
