@@ -5264,6 +5264,52 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (§2.9, the one streaming
+    join shape the suite lacked): the events stream joins a static
+    dimension (nation, keyed by user_id % 25) per micro-batch —
+    stateless, the static side broadcast, no state store for the join
+    itself — then a watermarked tumbling-window aggregate per nation.
+    availableNow drain in complete mode equals the batch SQL exactly."""
+    from pygr_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    enriched = stream.withColumn(
+        "nk", F.pmod(F.col("user_id"), F.lit(25)).cast("long")
+    ).join(F.broadcast(nation), "nk")
+    agg = (
+        enriched.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "6 hours"), "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("sum_value_c"),
+        )
+    )
+    out = run_stream_to_table(agg, spark)
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).cast("long").alias("win_start"),
+        "n_name",
+        "n_events",
+        "sum_value_c",
+    )
+
+
+Q_STREAM_ENRICH_SQL = """
+SELECT CAST((epoch_ns(ts) // 1000000000) // 21600 * 21600 AS BIGINT) AS win_start,
+       n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events JOIN nation ON n_nationkey = user_id % 25
+GROUP BY 1, 2
+"""
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed END-TO-END corpus clean (what a real training-data
     job chains): quality gate (length bounds) → exact dedup (keep the
@@ -5335,6 +5381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_filter": q_classifier_filter,
     "incremental_agg": q_incremental_agg,
     "corpus_pipeline": q_corpus_pipeline,
+    "stream_enrich": q_stream_enrich,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
     "partitioned_scan": q_partitioned_scan,
@@ -5456,6 +5503,7 @@ ORACLES: dict[str, str] = {
     "classifier_filter": Q_CLASSIFIER_SQL,
     "incremental_agg": Q_INCREMENTAL_AGG_SQL,
     "corpus_pipeline": Q_CORPUS_PIPELINE_SQL,
+    "stream_enrich": Q_STREAM_ENRICH_SQL,
     "kmeans_clusters": Q_KMEANS_SQL,
     "semdedup": Q_SEMDEDUP_SQL,
     "partitioned_scan": Q_PARTITIONED_SCAN_SQL,
