@@ -72,9 +72,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     batch = spark.read.parquet(src)
     # the file source requires a directory — expose the single driver
-    # file through a temp dir of symlinks (testdata is read-only)
+    # file through a temp dir of symlinks (testdata is read-only).
+    # A DIRECTORY source (e.g. a Spark-written scaled copy) must have
+    # its part-files linked individually: the file source does not
+    # recurse into a nested directory, so linking the dir itself
+    # would stream zero rows.
     d = tempfile.mkdtemp(prefix="pygr_spark_stream_")
-    os.symlink(src, os.path.join(d, "events.parquet"))
+    if os.path.isdir(src):
+        for i, f in enumerate(sorted(os.listdir(src))):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(src, f), os.path.join(d, f"part{i}.parquet")
+                )
+    else:
+        os.symlink(src, os.path.join(d, "events.parquet"))
     stream = normalize_event_ts(spark.readStream.schema(batch.schema).parquet(d))
     return stream.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
 

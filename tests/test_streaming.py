@@ -120,3 +120,22 @@ def test_watermark_drops_late_data(spark, tmp_path):
     types = {r.event_type for r in got.collect()}
     assert "ok" in types
     assert "late" not in types  # dropped by the watermark
+
+
+def test_stream_source_handles_directory_parquet(spark, sf_dir, tmp_path):
+    """Scaled/production event tables are Spark-written DIRECTORIES,
+    not single files; the symlink shim must link part-files so the
+    file source sees them (a linked nested dir streams zero rows)."""
+    import os
+
+    from pygr_spark.streaming.events import read_events_stream, run_stream_to_table
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = str(tmp_path / "evdir")
+    src.limit(200).repartition(3).write.parquet(d)
+    os.rename(d, str(tmp_path / "events.parquet"))
+    stream = read_events_stream(spark, str(tmp_path))
+    out = run_stream_to_table(
+        stream.groupBy("event_type").count(), spark
+    )
+    assert out.agg({"count": "sum"}).first()[0] == 200
