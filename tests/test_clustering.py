@@ -149,3 +149,34 @@ def test_semdedup_keeps_lowest_id_per_duplicate_group(spark):
     out = semdedup(df, k=2, n_iter=1, threshold=0.99, dim=8)
     got = {r["vec_id"]: r["kept"] for r in out.collect()}
     assert got == {1: 1, 2: 0, 3: 0, 4: 1}
+
+
+def test_kmeans_k_larger_than_corpus(spark):
+    """k > n: init takes every vector as a centroid; assignment stays
+    total and deterministic (no crash, no empty output)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_spherical(df, k=10, n_iter=1)
+    assert out.count() == 3
+    assert out.select("cluster_id").distinct().count() <= 3
+
+
+def test_semdedup_threshold_above_max_removes_nothing(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semdedup(df, k=2, n_iter=1, threshold=1.1, dim=2)
+    assert out.filter("kept = 0").count() == 0
+    assert out.count() == 5
+
+
+def test_kmeans_single_cluster_k1(spark):
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_spherical(df, k=1, n_iter=2)
+    assert {r.cluster_id for r in out.collect()} == {0}
