@@ -66,6 +66,10 @@ HEADLINE = [
     "fuzzy_join",
     "gap_fill",
     "corpus_pipeline",
+    "scd2_history",
+    "cdc_compact",
+    "pareto_front",
+    "seed_extend",
 ]
 
 #: timings are min-of-N to damp shared-machine noise (observed ±50%

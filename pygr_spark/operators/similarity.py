@@ -590,3 +590,150 @@ def kmer_seed_join(
             "n_seeds",
         )
     )
+
+
+def _best_prefix(scores: Column) -> Column:
+    """Max prefix sum of an int array, floored at 0 (the empty
+    prefix) — the ungapped-extension score of one direction. One
+    O(n) fold, JVM-side."""
+    return F.aggregate(
+        scores,
+        F.struct(F.lit(0).alias("s"), F.lit(0).alias("m")),
+        lambda acc, x: F.struct(
+            (acc["s"] + x).alias("s"),
+            F.greatest(acc["m"], acc["s"] + x).alias("m"),
+        ),
+        lambda acc: acc["m"],
+    )
+
+
+def seed_extend_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 20,
+    min_seeds: int = 2,
+    max_kmer_docs: int | None = 20,
+    window: int = 40,
+    match: int = 1,
+    mismatch: int = -2,
+) -> DataFrame:
+    """BLAST-style seed-AND-EXTEND homology join — completes the
+    seed step of ``kmer_seed_join`` with the ungapped extension the
+    reference gets from shelling out to blastall (blast.py:158-351):
+    every shared k-mer seed is extended left and right, scoring
+    ``match``/``mismatch`` per aligned character, and the extension
+    keeps the best-scoring prefix (X-drop with an infinite X — the
+    max prefix sum), capped at ``window`` characters per direction.
+
+    Returns ``(id_a, id_b, n_seeds, best_score)`` for pairs sharing
+    >= ``min_seeds`` distinct k-mers after the ubiquity mask
+    (``max_kmer_docs`` — BLAST's low-complexity filter, the skew
+    guard that keeps one stop-word k-mer from going quadratic);
+    ``best_score`` is the max over that pair's seeds of
+    ``k*match + left_ext + right_ext``.
+
+    Scale shape: the seed join is the same bucketed equi-join as
+    ``kmer_seed_join``; extension is a per-row O(window) fold over
+    substrings — whole-stage-codegen expressions, no UDF, no second
+    shuffle. Seeds use each k-mer's FIRST occurrence per document
+    (deterministic; min position), so a pair contributes one
+    extension per shared k-mer.
+    """
+    idx = F.sequence(F.lit(1), F.length(text) - (k - 1))
+    base = docs.filter(F.length(text) >= k)
+    km = (
+        base.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.col(text).substr(i, F.lit(k)).alias("_km"),
+                        i.alias("_pos"),
+                    ),
+                )
+            ).alias("_u"),
+        )
+        .select("_id", F.col("_u._km").alias("_km"), F.col("_u._pos").alias("_pos"))
+        .groupBy("_id", "_km")
+        .agg(F.min("_pos").alias("_pos"))
+    )
+    km = km.localCheckpoint(eager=False)
+    if max_kmer_docs is not None:
+        freq = km.groupBy("_km").agg(F.count(F.lit(1)).alias("_nd"))
+        km = km.join(
+            F.broadcast(freq.filter(F.col("_nd") > max_kmer_docs)),
+            "_km",
+            "left_anti",
+        )
+    b = km.select(
+        F.col("_id").alias("_id_b"), "_km", F.col("_pos").alias("_pos_b")
+    )
+    pairs = km.join(b, "_km").filter(F.col("_id") < F.col("_id_b"))
+    slim = docs.select(
+        F.col(id_col).alias("_tid"),
+        F.col(text).alias("_t"),
+        F.length(text).alias("_tl"),
+    )
+    px = (
+        pairs.join(slim, pairs["_id"] == slim["_tid"])
+        .select(
+            "_id", "_id_b", "_km", "_pos", "_pos_b",
+            F.col("_t").alias("_ta"), F.col("_tl").alias("_la"),
+        )
+        .join(slim, F.col("_id_b") == slim["_tid"])
+        .select(
+            "_id", "_id_b", "_km", "_pos", "_pos_b", "_ta", "_la",
+            F.col("_t").alias("_tb"), F.col("_tl").alias("_lb"),
+        )
+    )
+
+    def _score_at(ia: Column, ib: Column) -> Column:
+        return F.when(
+            F.col("_ta").substr(ia, F.lit(1)) == F.col("_tb").substr(ib, F.lit(1)),
+            F.lit(match),
+        ).otherwise(F.lit(mismatch))
+
+    empty = F.array().cast("array<int>")
+    # right: chars after the seed — offsets 0..L-1 at (pa+k+i, pb+k+i)
+    l_r = F.least(
+        F.col("_la") - (F.col("_pos") + k) + 1,
+        F.col("_lb") - (F.col("_pos_b") + k) + 1,
+        F.lit(window),
+    )
+    arr_r = F.when(
+        l_r >= 1,
+        F.transform(
+            F.sequence(F.lit(0), l_r - 1),
+            lambda i: _score_at(F.col("_pos") + k + i, F.col("_pos_b") + k + i),
+        ),
+    ).otherwise(empty)
+    # left: chars before the seed — offsets 0..L-1 at (pa-1-i, pb-1-i)
+    l_l = F.least(F.col("_pos") - 1, F.col("_pos_b") - 1, F.lit(window))
+    arr_l = F.when(
+        l_l >= 1,
+        F.transform(
+            F.sequence(F.lit(0), l_l - 1),
+            lambda i: _score_at(F.col("_pos") - 1 - i, F.col("_pos_b") - 1 - i),
+        ),
+    ).otherwise(empty)
+    scored = px.select(
+        "_id",
+        "_id_b",
+        (
+            F.lit(k * match) + _best_prefix(arr_r) + _best_prefix(arr_l)
+        ).alias("_total"),
+    )
+    return (
+        scored.groupBy("_id", "_id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seeds"),
+            F.max("_total").cast("long").alias("best_score"),
+        )
+        .filter(F.col("n_seeds") >= min_seeds)
+        .select(
+            F.col("_id").alias("id_a"), F.col("_id_b").alias("id_b"),
+            "n_seeds", "best_score",
+        )
+    )

@@ -5374,7 +5374,227 @@ GROUP BY source
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from a change log (operators/scd.py):
+    each user's event_type stream becomes validity runs — consecutive
+    duplicate states collapse, valid_to = next run's valid_from, open
+    run flagged current. One partitioned-window pass; the warehouse
+    counterpart of the reference's rebuild-the-whole-resource
+    versioning (metabase.py:744-816)."""
+    from pygr_spark.operators.scd import scd2_from_changelog
+
+    ev = read_events(spark, sf_dir)
+    hist = scd2_from_changelog(
+        ev, key="user_id", ts="ts", state_cols=["event_type"],
+        tiebreak="event_id",
+    )
+    return hist.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("state"),
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        F.col("is_current").cast("long").alias("is_current"),
+    )
+
+
+Q_SCD2_HISTORY_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(epoch_ns(ts) AS BIGINT) AS ns
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, event_type, ns,
+    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+         THEN 1 ELSE 0 END AS new_run
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ns, event_id)
+), starts AS (
+  SELECT * FROM marked WHERE new_run = 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS state,
+  CAST(ns AS BIGINT) AS valid_from,
+  CAST(lead(ns) OVER w2 AS BIGINT) AS valid_to,
+  CAST(CASE WHEN lead(ns) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS is_current
+FROM starts WINDOW w2 AS (PARTITION BY user_id ORDER BY ns, event_id)
+"""
+
+
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC materialization (operators/scd.py cdc_compact): compact the
+    event change log to the newest row per user, treating 'error'
+    events as delete tombstones — the Debezium-style upsert/delete
+    merge every warehouse ingest runs. One partitioned window, no
+    join."""
+    from pygr_spark.operators.scd import cdc_compact
+
+    ev = (
+        read_events(spark, sf_dir)
+        .withColumn("value_c", cents(F.col("value")))
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("upsert")),
+        )
+    )
+    out = cdc_compact(
+        ev, key="user_id", ts="ts", op_col="op", tiebreak="event_id"
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("long").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value_c").cast("long").alias("value_c"),
+    )
+
+
+Q_CDC_COMPACT_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+    CAST(epoch_ns(ts) AS BIGINT) AS ns,
+    CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ns DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  CAST(ns AS BIGINT) AS last_ts,
+  event_type AS last_type,
+  CAST(v_c AS BIGINT) AS value_c
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment 2-D Pareto frontier (operators/skyline.py):
+    customers not weakly dominated on (account balance, order count)
+    within their market segment. Spark shape is the O(n log n)
+    two-window sweep (strict-greater RANGE frame + per-x max), not
+    the quadratic NOT EXISTS the oracle runs — same rows, different
+    asymptotics."""
+    from pygr_spark.operators.skyline import pareto_front
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cnt = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    pts = (
+        cust.join(cnt, cust["c_custkey"] == cnt["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            cents(F.col("c_acctbal")).alias("bal_c"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long")
+            .alias("n_orders"),
+        )
+    )
+    front = pareto_front(pts, group="c_mktsegment", x="bal_c", y="n_orders")
+    return front.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_mktsegment",
+        F.col("bal_c").cast("long").alias("bal_c"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+Q_PARETO_FRONT_SQL = """
+WITH pts AS (
+  SELECT c_custkey, c_mktsegment,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+    CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN (
+    SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+  ) cnt ON c.c_custkey = cnt.o_custkey
+)
+SELECT CAST(p.c_custkey AS BIGINT) AS c_custkey, p.c_mktsegment,
+       p.bal_c, p.n_orders
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.c_mktsegment = p.c_mktsegment
+    AND q.bal_c >= p.bal_c AND q.n_orders >= p.n_orders
+    AND (q.bal_c > p.bal_c OR q.n_orders > p.n_orders)
+)
+"""
+
+
+def q_seed_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-AND-EXTEND homology join (similarity.seed_extend_join):
+    the ungapped-extension step BLAST runs after seeding
+    (reference blast.py:158-351 shells out for both steps; here the
+    extension is an O(window) JVM-side fold per seed — match +1,
+    mismatch -2, best prefix kept, 40 chars per direction)."""
+    from pygr_spark.operators.similarity import seed_extend_join
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return seed_extend_join(
+        docs, k=20, min_seeds=3, max_kmer_docs=20, window=40,
+        match=1, mismatch=-2,
+    )
+
+
+Q_SEED_EXTEND_SQL = """
+WITH km0 AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(text) - 20 + 2),
+      i -> struct_pack(m := substr(text, i, 20), p := i))) AS u
+  FROM documents WHERE length(text) >= 20
+), km AS (
+  SELECT doc_id, u.m AS m, MIN(u.p) AS p FROM km0 GROUP BY doc_id, u.m
+), freq AS (
+  SELECT m, count(*) AS nd FROM km GROUP BY m
+), kept AS (
+  SELECT km.doc_id, km.m, km.p FROM km JOIN freq USING (m) WHERE nd <= 20
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.m,
+         a.p AS pa, b.p AS pb
+  FROM kept a JOIN kept b ON a.m = b.m AND a.doc_id < b.doc_id
+), flt AS (
+  SELECT id_a, id_b FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3
+), px AS (
+  SELECT p.id_a, p.id_b, p.pa, p.pb,
+         da.text AS ta, db.text AS tb,
+         length(da.text) AS la, length(db.text) AS lb
+  FROM pairs p
+  JOIN flt USING (id_a, id_b)
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+), dims AS (
+  SELECT id_a, id_b, pa, pb, ta, tb,
+    least(la - (pa + 20) + 1, lb - (pb + 20) + 1, 40) AS lr,
+    least(pa - 1, pb - 1, 40) AS ll
+  FROM px
+), arrs AS (
+  SELECT id_a, id_b,
+    list_transform(range(0, greatest(lr, 0)), i ->
+      CASE WHEN substr(ta, pa + 20 + i, 1) = substr(tb, pb + 20 + i, 1)
+           THEN 1 ELSE -2 END) AS sr,
+    list_transform(range(0, greatest(ll, 0)), i ->
+      CASE WHEN substr(ta, pa - 1 - i, 1) = substr(tb, pb - 1 - i, 1)
+           THEN 1 ELSE -2 END) AS sl
+  FROM dims
+), scored AS (
+  SELECT id_a, id_b,
+    20
+    + greatest(0, coalesce(list_max(list_transform(
+        range(1, len(sr) + 1), j -> list_sum(list_slice(sr, 1, j)))), 0))
+    + greatest(0, coalesce(list_max(list_transform(
+        range(1, len(sl) + 1), j -> list_sum(list_slice(sl, 1, j)))), 0))
+      AS total
+  FROM arrs
+)
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_seeds,
+       CAST(max(total) AS BIGINT) AS best_score
+FROM scored GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scd2_history": q_scd2_history,
+    "cdc_compact": q_cdc_compact,
+    "pareto_front": q_pareto_front,
+    "seed_extend": q_seed_extend,
     "fuzzy_join": q_fuzzy_join,
     "gap_fill": q_gap_fill,
     "doc_chunks": q_doc_chunks,
@@ -5497,6 +5717,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "scd2_history": Q_SCD2_HISTORY_SQL,
+    "cdc_compact": Q_CDC_COMPACT_SQL,
+    "pareto_front": Q_PARETO_FRONT_SQL,
+    "seed_extend": Q_SEED_EXTEND_SQL,
     "fuzzy_join": Q_FUZZY_JOIN_SQL,
     "gap_fill": Q_GAP_FILL_SQL,
     "doc_chunks": Q_DOC_CHUNKS_SQL,

@@ -28,18 +28,11 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 #: entries whose flagged pattern is bounded by construction; each must
 #: say why (the audit prints the reason next to the waiver)
 EXEMPT: dict[str, dict[str, str]] = {
-    "token_topk": {
-        "global_window": "rank over the 20 survivors of a "
-        "TakeOrderedAndProject limit — input is 20 rows by construction"
-    },
-    "countmin_topk": {
-        "global_window": "same shape: survivor rank after a global "
-        "top-20 limit"
-    },
-    "seq_n50": {
-        "global_window": "per-seq-db cumulative sum ranks ~tens of "
-        "contig-length rows per db (bounded by schema, not data size)"
-    },
+    # (token_topk / countmin_topk / seq_n50 global_window waivers
+    # removed: the first two are windowless since the round-4 rewrite,
+    # and seq_n50's windows all partition by source — the old flag was
+    # the partition-without-order false positive audit_plan now
+    # disambiguates by the ASC/DESC tail check.)
     # BroadcastNestedLoopJoin waivers: every one is the bounded
     # broadcast-scalar/broadcast-tiny-table idiom — the build side has
     # 1..k rows BY CONSTRUCTION (a global aggregate or a fixed-size
@@ -85,12 +78,17 @@ def audit_plan(plan: str) -> dict[str, str]:
         # known literal-broadcast entries below.
         flags["bnlj"] = "BroadcastNestedLoopJoin in physical plan"
     # Window node text: global = `Window [funcs], [order]` (one `], [`),
-    # partitioned = `Window [funcs], [parts], [order]` (two) — verified
-    # against Spark 4.1 plan output
+    # partitioned = `Window [funcs], [parts], [order]` (two). A
+    # partitioned window WITHOUT an order (e.g. per-key max over the
+    # whole partition) also prints one `], [` — disambiguate by the
+    # trailing group: a sort order carries ASC/DESC qualifiers, a
+    # partition list never does. Verified against Spark 4.1 output.
     for line in plan.splitlines():
         s = line.strip().lstrip("+-: *")
         if s.startswith("Window [") and s.count("], [") == 1:
-            flags["global_window"] = "window with empty PARTITION BY"
+            tail = s.rsplit("], [", 1)[1]
+            if " ASC" in tail or " DESC" in tail:
+                flags["global_window"] = "window with empty PARTITION BY"
     if re.search(r"\bSortAggregate\b", plan):
         flags["sort_aggregate"] = "SortAggregate (spill-prone fallback)"
     return flags
