@@ -70,6 +70,8 @@ HEADLINE = [
     "cdc_compact",
     "pareto_front",
     "seed_extend",
+    "substring_dedup",
+    "stratified_sample",
 ]
 
 #: timings are min-of-N to damp shared-machine noise (observed ±50%

@@ -5590,7 +5590,94 @@ FROM scored GROUP BY 1, 2
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring dedup (operators/spandedup.py):
+    merged character spans of every 40-char window that occurs >= 2
+    times anywhere in the corpus — the ExactSubstr cut list of Lee et
+    al. 2022, re-shaped from a suffix array into one gram-keyed window
+    count + per-doc gaps-and-islands merge."""
+    from pygr_spark.operators.spandedup import dup_spans
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    spans = dup_spans(
+        docs, id_col="doc_id", text_col="text", length=40, sample_mod=1
+    )
+    return spans.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    )
+
+
+Q_SUBSTRING_DEDUP_SQL = """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(0, CAST(n_chars AS BIGINT) - 39))) AS p
+  FROM documents
+), gg AS (
+  SELECT doc_id, p, substr(text, CAST(p AS INT) + 1, 40) AS gram FROM pos
+), dup AS (
+  SELECT doc_id, p, p + 40 AS e
+  FROM (SELECT doc_id, p, count(*) OVER (PARTITION BY gram) AS n FROM gg)
+  WHERE n >= 2
+), m AS (
+  SELECT doc_id, p AS s, e,
+    max(e) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM dup
+), grp AS (
+  SELECT doc_id, s, e,
+    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY s) AS gid
+  FROM m
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM grp GROUP BY doc_id, gid
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-docs-per-language deterministic sample
+    (operators/sampling.py): rank key is md5(doc_id) so any engine
+    picks the same rows. The Spark side runs the two-phase
+    prefilter+window shape (per-stratum threshold on a 32-bit key
+    prefix, exact window only over survivors, per-stratum fallback
+    guarantees exactness); the oracle runs the naive single window —
+    identical rows by construction."""
+    from pygr_spark.operators.sampling import stratified_sample
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    samp = stratified_sample(
+        docs, strata=["lang"], n_per_stratum=20, id_col="doc_id"
+    )
+    return samp.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("_rk").alias("rk"),
+    )
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, rk,
+         row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn
+  FROM keyed
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, rk
+FROM ranked WHERE rn <= 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "substring_dedup": q_substring_dedup,
+    "stratified_sample": q_stratified_sample,
     "scd2_history": q_scd2_history,
     "cdc_compact": q_cdc_compact,
     "pareto_front": q_pareto_front,
@@ -5717,6 +5804,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "substring_dedup": Q_SUBSTRING_DEDUP_SQL,
+    "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
     "cdc_compact": Q_CDC_COMPACT_SQL,
     "pareto_front": Q_PARETO_FRONT_SQL,
