@@ -72,6 +72,7 @@ HEADLINE = [
     "seed_extend",
     "substring_dedup",
     "stratified_sample",
+    "copurchase",
 ]
 
 #: timings are min-of-N to damp shared-machine noise (observed ±50%

@@ -5675,7 +5675,188 @@ FROM ranked WHERE rn <= 20
 """
 
 
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 co-purchased parts per part (operators/cooccur.py):
+    distinct (order, part) baskets -> capped self-equi-join on the
+    order key -> pair counts -> per-part ranked continuations. The
+    max_basket=50 cap is the skew guard (TPC-H baskets are <= 7; the
+    cap exists for the 100 TB case where one degenerate basket would
+    otherwise emit C(k,2) pairs) and is applied IDENTICALLY in the
+    oracle so the two sides stay structurally equivalent under any
+    future data regeneration."""
+    from pygr_spark.operators.cooccur import copurchase_topn
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = copurchase_topn(
+        li,
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        top_n=3,
+        min_pair_count=2,
+        max_basket=50,
+    )
+    return out.select(
+        F.col("item").cast("long").alias("item"),
+        F.col("co_item").cast("long").alias("co_item"),
+        F.col("pair_count").cast("long").alias("pair_count"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
+
+
+Q_COPURCHASE_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), sized AS (
+  SELECT b, i FROM (
+    SELECT b, i, count(*) OVER (PARTITION BY b) AS bsz FROM items
+  ) WHERE bsz <= 50
+), pairs AS (
+  SELECT a.i AS p1, c.i AS p2, count(*) AS pair_count
+  FROM sized a JOIN sized c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), dirs AS (
+  SELECT p1 AS item, p2 AS co_item, pair_count FROM pairs
+  UNION ALL
+  SELECT p2 AS item, p1 AS co_item, pair_count FROM pairs
+), ranked AS (
+  SELECT item, co_item, pair_count,
+    row_number() OVER (PARTITION BY item
+                       ORDER BY pair_count DESC, co_item) AS rnk
+  FROM dirs
+)
+SELECT CAST(item AS BIGINT) AS item, CAST(co_item AS BIGINT) AS co_item,
+       CAST(pair_count AS BIGINT) AS pair_count, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_sales_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation monthly-revenue least-squares slope, computed from
+    EXACT integer sums (slope = num/den with num = n*Sxy - Sx*Sy,
+    den = n*Sxx - Sx^2) so the gate compares integers, not engine
+    float rounding. Two-level aggregate: month rollup then the slope
+    sums — both map-side partial, no window, no skew; the join chain
+    orders->customer->nation broadcasts the dims."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    m = (
+        orders.join(
+            F.broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "n_name",
+            (
+                (F.year("o_orderdate") - 1990) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).cast("long").alias("x"),
+            cents(F.col("o_totalprice")).alias("c"),
+        )
+    )
+    g = m.groupBy("n_name", "x").agg(F.sum("c").alias("y"))
+    s = g.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "n_name",
+        F.col("n").cast("long").alias("n_months"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("slope_den"),
+    )
+
+
+Q_SALES_TREND_SQL = """
+WITH m AS (
+  SELECT n_name,
+    CAST((year(CAST(o_orderdate AS DATE)) - 1990) * 12
+         + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS x,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+), g AS (
+  SELECT n_name, x, CAST(sum(c) AS BIGINT) AS y FROM m GROUP BY 1, 2
+), s AS (
+  SELECT n_name, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+         CAST(sum(x*x) AS BIGINT) AS sxx
+  FROM g GROUP BY 1
+)
+SELECT n_name, CAST(n AS BIGINT) AS n_months,
+       CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+       CAST(n*sxx - sx*sx AS BIGINT) AS slope_den
+FROM s
+"""
+
+
+def q_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3-sigma outliers with EXACT integer arithmetic:
+    |v - mean| > 3*stddev rewritten as (n*v - S)^2 > 9*(n*Sq - S^2)
+    over cents, evaluated in decimal(38,0) so no float crosses the
+    gate and ANSI mode cannot overflow at scale. One tiny per-type
+    aggregate broadcast back over the scan — linear, shuffle-free on
+    the event side."""
+    from pygr_spark.streaming.events import normalize_event_ts
+
+    ev = normalize_event_ts(_t(spark, sf_dir, "events"))
+    v = ev.select(
+        "event_id",
+        "event_type",
+        cents(F.col("value")).cast("decimal(38,0)").alias("c"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("scc"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("sc")
+    flagged = (
+        v.join(F.broadcast(s), on="event_type")
+        .filter(
+            dev * dev
+            > F.lit(9) * (F.col("n") * F.col("scc") - F.col("sc") * F.col("sc"))
+        )
+    )
+    return flagged.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("c").cast("long").alias("value_cents"),
+    )
+
+
+Q_ANOMALY_SQL = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(c) AS HUGEINT) AS sc,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS scc
+  FROM v GROUP BY 1
+)
+SELECT CAST(event_id AS BIGINT) AS event_id, v.event_type,
+       CAST(c AS BIGINT) AS value_cents
+FROM v JOIN s USING (event_type)
+WHERE (n*c - sc) * (n*c - sc) > 9 * (n*scc - sc*sc)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "copurchase": q_copurchase,
+    "sales_trend": q_sales_trend,
+    "anomaly_events": q_anomaly_events,
     "substring_dedup": q_substring_dedup,
     "stratified_sample": q_stratified_sample,
     "scd2_history": q_scd2_history,
@@ -5804,6 +5985,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "copurchase": Q_COPURCHASE_SQL,
+    "sales_trend": Q_SALES_TREND_SQL,
+    "anomaly_events": Q_ANOMALY_SQL,
     "substring_dedup": Q_SUBSTRING_DEDUP_SQL,
     "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
