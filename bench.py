@@ -73,6 +73,8 @@ HEADLINE = [
     "substring_dedup",
     "stratified_sample",
     "copurchase",
+    "bigram_lm",
+    "cheapest_path",
 ]
 
 #: timings are min-of-N to damp shared-machine noise (observed ±50%

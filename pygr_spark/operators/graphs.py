@@ -339,3 +339,71 @@ def bfs_levels(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def bellman_ford_k(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    k: int = 6,
+) -> DataFrame:
+    """Cheapest path cost within <= ``k`` hops from a source set —
+    level-synchronous Bellman-Ford (the weighted sibling of
+    ``bfs_levels``; the reference walks weighted edge dicts
+    per-object, mapping.py:688-750).
+
+    Each round relaxes every edge once: frontier ⋈ edges, then a
+    min-aggregate per node merged with the standing distances. Only
+    nodes that IMPROVED stay on the frontier, so rounds shrink as the
+    graph converges; k bounds the rounds for the oracle (a recursive
+    CTE with a depth bound), not the algorithm. Integer weights keep
+    the gate exact.
+
+    Scale shape: per round one equi-join keyed by node + one keyed
+    min-aggregate — no global structure, no driver state; lineage cut
+    per round (localCheckpoint) exactly like pagerank/BFS.
+    """
+    dist = (
+        sources.select(F.col(sources.columns[0]).cast("long").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    e = edges.select(
+        F.col(src).cast("long").alias("_s"),
+        F.col(dst).cast("long").alias("_d"),
+        F.col(weight).cast("long").alias("_w"),
+    )
+    frontier = dist
+    for _ in range(k):
+        relaxed = (
+            frontier.join(e, frontier.node == e._s)
+            .select(
+                F.col("_d").alias("node"),
+                (F.col("dist") + F.col("_w")).alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        merged = (
+            dist.join(relaxed, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(2**62)),
+                    F.coalesce(F.col("cand"), F.lit(2**62)),
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.col("cand") < F.col("dist"))
+                ).alias("_improved"),
+            )
+        )
+        merged = merged.localCheckpoint()
+        frontier = merged.filter(F.col("_improved")).select("node", "dist")
+        dist = merged.select("node", "dist")
+        if frontier.isEmpty():
+            break
+    return dist

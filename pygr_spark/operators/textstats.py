@@ -338,3 +338,109 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "score")
     )
+
+
+def word_tokens(text: str) -> Column:
+    """Engine-portable word tokenizer: lowercase [a-z0-9]+ runs — the
+    same regexp_extract_all both Spark and DuckDB evaluate identically
+    (no empty tokens, no \\W locale surprises). ``text`` is a column
+    NAME (spliced into an expr)."""
+    return F.expr(f"regexp_extract_all(lower({text}), '[a-z0-9]+', 0)")
+
+
+def bigram_transitions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    top_heads: int = 20,
+    top_next: int = 3,
+) -> DataFrame:
+    """Corpus bigram LM: for the ``top_heads`` most frequent head
+    words, the ``top_next`` most frequent continuations with counts.
+
+    Bigrams come from zipping each token array with its own tail
+    (arrays_zip of two slices) — a per-row projection, NO self-join
+    and no positional explode; the only shuffles are the (head, next)
+    count and the tiny head roll-up. Head selection is
+    orderBy().limit() (distributed TakeOrderedAndProject), never a
+    global window; the continuation rank windows over ONE head's
+    continuations (bounded by vocabulary, partitioned by head).
+    """
+    from pyspark.sql import Window
+
+    tail_len = F.greatest(F.size(F.col("_ws")) - 1, F.lit(0))
+    pairs = (
+        df.select(word_tokens(text).alias("_ws"))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_ws"), 1, tail_len).alias("head"),
+                    F.slice(F.col("_ws"), 2, tail_len).alias("next"),
+                )
+            ).alias("_z")
+        )
+        .select(
+            F.col("_z.head").alias("head"),
+            F.col("_z.next").alias("next"),
+        )
+    )
+    counts = pairs.groupBy("head", "next").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    heads = (
+        counts.groupBy("head")
+        .agg(F.sum("n_pair").cast("long").alias("n_head"))
+        .orderBy(F.col("n_head").desc(), F.col("head"))
+        .limit(top_heads)
+    )
+    w = Window.partitionBy("head").orderBy(
+        F.col("n_pair").desc(), F.col("next")
+    )
+    return (
+        counts.join(F.broadcast(heads), "head")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_next)
+        .select("head", "n_head", "rnk", F.col("next").alias("next_word"), "n_pair")
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Exact phrase query over a positional posting list: docs (and
+    0-based token offsets) where ``phrase``'s words occur at
+    consecutive positions.
+
+    The postings build is the inverted-index shape — (term, doc, pos)
+    from one posexplode — immediately filtered to the phrase's own
+    terms (a broadcast-size literal IN-list, so at 100 TB the
+    filter prunes the postings BEFORE any shuffle). Each subsequent
+    word is one equi-join on (doc, pos + i): k-word phrases cost k-1
+    sparse joins over term-filtered postings, never a text rescan.
+    """
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one word")
+    phrase = [w.lower() for w in phrase]
+    post = (
+        df.select(
+            F.col(id_col), F.posexplode(word_tokens(text)).alias("pos", "term")
+        )
+        .filter(F.col("term").isin(phrase))
+    )
+    out = (
+        post.filter(F.col("term") == phrase[0])
+        .select(id_col, F.col("pos").alias("start_pos"))
+    )
+    for i, wrd in enumerate(phrase[1:], start=1):
+        nxt = post.filter(F.col("term") == wrd).select(
+            F.col(id_col).alias("_d"), F.col("pos").alias("_p")
+        )
+        out = out.join(
+            nxt,
+            (out[id_col] == nxt["_d"])
+            & (nxt["_p"] == out["start_pos"] + i),
+        ).select(id_col, "start_pos")
+    return out

@@ -5853,7 +5853,134 @@ WHERE (n*c - sc) * (n*c - sc) > 9 * (n*scc - sc*sc)
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM (operators/textstats.py bigram_transitions):
+    top-3 continuations for the 20 most frequent head words. Bigrams
+    are a per-row arrays_zip of token-array slices (no positional
+    explode, no self-join); head selection is distributed
+    TakeOrderedAndProject; the continuation rank windows per head."""
+    from pygr_spark.operators.textstats import bigram_transitions
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    out = bigram_transitions(docs, top_heads=20, top_next=3)
+    return out.select(
+        "head",
+        F.col("n_head").cast("long").alias("n_head"),
+        F.col("rnk").cast("long").alias("rnk"),
+        "next_word",
+        F.col("n_pair").cast("long").alias("n_pair"),
+    )
+
+
+Q_BIGRAM_LM_SQL = """
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+), bg AS (
+  SELECT unnest(ws[1:len(ws)-1]) AS head, unnest(ws[2:len(ws)]) AS nxt
+  FROM t
+), counts AS (
+  SELECT head, nxt, CAST(count(*) AS BIGINT) AS n_pair
+  FROM bg GROUP BY 1, 2
+), heads AS (
+  SELECT head, CAST(sum(n_pair) AS BIGINT) AS n_head
+  FROM counts GROUP BY 1
+  ORDER BY n_head DESC, head LIMIT 20
+), ranked AS (
+  SELECT c.head, h.n_head, c.nxt, c.n_pair,
+    row_number() OVER (PARTITION BY c.head
+                       ORDER BY c.n_pair DESC, c.nxt) AS rnk
+  FROM counts c JOIN heads h USING (head)
+)
+SELECT head, n_head, CAST(rnk AS BIGINT) AS rnk, nxt AS next_word, n_pair
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word phrase query over a positional posting list
+    (operators/textstats.py phrase_search): postings filtered to the
+    phrase's terms before any shuffle, then one (doc, pos+i) equi-join
+    per extra word — the inverted-index phrase plan, never a rescan of
+    the text."""
+    from pygr_spark.operators.textstats import phrase_search
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    hits = phrase_search(docs, ["slow", "hash", "batch"])
+    return hits.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("start_pos").cast("long").alias("start_pos"),
+    )
+
+
+Q_PHRASE_SEARCH_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+), p AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(0, len(ws))) AS pos FROM t
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id, CAST(a.pos AS BIGINT) AS start_pos
+FROM p a
+JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+JOIN p c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+WHERE a.w = 'slow' AND b.w = 'hash' AND c.w = 'batch'
+"""
+
+
+def q_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest weighted path cost within <= 6 hops over the
+    orders-derived graph (operators/graphs.py bellman_ford_k) —
+    level-synchronous Bellman-Ford where each round is one keyed join
+    + one keyed min-aggregate and only improved nodes re-propagate.
+    Oracle is DuckDB's depth-bounded recursive CTE (UNION dedups the
+    (node, dist, depth) state space)."""
+    from pygr_spark.operators.graphs import bellman_ford_k
+
+    orders = _t(spark, sf_dir, "orders")
+    raw = orders.select(
+        (F.col("o_custkey") % 1999).cast("long").alias("src"),
+        (F.col("o_orderkey") % 1999).cast("long").alias("dst"),
+        (F.col("o_orderkey") % 7 + 1).cast("long").alias("w"),
+    ).filter(F.col("src") != F.col("dst"))
+    edges = (
+        raw.groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    sources = edges.filter(F.col("src") % 211 == 0).select("src").distinct()
+    out = bellman_ford_k(edges, sources, k=6)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+Q_CHEAPEST_PATH_SQL = """
+WITH RECURSIVE e AS (
+  SELECT src, dst, min(w) AS w FROM (
+    SELECT CAST(o_custkey % 1999 AS BIGINT) AS src,
+           CAST(o_orderkey % 1999 AS BIGINT) AS dst,
+           CAST(o_orderkey % 7 + 1 AS BIGINT) AS w
+    FROM orders
+  ) WHERE src <> dst GROUP BY 1, 2
+), seeds AS (
+  SELECT DISTINCT src AS node FROM e WHERE src % 211 = 0
+), p AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS depth FROM seeds
+  UNION
+  SELECT e.dst, p.dist + e.w, p.depth + 1
+  FROM p JOIN e ON p.node = e.src
+  WHERE p.depth < 6
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT) AS dist
+FROM p GROUP BY node
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bigram_lm": q_bigram_lm,
+    "phrase_search": q_phrase_search,
+    "cheapest_path": q_cheapest_path,
     "copurchase": q_copurchase,
     "sales_trend": q_sales_trend,
     "anomaly_events": q_anomaly_events,
@@ -5985,6 +6112,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "bigram_lm": Q_BIGRAM_LM_SQL,
+    "phrase_search": Q_PHRASE_SEARCH_SQL,
+    "cheapest_path": Q_CHEAPEST_PATH_SQL,
     "copurchase": Q_COPURCHASE_SQL,
     "sales_trend": Q_SALES_TREND_SQL,
     "anomaly_events": Q_ANOMALY_SQL,
