@@ -336,3 +336,68 @@ def test_semdedup_pair_join_is_cluster_equi_join(spark, sf_dir):
     p = plan_of(QUERIES["semdedup"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_substring_dedup_single_gram_exchange(spark, sf_dir):
+    """The gram occurrence count must be ONE window over the gram
+    partition (one exchange), never groupBy+join-back (two), and the
+    pipeline stays free of nested loops and Python eval."""
+    p = plan_of(QUERIES["substring_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "PythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_stratified_sample_windows_are_partitioned(spark, sf_dir):
+    """Every window in the two-phase sampler partitions by the
+    stratum — no empty PARTITION BY (global sort) anywhere."""
+    import re
+
+    p = plan_of(QUERIES["stratified_sample"](spark, sf_dir))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "lang" in spec  # partition key present in each window spec
+
+
+def test_copurchase_pair_join_is_basket_equi_join(spark, sf_dir):
+    p = plan_of(QUERIES["copurchase"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p  # basket-key equi-join
+
+
+def test_sales_trend_broadcasts_dims_and_hash_aggs(spark, sf_dir):
+    p = plan_of(QUERIES["sales_trend"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2  # customer, nation
+    assert "HashAggregate" in p
+    assert "Window" not in p  # pure two-level aggregate
+
+
+def test_anomaly_events_broadcasts_stats(spark, sf_dir):
+    """The per-type stats join back over the scan must broadcast the
+    tiny aggregate, and the filter math stays JVM-side."""
+    p = plan_of(QUERIES["anomaly_events"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "PythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_bigram_lm_distributed_head_topk(spark, sf_dir):
+    """Head selection is TakeOrderedAndProject; the only window ranks
+    continuations PARTITIONED BY head."""
+    import re
+
+    p = plan_of(QUERIES["bigram_lm"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "head" in spec
+    assert "CartesianProduct" not in p
+
+
+def test_phrase_search_filters_postings_before_join(spark, sf_dir):
+    """The postings scan is filtered to the phrase's own terms before
+    the positional joins — the plan must show the IN-list filter and
+    only hash joins."""
+    p = plan_of(QUERIES["phrase_search"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p
+    assert "slow" in p and "batch" in p  # term filter is in the plan
