@@ -75,6 +75,7 @@ HEADLINE = [
     "copurchase",
     "bigram_lm",
     "cheapest_path",
+    "attribution",
 ]
 
 #: timings are min-of-N to damp shared-machine noise (observed ±50%

@@ -5977,7 +5977,129 @@ FROM p GROUP BY node
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix: users bucketed by first-activity
+    day, counted per (cohort_day, days_since). Three keyed aggregates
+    — distinct activity days, per-user min, per-cell count — all
+    map-side partial, no window, no skew (cells are bounded by
+    days^2)."""
+    ev = read_events(spark, sf_dir)
+    act = ev.select(
+        "user_id", F.expr("CAST(ts DIV 86400000000000 AS BIGINT)").alias("day")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("days_since")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.col("cohort_day").cast("long").alias("cohort_day"),
+            F.col("days_since").cast("long").alias("days_since"),
+            "n_users",
+        )
+    )
+
+
+Q_COHORT_RETENTION_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         epoch_ns(ts) // 1000000000 // 86400 AS day
+  FROM events
+), f AS (
+  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1
+)
+SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+       CAST(d.day - f.cohort_day AS BIGINT) AS days_since,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase joined to the user's most
+    recent click/view at-or-before it (operators/asof.py asof_join —
+    the union + ignorenulls running carry, ONE shuffle on user_id, no
+    per-row subquery). Equal-timestamp touches are pre-collapsed to
+    the max event_id so the carry is deterministic on any engine."""
+    from pygr_spark.operators.asof import asof_join
+
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        cents(F.col("value")).alias("value_cents"),
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "event_type")).alias("_m"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("_m.event_id").alias("touch_id"),
+            F.col("_m.event_type").alias("touch_type"),
+        )
+    )
+    att = asof_join(
+        purchases,
+        touches,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["touch_id", "touch_type"],
+        how="left",
+    )
+    return att.select(
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("touch_id").cast("long").alias("touch_id"),
+        "touch_type",
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )
+
+
+Q_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns, value
+  FROM events
+), tch AS (
+  SELECT user_id, tns, max(event_id) AS touch_id,
+         arg_max(event_type, event_id) AS touch_type
+  FROM e WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+), pur AS (
+  SELECT user_id, tns, event_id,
+         CAST(round(value * 100) AS BIGINT) AS val_c
+  FROM e WHERE event_type = 'purchase'
+), u AS (
+  SELECT user_id, tns, 1 AS is_left, event_id, val_c,
+         CAST(NULL AS BIGINT) AS touch_id, CAST(NULL AS VARCHAR) AS touch_type
+  FROM pur
+  UNION ALL
+  SELECT user_id, tns, 0, NULL, NULL, touch_id, touch_type FROM tch
+), c AS (
+  SELECT user_id, tns, is_left, event_id, val_c,
+    last_value(touch_id IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY tns, is_left
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_touch,
+    last_value(touch_type IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY tns, is_left
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_type
+  FROM u
+)
+SELECT CAST(event_id AS BIGINT) AS purchase_id,
+       CAST(a_touch AS BIGINT) AS touch_id,
+       a_type AS touch_type,
+       val_c AS value_cents
+FROM c WHERE is_left = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cohort_retention": q_cohort_retention,
+    "attribution": q_attribution,
     "bigram_lm": q_bigram_lm,
     "phrase_search": q_phrase_search,
     "cheapest_path": q_cheapest_path,
@@ -6112,6 +6234,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "cohort_retention": Q_COHORT_RETENTION_SQL,
+    "attribution": Q_ATTRIBUTION_SQL,
     "bigram_lm": Q_BIGRAM_LM_SQL,
     "phrase_search": Q_PHRASE_SEARCH_SQL,
     "cheapest_path": Q_CHEAPEST_PATH_SQL,

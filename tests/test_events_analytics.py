@@ -1,0 +1,56 @@
+"""Golden semantics for the event-analytics entries: cohort retention
+bucketing and last-touch attribution (asof carry edge cases)."""
+
+from pyspark.sql import functions as F
+
+from pygr_spark.operators.asof import asof_join
+
+
+class TestAttributionSemantics:
+    def _att(self, spark, purchases, touches):
+        p = spark.createDataFrame(purchases, "user_id long, ts long, purchase_id long")
+        t = spark.createDataFrame(touches, "user_id long, ts long, touch_id long")
+        return {
+            r.purchase_id: r.touch_id
+            for r in asof_join(
+                p, t, key="user_id", value_cols=["touch_id"], how="left"
+            ).collect()
+        }
+
+    def test_latest_preceding_touch_wins(self, spark):
+        got = self._att(
+            spark,
+            [(1, 100, 10)],
+            [(1, 50, 1), (1, 90, 2), (1, 150, 3)],
+        )
+        assert got == {10: 2}  # ts=90 is the latest <= 100; 150 is after
+
+    def test_no_preceding_touch_is_null(self, spark):
+        got = self._att(spark, [(1, 100, 10)], [(1, 200, 1)])
+        assert got == {10: None}
+
+    def test_equal_ts_touch_counts(self, spark):
+        # right sorts before left at equal ts -> "at or before"
+        got = self._att(spark, [(1, 100, 10)], [(1, 100, 1)])
+        assert got == {10: 1}
+
+    def test_touches_do_not_cross_users(self, spark):
+        got = self._att(spark, [(1, 100, 10), (2, 100, 20)], [(1, 50, 1)])
+        assert got == {10: 1, 20: None}
+
+
+class TestCohortRetention:
+    def test_bucketing(self, spark):
+        from pygr_spark.queries import QUERIES
+        import os
+
+        sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+        out = QUERIES["cohort_retention"](spark, sf)
+        rows = out.collect()
+        # day-0 cell exists for every cohort, and every user is in
+        # exactly one cohort: sum of day-0 counts == distinct users
+        day0 = sum(r.n_users for r in rows if r.days_since == 0)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        n_users = ev.select("user_id").distinct().count()
+        assert day0 == n_users
+        assert all(r.days_since >= 0 for r in rows)
