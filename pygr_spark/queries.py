@@ -6097,7 +6097,107 @@ FROM c WHERE is_left = 1
 """
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/close via min_by/max_by
+    on (ts, event_id) — ties broken by event_id so both engines pick
+    the same row — high/low/volume as plain min/max/count. ONE hash
+    aggregate, map-side partial, no window."""
+    ev = read_events(spark, sf_dir)
+    keyed = ev.select(
+        "event_type",
+        F.expr("CAST(ts DIV 3600000000000 AS BIGINT)").alias("hour_bucket"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("_ord"),
+        cents(F.col("value")).alias("c"),
+    )
+    return (
+        keyed.groupBy("event_type", "hour_bucket")
+        .agg(
+            F.min_by("c", "_ord").alias("open_c"),
+            F.max("c").alias("high_c"),
+            F.min("c").alias("low_c"),
+            F.max_by("c", "_ord").alias("close_c"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("c").cast("long").alias("vol_c"),
+        )
+        .select(
+            "event_type",
+            "hour_bucket",
+            F.col("open_c").cast("long").alias("open_c"),
+            F.col("high_c").cast("long").alias("high_c"),
+            F.col("low_c").cast("long").alias("low_c"),
+            F.col("close_c").cast("long").alias("close_c"),
+            "n_events",
+            "vol_c",
+        )
+    )
+
+
+Q_OHLC_SQL = """
+WITH e AS (
+  SELECT event_type,
+         epoch_ns(ts) // 3600000000000 AS hour_bucket,
+         epoch_ns(ts) AS tns, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+)
+SELECT event_type, CAST(hour_bucket AS BIGINT) AS hour_bucket,
+       CAST(first(c ORDER BY tns, event_id) AS BIGINT) AS open_c,
+       CAST(max(c) AS BIGINT) AS high_c,
+       CAST(min(c) AS BIGINT) AS low_c,
+       CAST(last(c ORDER BY tns, event_id) AS BIGINT) AS close_c,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(c) AS BIGINT) AS vol_c
+FROM e GROUP BY 1, 2
+"""
+
+
+def q_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour event count and value sum via a RANGE
+    frame over the ns timestamp — the time-window running aggregate
+    shape (partitioned by user: bounded state per partition, never a
+    global sort). Running RANGE frames are the O(n) direction (see
+    SCALING.md window-frame lesson)."""
+    ev = read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-3600 * 1_000_000_000 + 1, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("tns"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum(cents(F.col("value"))).over(w).cast("long").alias("sum_1h_c"),
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("tns").cast("long").alias("tns"),
+        "n_1h",
+        "sum_1h_c",
+    )
+
+
+Q_ROLLING_SUM_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(tns AS BIGINT) AS tns,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(c) OVER w AS BIGINT) AS sum_1h_c
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tns
+             RANGE BETWEEN 3599999999999 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ohlc_bars": q_ohlc_bars,
+    "rolling_sum": q_rolling_sum,
     "cohort_retention": q_cohort_retention,
     "attribution": q_attribution,
     "bigram_lm": q_bigram_lm,
@@ -6234,6 +6334,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ohlc_bars": Q_OHLC_SQL,
+    "rolling_sum": Q_ROLLING_SUM_SQL,
     "cohort_retention": Q_COHORT_RETENTION_SQL,
     "attribution": Q_ATTRIBUTION_SQL,
     "bigram_lm": Q_BIGRAM_LM_SQL,
