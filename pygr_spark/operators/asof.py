@@ -30,14 +30,18 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     how: str = "inner",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For every left row: the right row with the greatest
     ``right_ts <= left_ts`` on the same ``key``. ``right`` must be
-    unique per (key, right_ts) with non-null payload — pre-aggregate
-    it otherwise (ties would be nondeterministic on any engine, and
-    the ignorenulls carry would skip a legitimately-NULL payload back
-    to an older row). ``how='left'`` keeps unmatched left rows with
-    NULL payload.
+    unique per (key, right_ts) with non-null payload — either
+    pre-aggregate it or pass ``right_tiebreak`` (a right column whose
+    MAX wins among equal-ts rows; it joins the carry sort as a third
+    key, so no pre-aggregate pass is needed and the sort stays the one
+    the carry already pays). Without either, ties would be
+    nondeterministic on any engine, and the ignorenulls carry would
+    skip a legitimately-NULL payload back to an older row.
+    ``how='left'`` keeps unmatched left rows with NULL payload.
 
     Returns left columns + ``r_ts`` + the right ``value_cols``.
     """
@@ -52,6 +56,9 @@ def asof_join(
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols],
         F.lit(None).cast("long").alias("_r_ts"),
+        F.lit(None).cast(
+            right.schema[right_tiebreak].dataType if right_tiebreak else "long"
+        ).alias("_tb"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
     )
     tagged_r = right.select(
@@ -60,12 +67,18 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         F.col(right_ts).cast("long").alias("_r_ts"),
+        (
+            F.col(right_tiebreak) if right_tiebreak else F.lit(None).cast("long")
+        ).alias("_tb"),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
     )
     both = tagged_l.unionByName(tagged_r)
+    # _is_left sorts right rows before left at equal ts ("at or
+    # before"); among equal-ts right rows the tiebreak orders them so
+    # the carry's LAST non-null — the max tiebreak — wins.
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_is_left")
+        .orderBy("_ts", "_is_left", F.col("_tb").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = both.select(

@@ -6022,8 +6022,10 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase joined to the user's most
     recent click/view at-or-before it (operators/asof.py asof_join —
     the union + ignorenulls running carry, ONE shuffle on user_id, no
-    per-row subquery). Equal-timestamp touches are pre-collapsed to
-    the max event_id so the carry is deterministic on any engine."""
+    per-row subquery). Equal-timestamp touch ties break to the max
+    event_id via the carry's own tiebreak sort key — no struct-max
+    pre-aggregate (whose variable-width buffer would force a
+    SortAggregate), the carry's one sort pays for everything."""
     from pygr_spark.operators.asof import asof_join
 
     ev = read_events(spark, sf_dir)
@@ -6033,16 +6035,11 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         cents(F.col("value")).alias("value_cents"),
     )
-    touches = (
-        ev.filter(F.col("event_type").isin("click", "view"))
-        .groupBy("user_id", "ts")
-        .agg(F.max(F.struct("event_id", "event_type")).alias("_m"))
-        .select(
-            "user_id",
-            "ts",
-            F.col("_m.event_id").alias("touch_id"),
-            F.col("_m.event_type").alias("touch_type"),
-        )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
     )
     att = asof_join(
         purchases,
@@ -6052,6 +6049,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         value_cols=["touch_id", "touch_type"],
         how="left",
+        right_tiebreak="touch_id",
     )
     return att.select(
         F.col("purchase_id").cast("long").alias("purchase_id"),
@@ -6098,26 +6096,38 @@ FROM c WHERE is_left = 1
 
 
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly OHLC bars per event type: open/close via min_by/max_by
-    on (ts, event_id) — ties broken by event_id so both engines pick
-    the same row — high/low/volume as plain min/max/count. ONE hash
-    aggregate, map-side partial, no window."""
+    """Hourly OHLC bars per event type, deterministic under timestamp
+    ties: ties at the boundary break on event_id. A single min_by over
+    a (ts, event_id) STRUCT would be correct but its agg buffer is
+    variable-width, forcing SortAggregate (spill-prone); instead two
+    stacked HashAggregates with LONG ordering keys — stage 1 collapses
+    ties per (type, bucket, ts) by event_id, stage 2 picks the
+    boundary row by ts. Both stages map-side partial."""
     ev = read_events(spark, sf_dir)
     keyed = ev.select(
         "event_type",
         F.expr("CAST(ts DIV 3600000000000 AS BIGINT)").alias("hour_bucket"),
-        F.struct(F.col("ts"), F.col("event_id")).alias("_ord"),
+        F.col("ts"),
+        F.col("event_id"),
         cents(F.col("value")).alias("c"),
     )
+    per_ts = keyed.groupBy("event_type", "hour_bucket", "ts").agg(
+        F.min_by("c", "event_id").alias("c_first"),
+        F.max_by("c", "event_id").alias("c_last"),
+        F.max("c").alias("hi"),
+        F.min("c").alias("lo"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+    )
     return (
-        keyed.groupBy("event_type", "hour_bucket")
+        per_ts.groupBy("event_type", "hour_bucket")
         .agg(
-            F.min_by("c", "_ord").alias("open_c"),
-            F.max("c").alias("high_c"),
-            F.min("c").alias("low_c"),
-            F.max_by("c", "_ord").alias("close_c"),
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum("c").cast("long").alias("vol_c"),
+            F.min_by("c_first", "ts").alias("open_c"),
+            F.max("hi").alias("high_c"),
+            F.min("lo").alias("low_c"),
+            F.max_by("c_last", "ts").alias("close_c"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("s").cast("long").alias("vol_c"),
         )
         .select(
             "event_type",

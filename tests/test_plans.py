@@ -401,3 +401,21 @@ def test_phrase_search_filters_postings_before_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "HashJoin" in p
     assert "slow" in p and "batch" in p  # term filter is in the plan
+
+
+def test_ohlc_bars_hash_aggregate_only(spark, sf_dir):
+    """min_by over a struct ordering key would force SortAggregate
+    (variable-width buffer); the two-stage long-key shape must stay
+    pure HashAggregate."""
+    p = plan_of(QUERIES["ohlc_bars"](spark, sf_dir))
+    assert "HashAggregate" in p
+    assert "SortAggregate" not in p
+
+
+def test_attribution_no_aggregate_no_nested_loop(spark, sf_dir):
+    """The tiebreak rides the carry's sort — no pre-aggregate pass at
+    all, and the asof is a union+window, never a join per row."""
+    p = plan_of(QUERIES["attribution"](spark, sf_dir))
+    assert "SortAggregate" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
