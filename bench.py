@@ -91,7 +91,18 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("h")).agg(
         F.expr("bit_xor(h)")
     ).collect()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    # release blocks the query pinned (localCheckpoints of iterative
+    # ops, caches): without this, block-manager memory ratchets up
+    # across the 50+ query session and late queries pay the GC bill —
+    # measured 4x inflation on the last headline entries
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        try:
+            rdd.unpersist(False)
+        except Exception:
+            pass
+    spark.catalog.clearCache()
+    return dt
 
 
 def main() -> None:

@@ -640,22 +640,23 @@ def seed_extend_join(
     (deterministic; min position), so a pair contributes one
     extension per shared k-mer.
     """
-    idx = F.sequence(F.lit(1), F.length(text) - (k - 1))
     base = docs.filter(F.length(text) >= k)
+    # explode(sequence) + substr stays inside whole-stage codegen; the
+    # transform(...)->struct alternative evaluates an interpreted HOF
+    # per position (measured ~2x slower on this, the widest stage)
     km = (
         base.select(
             F.col(id_col).alias("_id"),
             F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.struct(
-                        F.col(text).substr(i, F.lit(k)).alias("_km"),
-                        i.alias("_pos"),
-                    ),
-                )
-            ).alias("_u"),
+                F.sequence(F.lit(1), F.length(text) - (k - 1))
+            ).alias("_pos"),
+            F.col(text),
         )
-        .select("_id", F.col("_u._km").alias("_km"), F.col("_u._pos").alias("_pos"))
+        .select(
+            "_id",
+            F.col(text).substr(F.col("_pos"), F.lit(k)).alias("_km"),
+            "_pos",
+        )
         .groupBy("_id", "_km")
         .agg(F.min("_pos").alias("_pos"))
     )
@@ -671,6 +672,16 @@ def seed_extend_join(
         F.col("_id").alias("_id_b"), "_km", F.col("_pos").alias("_pos_b")
     )
     pairs = km.join(b, "_km").filter(F.col("_id") < F.col("_id_b"))
+    # pre-apply the min_seeds gate BEFORE texts are attached and
+    # extensions scored: seed counting needs only the slim pair rows,
+    # and pairs below the gate (a third of rows here, usually far
+    # more at low-duplication scale) never pay the extension
+    pairs = pairs.withColumn(
+        "_nseed",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("_id", "_id_b")
+        ),
+    ).filter(F.col("_nseed") >= min_seeds).drop("_nseed")
     slim = docs.select(
         F.col(id_col).alias("_tid"),
         F.col(text).alias("_t"),
