@@ -65,39 +65,60 @@ def _dot_literal_sql(qvec: str, cvec: list[int]) -> str:
 
 def _assign(v: DataFrame, cents: list[tuple[int, list[int], int]]) -> DataFrame:
     """Add (cluster_id, cos_center) by argmax cosine over literal
-    centroids; ties break to the smaller cluster_id (first-match CASE
-    — matches the oracle's ORDER BY cos DESC, cid).
+    centroids; ties break to the smaller cluster_id (max of
+    (cos, -cid) — matches the oracle's ORDER BY cos DESC, cid).
 
-    Deliberately staged as cosines → greatest → CASE over COLUMN REFS:
-    one fused ``array_max(array(struct(dot…)))`` expression holds all
-    k·dim multiply-add terms in a single expression tree, which janino
-    cannot split and rejects past 64 KB of bytecode (whole-stage
-    fallback to interpreted eval — measured here at k=8·dim=64). With
-    each cosine as its own multi-referenced aliased column,
-    CollapseProject keeps the projections separate and codegen splits
-    per-column into sub-methods, so the assignment stays a fully
-    compiled no-shuffle projection."""
-    cos_cols = [
-        F.expr(
-            f"{_dot_literal_sql('qv', cq)} / "
-            f"(sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST({cn} AS DOUBLE)))"
-        ).alias(f"_c{j}")
-        for j, (_, cq, cn) in enumerate(cents)
-    ]
-    refs = [F.col(f"_c{j}") for j in range(len(cents))]
-    best = refs[0] if len(cents) == 1 else F.greatest(*refs)
-    expr = None
-    for j, (c, _, _) in enumerate(cents):
-        branch = (refs[j] == F.col("_best"), F.lit(c))
-        expr = F.when(*branch) if expr is None else expr.when(*branch)
-    return (
-        v.select(*v.columns, *cos_cols)
-        .withColumn("_best", best)
-        .select(
-            *v.columns,
-            expr.cast("long").alias("cluster_id"),
-            F.col("_best").alias("cos_center"),
+    Shape matters here for a reason OPPOSITE to the usual codegen
+    rule: Lloyd iterations rebuild this plan every round with fresh
+    centroid literals, so a fully-unrolled k·dim multiply-add tree
+    pays Catalyst analysis + janino compilation per ROUND (measured
+    9s of the 13s cold-iteration time at k=8, dim=64 — compile, not
+    compute). The HOF form below keeps the expression tree at
+    O(k·dim) simple literal nodes with three lambdas, which Spark
+    evaluates interpreted — exactly the compiled-loop-per-row trade
+    MLlib's own KMeans makes — and a full iteration drops under a
+    second. (The pair-verify in semdedup keeps the unrolled codegen
+    dot: its plan compiles ONCE, so compile amortizes there.)"""
+    # ONE F.expr for the whole centroid literal: building it from
+    # k·dim F.lit() Columns costs a py4j round-trip per node
+    # (~seconds of driver time at k=32·dim=64 — the dot_unrolled
+    # docstring's warning applies to literals too)
+    cents_arr = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('cid', {int(cid)}, "
+            f"'cq', array({', '.join(str(int(x)) for x in cq)}), "
+            f"'cn', CAST({int(cn)} AS BIGINT))"
+            for cid, cq, cn in cents
         )
+        + ")"
+    )
+    scored = F.transform(
+        cents_arr,
+        lambda c: F.struct(
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        c["cq"],
+                        lambda x, y: x.cast("long") * y.cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + t,
+                ).cast("double")
+                / (
+                    F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(c["cn"].cast("double"))
+                )
+            ).alias("cos"),
+            (-c["cid"]).alias("ncid"),
+        ),
+    )
+    best = F.array_max(scored)
+    return v.withColumn("_b", best).select(
+        *v.columns,
+        (-F.col("_b.ncid")).cast("long").alias("cluster_id"),
+        F.col("_b.cos").alias("cos_center"),
     )
 
 
