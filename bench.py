@@ -76,6 +76,7 @@ HEADLINE = [
     "bigram_lm",
     "cheapest_path",
     "attribution",
+    "transcript_chain",
 ]
 
 #: timings are min-of-N to damp shared-machine noise (observed ±50%

@@ -407,3 +407,67 @@ def bellman_ford_k(
         if frontier.isEmpty():
             break
     return dist
+
+
+def max_chain_k(
+    edges: DataFrame,
+    node_weights: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+    node_w: str = "w",
+    k: int = 6,
+) -> DataFrame:
+    """Max-weight chain score per node within <= ``k`` edges — the
+    max-plus sibling of ``bellman_ford_k`` (longest path, only safe
+    because callers hand in a DAG or bound k; this is pygr's
+    transcript-chaining shape, the best exon chain ending at each exon
+    — reference sqlgraph.py splice walks done per-object).
+
+    ``node_weights`` seeds every node with its own weight (a chain of
+    one); each round extends the best known chains across ``edges``
+    (whose ``weight`` is the DST node's weight), keeping per-node max.
+    Only improved nodes re-propagate. Same scale shape as BFS/BF: one
+    keyed join + one keyed max per round, lineage cut per round.
+    """
+    dist = node_weights.select(
+        F.col(node).cast("long").alias("node"),
+        F.col(node_w).cast("long").alias("score"),
+    ).localCheckpoint(eager=False)
+    e = edges.select(
+        F.col(src).cast("long").alias("_s"),
+        F.col(dst).cast("long").alias("_d"),
+        F.col(weight).cast("long").alias("_w"),
+    )
+    frontier = dist
+    for _ in range(k):
+        relaxed = (
+            frontier.join(e, frontier.node == e._s)
+            .select(
+                F.col("_d").alias("node"),
+                (F.col("score") + F.col("_w")).alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.max("cand").alias("cand"))
+        )
+        merged = (
+            dist.join(relaxed, "node", "full_outer")
+            .select(
+                "node",
+                F.greatest(
+                    F.coalesce(F.col("score"), F.lit(-(2**62))),
+                    F.coalesce(F.col("cand"), F.lit(-(2**62))),
+                ).alias("score"),
+                (
+                    F.col("score").isNull()
+                    | (F.col("cand") > F.col("score"))
+                ).alias("_improved"),
+            )
+        )
+        merged = merged.localCheckpoint()
+        frontier = merged.filter(F.col("_improved")).select("node", "score")
+        dist = merged.select("node", "score")
+        if frontier.isEmpty():
+            break
+    return dist

@@ -6205,7 +6205,154 @@ WINDOW w AS (PARTITION BY user_id ORDER BY tns
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's endpoint: MinHash-LSH near-dup clusters
+    (same closure as dedup_clusters) reduced to ONE survivor per
+    cluster by keep-longest (ties to the smaller doc_id) — what a
+    training pipeline actually ships. Survivor pick is a window
+    partitioned per component (bounded by cluster size, never
+    global)."""
+    from pygr_spark.operators.dedup import (
+        md5_band_hash,
+        md5_hash60,
+        minhash_near_dups,
+    )
+    from pygr_spark.operators.graphs import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(
+        docs, n=5, threshold=(1, 5),
+        hash_fn=md5_hash60, band_hash_fn=md5_band_hash,
+    )
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+    )
+    comp = connected_components(edges, max_iter=50)
+    sized = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("node")
+    )
+    return (
+        sized.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("component").cast("long").alias("cluster_id"),
+            F.col("node").cast("long").alias("best_doc_id"),
+            F.col("n_chars").cast("long").alias("best_len"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+Q_DEDUP_KEEP_BEST_SQL = rf"""
+WITH RECURSIVE pairs AS (
+{Q_MINHASH_SQL}
+), und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT id_a AS node FROM pairs UNION SELECT id_b FROM pairs
+), lbl(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.b, l.comp FROM lbl l JOIN und u ON u.a = l.node
+), comp AS (
+  SELECT node, CAST(min(comp) AS BIGINT) AS component FROM lbl GROUP BY node
+), sized AS (
+  SELECT c.node, c.component, d.n_chars,
+    row_number() OVER (PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.node) AS rn,
+    count(*) OVER (PARTITION BY c.component) AS cluster_size
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT CAST(component AS BIGINT) AS cluster_id,
+       CAST(node AS BIGINT) AS best_doc_id,
+       CAST(n_chars AS BIGINT) AS best_len,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM sized WHERE rn = 1
+"""
+
+
+def q_transcript_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best exon chain ending at each exon (graphs.max_chain_k — the
+    max-plus sibling of Bellman-Ford; pygr walks splice successors
+    per-object, sqlgraph.py). The chain graph is a DAG by
+    construction (edges only run forward in genomic time), built as an
+    EQUI-join: each exon's end day exploded over the 0..2-day
+    tolerance, joined on (cluster, day) — never a per-cluster
+    quadratic theta join."""
+    from pygr_spark.operators.graphs import max_chain_k
+
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+    ).cast("long")
+    exons = orders.select(
+        F.col("o_orderkey").cast("long").alias("exon_id"),
+        (F.col("o_orderkey") % 500).cast("long").alias("cluster_id"),
+        day.alias("gs"),
+        (day + F.col("o_orderkey") % 7 + 1).cast("long").alias("ge"),
+        (F.col("o_orderkey") % 7 + 1).cast("long").alias("w"),
+    )
+    a = exons.select(
+        "cluster_id",
+        F.col("exon_id").alias("src"),
+        F.explode(F.sequence(F.col("ge"), F.col("ge") + 2)).alias("day"),
+    )
+    b = exons.select(
+        "cluster_id",
+        F.col("exon_id").alias("dst"),
+        F.col("gs").alias("day"),
+        F.col("w"),
+    )
+    edges = a.join(b, ["cluster_id", "day"]).filter(
+        F.col("src") != F.col("dst")
+    ).select("src", "dst", "w")
+    nodes = exons.select(F.col("exon_id").alias("node"), "w")
+    out = max_chain_k(edges, nodes, k=6)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("score").cast("long").alias("score"),
+    )
+
+
+Q_TRANSCRIPT_CHAIN_SQL = """
+WITH RECURSIVE exons AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS exon_id,
+         CAST(o_orderkey % 500 AS BIGINT) AS cluster_id,
+         CAST(date_diff('day', DATE '1990-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS gs,
+         CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+              + o_orderkey % 7 + 1 AS BIGINT) AS ge,
+         CAST(o_orderkey % 7 + 1 AS BIGINT) AS w
+  FROM orders
+), e AS (
+  SELECT a.exon_id AS src, b.exon_id AS dst, b.w
+  FROM exons a JOIN exons b
+    ON a.cluster_id = b.cluster_id
+   AND b.gs BETWEEN a.ge AND a.ge + 2
+   AND a.exon_id <> b.exon_id
+), p(node, score, depth) AS (
+  SELECT exon_id, w, 0 FROM exons
+  UNION
+  SELECT e.dst, p.score + e.w, p.depth + 1
+  FROM p JOIN e ON p.node = e.src
+  WHERE p.depth < 6
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(max(score) AS BIGINT) AS score
+FROM p GROUP BY node
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_keep_best": q_dedup_keep_best,
+    "transcript_chain": q_transcript_chain,
     "ohlc_bars": q_ohlc_bars,
     "rolling_sum": q_rolling_sum,
     "cohort_retention": q_cohort_retention,
@@ -6344,6 +6491,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "dedup_keep_best": Q_DEDUP_KEEP_BEST_SQL,
+    "transcript_chain": Q_TRANSCRIPT_CHAIN_SQL,
     "ohlc_bars": Q_OHLC_SQL,
     "rolling_sum": Q_ROLLING_SUM_SQL,
     "cohort_retention": Q_COHORT_RETENTION_SQL,

@@ -94,3 +94,32 @@ class TestBellmanFordK:
         e = self._e(spark, [(0, 2, 9), (5, 2, 1)])
         out = {r.node: r.dist for r in bellman_ford_k(e, self._s(spark, [0, 5]), k=3).collect()}
         assert out == {0: 0, 5: 0, 2: 1}
+
+
+class TestMaxChainK:
+    def _run(self, spark, edges, nodes, k=6):
+        from pygr_spark.operators.graphs import max_chain_k
+
+        e = spark.createDataFrame(edges, "src long, dst long, w long")
+        n = spark.createDataFrame(nodes, "node long, w long")
+        return {r.node: r.score for r in max_chain_k(e, n, k=k).collect()}
+
+    def test_chain_accumulates_dst_weights(self, spark):
+        # 1(w=5) -> 2(w=3) -> 3(w=4): best ending at 3 is 5+3+4
+        edges = [(1, 2, 3), (2, 3, 4)]
+        nodes = [(1, 5), (2, 3), (3, 4)]
+        assert self._run(spark, edges, nodes) == {1: 5, 2: 8, 3: 12}
+
+    def test_diamond_takes_max(self, spark):
+        # 1->2->4 (5+1+2) vs 1->3->4 (5+9+2): max path wins at 4
+        edges = [(1, 2, 1), (1, 3, 9), (2, 4, 2), (3, 4, 2)]
+        nodes = [(1, 5), (2, 1), (3, 9), (4, 2)]
+        out = self._run(spark, edges, nodes)
+        assert out[4] == 16
+
+    def test_hop_bound_caps_chain(self, spark):
+        edges = [(1, 2, 1), (2, 3, 1), (3, 4, 1)]
+        nodes = [(1, 1), (2, 1), (3, 1), (4, 1)]
+        out = self._run(spark, edges, nodes, k=1)
+        # k=1: at most one extension — node 4's best is 3's seed + 1
+        assert out == {1: 1, 2: 2, 3: 2, 4: 2}
