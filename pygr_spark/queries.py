@@ -6350,7 +6350,115 @@ FROM p GROUP BY node
 """
 
 
+def q_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining over user journeys: the 20 most frequent
+    3-step event-type sequences (lead×2 over the per-user stream,
+    deterministic (ts, event_id) order), counted corpus-wide. The
+    windows partition per user (bounded state); the top-20 is
+    orderBy().limit() — distributed TakeOrderedAndProject, no global
+    window."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        )
+        .filter(F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "s1", "s2", "s3")
+        .limit(20)
+    )
+    return tri
+
+
+Q_JOURNEY_TRIGRAMS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns FROM events
+), seq AS (
+  SELECT user_id, event_type AS s1,
+    lead(event_type, 1) OVER w AS s2,
+    lead(event_type, 2) OVER w AS s3
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ns, event_id)
+)
+SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE s3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, s1, s2, s3
+LIMIT 20
+"""
+
+
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly OHLC bars: a real availableNow run with
+    min_by/max_by over a (event_time, event_id) struct inside the
+    windowed streaming aggregate — boundary ties deterministic in the
+    state store exactly as in the batch shape, so the batch SQL
+    oracle is exact. (Batch twin: ohlc_bars; this is the live-feed
+    form a market-data pipeline runs.)"""
+    from pygr_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "event_type",
+        "event_time",
+        F.struct(F.col("event_time"), F.col("event_id")).alias("_ord"),
+        cents(F.col("value")).alias("c"),
+    )
+    bars = (
+        keyed.withWatermark("event_time", "2 hours")
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(
+            F.min_by("c", "_ord").alias("open_c"),
+            F.max("c").alias("high_c"),
+            F.min("c").alias("low_c"),
+            F.max_by("c", "_ord").alias("close_c"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("vol_c"),
+        )
+    )
+    t = run_stream_to_table(bars, spark)
+    return t.select(
+        F.col("event_type"),
+        F.unix_seconds(F.col("window.start")).cast("long").alias("win_start"),
+        F.col("open_c").cast("long").alias("open_c"),
+        F.col("high_c").cast("long").alias("high_c"),
+        F.col("low_c").cast("long").alias("low_c"),
+        F.col("close_c").cast("long").alias("close_c"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("vol_c").cast("long").alias("vol_c"),
+    )
+
+
+Q_STREAM_OHLC_SQL = """
+WITH e AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS win_start,
+         epoch_ns(ts) AS tns, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+)
+SELECT event_type, CAST(win_start AS BIGINT) AS win_start,
+       CAST(first(c ORDER BY tns, event_id) AS BIGINT) AS open_c,
+       CAST(max(c) AS BIGINT) AS high_c,
+       CAST(min(c) AS BIGINT) AS low_c,
+       CAST(last(c ORDER BY tns, event_id) AS BIGINT) AS close_c,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(c) AS BIGINT) AS vol_c
+FROM e GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_ohlc": q_stream_ohlc,
+    "journey_trigrams": q_journey_trigrams,
     "dedup_keep_best": q_dedup_keep_best,
     "transcript_chain": q_transcript_chain,
     "ohlc_bars": q_ohlc_bars,
@@ -6491,6 +6599,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "stream_ohlc": Q_STREAM_OHLC_SQL,
+    "journey_trigrams": Q_JOURNEY_TRIGRAMS_SQL,
     "dedup_keep_best": Q_DEDUP_KEEP_BEST_SQL,
     "transcript_chain": Q_TRANSCRIPT_CHAIN_SQL,
     "ohlc_bars": Q_OHLC_SQL,
