@@ -139,3 +139,51 @@ def test_stream_source_handles_directory_parquet(spark, sf_dir, tmp_path):
         stream.groupBy("event_type").count(), spark
     )
     assert out.agg({"count": "sum"}).first()[0] == 200
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Kill-and-resume semantics: two availableNow runs sharing one
+    checkpoint over a growing file source must process every file
+    exactly once — the second run picks up ONLY the new file, and the
+    final sink holds each row exactly once (file-source offsets + sink
+    dedup by checkpoint, Spark's exactly-once contract)."""
+    import pyspark.sql.functions as SF
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("id long, v string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(str(sink)).collect()
+    assert sorted(r.id for r in first) == [1, 2]
+
+    # new data lands between runs; resume from the same checkpoint
+    spark.createDataFrame([(3, "c")], "id long, v string").coalesce(
+        1
+    ).write.parquet(str(src / "f2"))
+    drain()
+    final = spark.read.parquet(str(sink)).groupBy("id").agg(
+        SF.count("*").alias("n")
+    ).collect()
+    # every id exactly once — no reprocessing of f1, no loss of f2
+    assert {r.id: r.n for r in final} == {1: 1, 2: 1, 3: 1}
