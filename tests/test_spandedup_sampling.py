@@ -164,3 +164,84 @@ class TestStratifiedSample:
         a = sorted(stratified_sample(df, ["lang"], 5, "doc_id").collect())
         b = sorted(stratified_sample(df, ["lang"], 5, "doc_id").collect())
         assert a == b
+
+
+class TestSpanProperties:
+    def test_partition_property(self, spark):
+        # spans + clean text partition each doc: lengths add up and
+        # clean_text is the original with exactly the spans excised
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 60))))
+            for i in range(12)
+        ]
+        df = _docs(spark, rows)
+        spans = dup_spans(df, length=8)
+        cleaned = {r.doc_id: r.clean_text for r in remove_dup_spans(df, spans).collect()}
+        span_by_doc = {}
+        for r in spans.collect():
+            span_by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+        for doc_id, text in rows:
+            got = cleaned[doc_id]
+            sp = sorted(span_by_doc.get(doc_id, []))
+            for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
+                assert e1 < s2  # disjoint and ordered
+            removed = sum(e - s for s, e in sp)
+            assert len(got) == len(text) - removed
+            keep, cur = [], 0
+            for s, e in sp:
+                keep.append(text[cur:s])
+                cur = e
+            keep.append(text[cur:])
+            assert got == "".join(keep)
+
+    def test_every_span_is_genuinely_duplicated(self, spark):
+        import random
+
+        rng = random.Random(13)
+        rows = [
+            (i, "".join(rng.choice("abc") for _ in range(rng.randint(0, 50))))
+            for i in range(10)
+        ]
+        df = _docs(spark, rows)
+        texts = dict(rows)
+        L = 6
+        def occurrences(gram):
+            return sum(
+                txt[q : q + L] == gram
+                for txt in texts.values()
+                for q in range(max(0, len(txt) - L + 1))
+            )
+
+        for r in dup_spans(df, length=L).collect():
+            # a merged span is the UNION of duplicated windows: every
+            # char position must be covered by at least one window
+            # whose gram occurs >= 2 times corpus-wide (interior
+            # windows of the union need not themselves be duplicated)
+            t = texts[r.doc_id]
+            dup_starts = [
+                q
+                for q in range(r.span_start, r.span_end - L + 1)
+                if occurrences(t[q : q + L]) >= 2
+            ]
+            assert dup_starts, (r.doc_id, r.span_start, r.span_end)
+            covered = set()
+            for q in dup_starts:
+                covered.update(range(q, q + L))
+            assert set(range(r.span_start, r.span_end)) <= covered
+
+
+class TestSamplingProperty:
+    def test_counts_equal_min_n_size(self, spark):
+        import random
+        from collections import Counter
+
+        rng = random.Random(3)
+        rows = [(i, rng.choice(["x", "y", "z", "w"])) for i in range(137)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        sizes = Counter(lang for _, lang in rows)
+        out = stratified_sample(df, ["lang"], 11, "doc_id")
+        got = Counter(r.lang for r in out.collect())
+        assert got == Counter({k: min(11, v) for k, v in sizes.items()})
