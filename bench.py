@@ -79,8 +79,11 @@ HEADLINE = [
     "transcript_chain",
 ]
 
-#: timings are min-of-N to damp shared-machine noise (observed ±50%
-#: run-to-run variance on identical plans)
+#: timings are min over N full passes of the catalog (observed up to
+#: 10x bursty shared-machine interference on identical plans; two
+#: back-to-back samples land in the same burst, so the passes are
+#: interleaved — each query's samples are minutes apart, decorrelated
+#: from any single burst)
 RUNS_PER_QUERY = 2
 
 
@@ -114,10 +117,10 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        times[name] = round(
-            min(run_query(spark, name, sf_dir) for _ in range(RUNS_PER_QUERY)), 4
-        )
+    for _ in range(RUNS_PER_QUERY):
+        for name in HEADLINE:
+            dt = run_query(spark, name, sf_dir)
+            times[name] = round(min(times.get(name, dt), dt), 4)
     total = round(sum(times.values()), 4)
     print(
         json.dumps(
