@@ -93,8 +93,15 @@ def _assign(v: DataFrame, cents: list[tuple[int, list[int], int]]) -> DataFrame:
         )
         + ")"
     )
+    return _with_assignment(v, cents_arr, v.columns)
+
+
+def _with_assignment(df: DataFrame, cents_col, keep: list[str]) -> DataFrame:
+    """Shared argmax-cosine projection: ``cents_col`` is any
+    array<struct<cid, cq, cn>> expression — a literal (``_assign``) or
+    a broadcast-joined column (the lazy Lloyd chain)."""
     scored = F.transform(
-        cents_arr,
+        cents_col,
         lambda c: F.struct(
             (
                 F.aggregate(
@@ -111,12 +118,12 @@ def _assign(v: DataFrame, cents: list[tuple[int, list[int], int]]) -> DataFrame:
                     * F.sqrt(c["cn"].cast("double"))
                 )
             ).alias("cos"),
-            (-c["cid"]).alias("ncid"),
+            (-c["cid"].cast("long")).alias("ncid"),
         ),
     )
     best = F.array_max(scored)
-    return v.withColumn("_b", best).select(
-        *v.columns,
+    return df.withColumn("_b", best).select(
+        *keep,
         (-F.col("_b.ncid")).cast("long").alias("cluster_id"),
         F.col("_b.cos").alias("cos_center"),
     )
@@ -138,10 +145,11 @@ def kmeans_spherical(
     Clusters that lose all members mid-iteration simply drop out (the
     aggregate emits no row for them); ids of surviving centroids keep
     their initial index, matching the SQL oracle's GROUP BY."""
+    spark = corpus.sparkSession
     v = (
         corpus.select(F.col(id_col), quantized(F.col(vec_col)).alias("qv"))
         .withColumn("qn", sqnorm(F.col("qv")))
-        .persist()  # reused by the init collect + every Lloyd round
+        .persist()  # referenced by init + every lazy Lloyd reference
     )
     init = (
         v.withColumn("_h", md5_hash60(F.col(id_col).cast("string")))
@@ -151,35 +159,70 @@ def kmeans_spherical(
         .collect()  # k rows — small-by-contract (MLlib does the same)
     )
     cents = [(j, list(r["qv"]), int(r["qn"])) for j, r in enumerate(init)]
+    # LAZY Lloyd: the n_iter rounds chain inside ONE plan — centroid
+    # state flows through broadcast exchanges (1-row array<struct>
+    # DataFrames), with ZERO driver collects per iteration. Each round
+    # is: broadcast cents -> argmax projection -> (cluster, component)
+    # hash aggregate -> floor-mean -> re-pack the 1-row centroid
+    # array. Spark schedules the chained broadcast stages itself; the
+    # first action runs the whole chain. (The earlier shape collected
+    # k·dim sums per round: correct, but each round paid a full
+    # sequential job — at 2 rounds that was half this operator's
+    # wall-clock at bench scale.)
+    cents_df = spark.range(1).select(
+        F.expr(
+            "array("
+            + ", ".join(
+                f"named_struct('cid', CAST({int(cid)} AS BIGINT), "
+                f"'cq', array({', '.join(str(int(x)) for x in cq)}), "
+                f"'cn', CAST({int(cn)} AS BIGINT))"
+                for cid, cq, cn in cents
+            )
+            + ")"
+        ).alias("_cents")
+    )
     for _ in range(n_iter):
-        sums = (
-            _assign(v, cents)
-            .select("cluster_id", F.posexplode("qv").alias("pos", "val"))
+        assigned = _with_assignment(
+            v.crossJoin(F.broadcast(cents_df)), F.col("_cents"), v.columns
+        )
+        comp = (
+            assigned.select("cluster_id", F.posexplode("qv").alias("pos", "val"))
             .groupBy("cluster_id", "pos")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
-            .collect()  # k·dim aggregated rows — small-by-contract
-        )
-        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in sums:
-            by_cid.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = (
-                int(r["s"]),
-                int(r["c"]),
+            # floor of the true-division double == python
+            # math.floor(s/c) while |s| < 2^53 (module docstring)
+            .select(
+                "cluster_id",
+                "pos",
+                F.floor(F.col("s").cast("double") / F.col("c"))
+                .cast("long")
+                .alias("val"),
             )
-        cents = []
-        for cid in sorted(by_cid):
-            comp = by_cid[cid]
-            # floor of the true-division double == SQL
-            # floor(CAST(s AS DOUBLE)/c) while |s| < 2^53
-            cq = [math.floor(comp[p][0] / comp[p][1]) for p in sorted(comp)]
-            cents.append((cid, cq, sum(x * x for x in cq)))
-    # the cache only serves the (already-run) iteration jobs; drop it
-    # NOW so no cached RDDs linger to be GC-collected mid-bench (the
-    # deferred ContextCleaner pass shows up as a burst of harmless but
-    # noisy "Failed to update accumulator" errors at session scale).
-    # The returned lazy plan rescans the source once — cheaper than it
-    # looks, since assignment is a single narrow projection pass.
+        )
+        per_cluster = comp.groupBy("cluster_id").agg(
+            F.sort_array(F.collect_list(F.struct("pos", "val"))).alias("_pv")
+        )
+        cents_df = (
+            per_cluster.select(
+                F.struct(
+                    F.col("cluster_id").alias("cid"),
+                    F.transform(F.col("_pv"), lambda x: x["val"]).alias("cq"),
+                    F.aggregate(
+                        F.col("_pv"),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x["val"] * x["val"],
+                    ).alias("cn"),
+                ).alias("_c")
+            )
+            .agg(F.sort_array(F.collect_list("_c")).alias("_cents"))
+        )
+    out = _with_assignment(
+        v.crossJoin(F.broadcast(cents_df)), F.col("_cents"), v.columns
+    )
+    # the cache only serves the (already-run) init job; unpersist
+    # non-blocking so nothing lingers to be GC-collected mid-bench
     v.unpersist(blocking=False)
-    return _assign(v, cents)
+    return out
 
 
 def semdedup(

@@ -95,14 +95,14 @@ def test_kmeans_iteration_tightens_clusters(spark, emb):
 
 
 def test_assignment_plan_is_projection_no_shuffle(spark, emb):
-    """The per-row assignment (given centroids) must be a pure
-    projection: no Exchange below the final assign, and the generated
-    code compiles (no 64 KB janino fallback → the plan would still be
-    correct but interpreted; staging the cosines as separate columns
-    is what keeps it compilable)."""
+    """The per-row assignment (given centroids) must not SHUFFLE the
+    vector data: the only exchange allowed is the 1-row
+    BroadcastExchange carrying the centroid array (the lazy-Lloyd
+    state channel) — never a hash-partitioned data exchange."""
     out = kmeans_spherical(emb, k=8, n_iter=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "ShuffleExchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
     from pyspark.sql.functions import col
 
     # force one real evaluation; capture codegen health via the debug
