@@ -41,6 +41,13 @@ EXEMPT: dict[str, dict[str, str]] = {
     "above_avg_orders": {
         "bnlj": "cross with the 1-row global-average aggregate"
     },
+    "kmeans_clusters": {
+        "bnlj": "cross with the 1-row broadcast centroid-array state "
+                "of the lazy Lloyd chain (k centroids in one row)"
+    },
+    "semdedup": {
+        "bnlj": "same 1-row centroid-state broadcast via kmeans"
+    },
     "bm25_search": {
         "bnlj": "cross with the 1-row corpus stats (N, avgdl) aggregate"
     },
