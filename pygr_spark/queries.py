@@ -6456,7 +6456,54 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online 3-sigma detector (streaming/stateful.py
+    streaming_prefix_anomaly): every event scored against the running
+    per-type prefix stats held in GroupState — the causal form of the
+    batch anomaly_events entry. Exact integer z-test in unbounded
+    Python ints inside the state function; the single-batch
+    availableNow drain reproduces the batch running-frame oracle
+    row-for-row."""
+    from pygr_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+    from pygr_spark.streaming.stateful import streaming_prefix_anomaly
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_type",
+        F.col("ts").cast("long").alias("ts"),
+        F.col("event_id").cast("long").alias("event_id"),
+        cents(F.col("value")).alias("c"),
+    )
+    out = streaming_prefix_anomaly(stream)
+    return run_stream_to_table(out, spark, mode="append")
+
+
+Q_STREAM_ANOMALY_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, epoch_ns(ts) AS tns,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), s AS (
+  SELECT event_id, event_type, c,
+    CAST(count(*) OVER w AS HUGEINT) AS n,
+    CAST(sum(c) OVER w AS HUGEINT) AS sm,
+    CAST(sum(CAST(c AS HUGEINT) * c) OVER w AS HUGEINT) AS q
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY tns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+       CAST(c AS BIGINT) AS value_cents,
+       CAST(CASE WHEN (n*c - sm)*(n*c - sm) > 9*(n*q - sm*sm)
+            THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_anomaly": q_stream_anomaly,
     "stream_ohlc": q_stream_ohlc,
     "journey_trigrams": q_journey_trigrams,
     "dedup_keep_best": q_dedup_keep_best,
@@ -6599,6 +6646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "stream_anomaly": Q_STREAM_ANOMALY_SQL,
     "stream_ohlc": Q_STREAM_OHLC_SQL,
     "journey_trigrams": Q_JOURNEY_TRIGRAMS_SQL,
     "dedup_keep_best": Q_DEDUP_KEEP_BEST_SQL,

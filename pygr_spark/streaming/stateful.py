@@ -107,3 +107,69 @@ def streaming_gap_merge(
         outputMode="append",
         timeoutConf=conf,
     )
+
+
+ANOM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value_cents", T.LongType()),
+        T.StructField("flagged", T.LongType()),
+    ]
+)
+
+ANOM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.LongType()),
+        T.StructField("q", T.LongType()),
+    ]
+)
+
+
+def streaming_prefix_anomaly(events: DataFrame) -> DataFrame:
+    """Streaming 3-sigma detector with PREFIX statistics: each event is
+    scored against the running (n, sum, sum-of-squares) of everything
+    seen so far for its key — the state a live monitor actually has at
+    decision time (the batch ``anomaly_events`` entry scores against
+    the FULL corpus stats; this is its causal, online form).
+
+    Exact integers end-to-end: the z>3 test is the cross-multiplied
+    (n*v - S)^2 > 9*(n*Q - S^2) rewrite evaluated in PYTHON ints
+    (unbounded — the square passes int64 around n*v ~ 3e9, which a
+    big key reaches; the STATE (n, S, Q) itself stays well inside
+    int64). Rows are scored in (ts, event_id) order within each
+    micro-batch, so a bounded one-batch drain reproduces the batch
+    running-frame oracle row-for-row.
+
+    Expects columns: ``event_type, ts (ns long), event_id, c (cents)``.
+    """
+
+    def score(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (ktype,) = key
+        n, s, q = state.get if state.exists else (0, 0, 0)
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        out = []
+        for eid, c in zip(rows["event_id"], rows["c"]):
+            c = int(c)
+            n += 1
+            s += c
+            q += c * c
+            dev = n * c - s
+            flag = 1 if dev * dev > 9 * (n * q - s * s) else 0
+            out.append((int(eid), ktype, c, flag))
+        state.update((n, s, q))
+        yield pd.DataFrame(
+            out, columns=["event_id", "event_type", "value_cents", "flagged"]
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        score,
+        ANOM_OUT_SCHEMA,
+        ANOM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
