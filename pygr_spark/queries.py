@@ -6502,7 +6502,138 @@ FROM s
 """
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals per order priority: bucket
+    index is a pure integer projection (width 25,000 cents), counts
+    one hash aggregate — the profiling primitive behind every
+    histogram UI. Empty buckets are absent by construction on both
+    engines."""
+    orders = _t(spark, sf_dir, "orders")
+    width = 2_500_000
+    return (
+        orders.select(
+            "o_orderpriority",
+            (cents(F.col("o_totalprice")) / width).cast("long").alias("bucket"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "o_orderpriority",
+            (F.col("bucket") * width).alias("bucket_lo"),
+            "n",
+        )
+    )
+
+
+Q_VALUE_HISTOGRAM_SQL = """
+SELECT o_orderpriority,
+       CAST(CAST(round(o_totalprice * 100) AS BIGINT) // 2500000 * 2500000
+            AS BIGINT) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of lineitem in ONE pass: per
+    column null count, exact distinct count, and integer min/max —
+    the stats a query planner or data-quality gate collects. Multiple
+    exact count(distinct) in one aggregate uses Spark's Expand
+    (one pass over the data, d-way row expansion) — the documented
+    trade for exactness; the approximate path is approx_aggs."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"]
+    aggs = []
+    for c in cols:
+        v = F.col(c)
+        aggs += [
+            F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("long").alias(f"{c}_nulls"),
+            F.countDistinct(v).cast("long").alias(f"{c}_distinct"),
+            F.min(cents(v) if c == "l_quantity" else v).cast("long").alias(f"{c}_min"),
+            F.max(cents(v) if c == "l_quantity" else v).cast("long").alias(f"{c}_max"),
+        ]
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"), *aggs
+    )
+
+
+Q_TABLE_PROFILE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_orderkey_nulls,
+  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS l_orderkey_distinct,
+  CAST(min(l_orderkey) AS BIGINT) AS l_orderkey_min,
+  CAST(max(l_orderkey) AS BIGINT) AS l_orderkey_max,
+  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_partkey_nulls,
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS l_partkey_distinct,
+  CAST(min(l_partkey) AS BIGINT) AS l_partkey_min,
+  CAST(max(l_partkey) AS BIGINT) AS l_partkey_max,
+  CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_suppkey_nulls,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS l_suppkey_distinct,
+  CAST(min(l_suppkey) AS BIGINT) AS l_suppkey_min,
+  CAST(max(l_suppkey) AS BIGINT) AS l_suppkey_max,
+  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_nulls,
+  CAST(count(DISTINCT l_quantity) AS BIGINT) AS l_quantity_distinct,
+  CAST(min(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS l_quantity_min,
+  CAST(max(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS l_quantity_max
+FROM lineitem
+"""
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-segment statistics with EXACT rank-based cut points:
+    drop each market segment's bottom and top decile of account
+    balances (rank-counted, not interpolated — identical on any
+    engine), then exact-integer mean of the core. The rank pass
+    windows per segment (bounded partitions); cut thresholds are
+    ceil/floor rank bounds so both engines keep exactly the same
+    rows."""
+    cust = _t(spark, sf_dir, "customer")
+    # rank on CENTS, not the raw double: a sub-cent difference would
+    # otherwise order differently than the oracle's integer sort
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        cents(F.col("c_acctbal")), F.col("c_custkey")
+    )
+    ranked = cust.select(
+        "c_mktsegment",
+        cents(F.col("c_acctbal")).alias("bal_c"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    core = ranked.filter(
+        (F.col("rn") > F.col("n") / 10) & (F.col("rn") <= F.col("n") - F.col("n") / 10)
+    )
+    return core.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_core"),
+        F.sum("bal_c").cast("long").alias("sum_core_c"),
+        F.min("bal_c").cast("long").alias("p10_c"),
+        F.max("bal_c").cast("long").alias("p90_c"),
+    )
+
+
+Q_WINSORIZED_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+    row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY round(c_acctbal * 100), c_custkey) AS rn,
+    count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+), core AS (
+  SELECT * FROM ranked
+  WHERE rn > n / 10.0 AND rn <= n - n / 10.0
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_core,
+       CAST(sum(bal_c) AS BIGINT) AS sum_core_c,
+       CAST(min(bal_c) AS BIGINT) AS p10_c,
+       CAST(max(bal_c) AS BIGINT) AS p90_c
+FROM core GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "value_histogram": q_value_histogram,
+    "table_profile": q_table_profile,
+    "winsorized_stats": q_winsorized_stats,
     "stream_anomaly": q_stream_anomaly,
     "stream_ohlc": q_stream_ohlc,
     "journey_trigrams": q_journey_trigrams,
@@ -6646,6 +6777,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "value_histogram": Q_VALUE_HISTOGRAM_SQL,
+    "table_profile": Q_TABLE_PROFILE_SQL,
+    "winsorized_stats": Q_WINSORIZED_SQL,
     "stream_anomaly": Q_STREAM_ANOMALY_SQL,
     "stream_ohlc": Q_STREAM_OHLC_SQL,
     "journey_trigrams": Q_JOURNEY_TRIGRAMS_SQL,
