@@ -419,3 +419,26 @@ def test_attribution_no_aggregate_no_nested_loop(spark, sf_dir):
     assert "SortAggregate" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_value_histogram_single_hash_agg(spark, sf_dir):
+    p = plan_of(QUERIES["value_histogram"](spark, sf_dir))
+    assert "HashAggregate" in p
+    assert "Window" not in p and "SortAggregate" not in p
+
+
+def test_table_profile_one_pass_expand(spark, sf_dir):
+    """Exact multi-distinct profiles in one aggregate: the plan uses
+    Expand (the documented exactness trade), never a join of separate
+    per-column aggregates."""
+    p = plan_of(QUERIES["table_profile"](spark, sf_dir))
+    assert "Expand" in p
+    assert "Join" not in p
+
+
+def test_winsorized_windows_are_segment_partitioned(spark, sf_dir):
+    import re
+
+    p = plan_of(QUERIES["winsorized_stats"](spark, sf_dir))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "c_mktsegment" in spec
