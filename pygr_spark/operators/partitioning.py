@@ -206,3 +206,26 @@ def read_partitioned(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
     """Read a partitioned layout; partition columns come back as real
     columns recovered from directory names."""
     return spark.read.format(fmt).load(path)
+
+
+def zorder_key(col_a: str, col_b: str, bits: int = 16) -> "Column":
+    """Morton (Z-order) interleave of the low ``bits`` of two integer
+    columns — ONE codegen expression (2·bits shift-mask-or terms built
+    as a single SQL string; the Column-API build would pay a py4j trip
+    per term).
+
+    Sorting a table by this key before writing clusters BOTH
+    dimensions into each parquet row group, so min/max row-group
+    stats prune scans filtered on EITHER column — the lakehouse
+    multi-dimensional layout trick (Delta/Iceberg OPTIMIZE ZORDER) as
+    a plain expression. At 100 TB this is the difference between a
+    full scan and touching a few percent of row groups for a 2-D
+    range predicate."""
+    from pyspark.sql import functions as F
+
+    terms = " | ".join(
+        f"(((CAST({col_a} AS BIGINT) >> {i}) & 1) << {2 * i}) | "
+        f"(((CAST({col_b} AS BIGINT) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return F.expr(f"({terms})")

@@ -6630,7 +6630,55 @@ FROM core GROUP BY 1
 """
 
 
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout roundtrip (partitioning.zorder_key): lineitem
+    rewritten globally sorted by the Morton interleave of
+    (l_partkey, l_suppkey), then scanned with a 2-D range predicate —
+    parquet row-group min/max stats prune on BOTH dimensions because
+    the sort clustered them together. The oracle runs the same
+    predicate on the original table: the layout must change the COST,
+    never the rows. Fixed output path, overwritten per run (no
+    warehouse leak)."""
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem")
+    from pygr_spark.operators.partitioning import zorder_key
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "pygr_spark_zorder", os.path.basename(sf_dir.rstrip("/"))
+    )
+    (
+        li.withColumn("_z", zorder_key("l_partkey", "l_suppkey"))
+        .orderBy("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    zli = spark.read.parquet(out_dir)
+    return (
+        zli.filter(
+            F.col("l_partkey").between(100, 500)
+            & F.col("l_suppkey").between(10, 50)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents(F.col("l_quantity"))).cast("long").alias("qty_c"),
+        )
+    )
+
+
+Q_ZORDER_SCAN_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 500 AND l_suppkey BETWEEN 10 AND 50
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "zorder_scan": q_zorder_scan,
     "value_histogram": q_value_histogram,
     "table_profile": q_table_profile,
     "winsorized_stats": q_winsorized_stats,
@@ -6777,6 +6825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "zorder_scan": Q_ZORDER_SCAN_SQL,
     "value_histogram": Q_VALUE_HISTOGRAM_SQL,
     "table_profile": Q_TABLE_PROFILE_SQL,
     "winsorized_stats": Q_WINSORIZED_SQL,

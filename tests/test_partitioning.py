@@ -150,3 +150,51 @@ def test_orc_roundtrip_pushes_filter(spark, sf_dir, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "l_returnflag" in plan
     assert back.count() == li.filter("l_returnflag = 'R'").count()
+
+
+class TestZorder:
+    def test_morton_interleave_golden(self, spark):
+        from pygr_spark.operators.partitioning import zorder_key
+
+        df = spark.createDataFrame(
+            [(0, 0), (3, 1), (1, 3), (5, 5)], "a long, b long"
+        )
+        out = {
+            (r.a, r.b): r.z
+            for r in df.select("a", "b", zorder_key("a", "b", bits=4).alias("z")).collect()
+        }
+        # interleave: bit i of a -> bit 2i, bit i of b -> bit 2i+1
+        def morton(a, b):
+            z = 0
+            for i in range(4):
+                z |= ((a >> i) & 1) << (2 * i)
+                z |= ((b >> i) & 1) << (2 * i + 1)
+            return z
+
+        assert out == {(a, b): morton(a, b) for a, b in [(0, 0), (3, 1), (1, 3), (5, 5)]}
+
+    def test_zorder_sort_clusters_both_dims(self, spark):
+        """After a Morton sort, consecutive chunks span narrow ranges
+        of BOTH columns (the property row-group pruning relies on)."""
+        from pygr_spark.operators.partitioning import zorder_key
+        import pyspark.sql.functions as SF
+
+        n = 4096
+        df = spark.range(n).select(
+            (SF.col("id") * 2654435761 % 64).alias("x"),
+            (SF.col("id") * 40503 % 64).alias("y"),
+        )
+        rows = (
+            df.withColumn("z", zorder_key("x", "y", bits=6))
+            .orderBy("z")
+            .collect()
+        )
+        chunk = 256
+        spans = []
+        for i in range(0, n, chunk):
+            cx = [r.x for r in rows[i : i + chunk]]
+            cy = [r.y for r in rows[i : i + chunk]]
+            spans.append((max(cx) - min(cx)) * (max(cy) - min(cy)))
+        # each 256-row chunk of a 64x64 morton-sorted grid covers a
+        # small tile, far below the full 63*63 area
+        assert sum(spans) / len(spans) < 63 * 63 / 4
