@@ -6677,7 +6677,71 @@ GROUP BY 1
 """
 
 
+def q_msa_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column consensus over grouped alignments — the MSA summary
+    pygr users derive from NLMSA columns (conservation + majority
+    letter per aligned position; reference exposes per-column letter
+    access via slice iteration, cnestedlist.pyx NLMSASlice letters).
+    Docs are grouped 10-per-cluster, their 30-char prefixes stacked as
+    alignment columns; majority letter per (cluster, column) with
+    lexicographic tiebreak via a (cluster, col)-partitioned rank
+    window (bounded by alphabet size per partition)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 30)
+    chars = docs.select(
+        (F.col("doc_id") / 10).cast("long").alias("cluster_id"),
+        F.explode(F.sequence(F.lit(1), F.lit(30))).alias("col"),
+        F.col("text"),
+    ).select(
+        "cluster_id",
+        "col",
+        F.substring(F.lower(F.col("text")), F.col("col"), 1).alias("ch"),
+    )
+    counts = chars.groupBy("cluster_id", "col", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("cluster_id", "col").orderBy(
+        F.col("cnt").desc(), F.col("ch")
+    )
+    tot = Window.partitionBy("cluster_id", "col")
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_seqs", F.sum("cnt").over(tot))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("col").cast("long").alias("col"),
+            F.col("ch").alias("consensus"),
+            F.col("cnt").alias("n_major"),
+            F.col("n_seqs").cast("long").alias("n_seqs"),
+        )
+    )
+
+
+Q_MSA_CONSENSUS_SQL = """
+WITH chars AS (
+  SELECT CAST(doc_id // 10 AS BIGINT) AS cluster_id,
+         unnest(range(1, 31)) AS col, lower(text) AS t
+  FROM documents WHERE n_chars >= 30
+), c2 AS (
+  SELECT cluster_id, col, substr(t, CAST(col AS INT), 1) AS ch FROM chars
+), counts AS (
+  SELECT cluster_id, col, ch, CAST(count(*) AS BIGINT) AS cnt
+  FROM c2 GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT cluster_id, col, ch, cnt,
+    row_number() OVER (PARTITION BY cluster_id, col
+                       ORDER BY cnt DESC, ch) AS rn,
+    sum(cnt) OVER (PARTITION BY cluster_id, col) AS n_seqs
+  FROM counts
+)
+SELECT cluster_id, CAST(col AS BIGINT) AS col, ch AS consensus,
+       cnt AS n_major, CAST(n_seqs AS BIGINT) AS n_seqs
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "msa_consensus": q_msa_consensus,
     "zorder_scan": q_zorder_scan,
     "value_histogram": q_value_histogram,
     "table_profile": q_table_profile,
@@ -6825,6 +6889,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "msa_consensus": Q_MSA_CONSENSUS_SQL,
     "zorder_scan": Q_ZORDER_SCAN_SQL,
     "value_histogram": Q_VALUE_HISTOGRAM_SQL,
     "table_profile": Q_TABLE_PROFILE_SQL,
