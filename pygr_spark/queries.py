@@ -6740,7 +6740,127 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the lang-partitioned documents table
+    joined against a FILTERED tiny dimension — the partition filter is
+    not known until the dim side is evaluated, so Catalyst injects a
+    runtime subquery (dynamicpruning#N in the scan) and only the
+    surviving lang directories are read. This is the join-driven form
+    of partitioned_scan's static pruning: at 100 TB, the fact scan
+    cost follows the DIM filter without any literal in the fact
+    query. Plan assertion in tests/test_plans.py."""
+    from pygr_spark.operators.partitioning import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = f"/tmp/pygr_spark_part/docs_dpp_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_partitioned(docs, path, ["lang"])
+    back = read_partitioned(spark, path)
+    # tiny dim: one row per lang with a quality tier; filter selects
+    # tier 0 at runtime (the fact query never names a lang literal)
+    dim = (
+        docs.select("lang").distinct()
+        .select("lang", (F.length("lang") % 2).alias("tier"))
+    )
+    return (
+        back.join(dim.filter(F.col("tier") == 0), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+Q_DPP_SCAN_SQL = """
+WITH dim AS (
+  SELECT lang, length(lang) % 2 AS tier
+  FROM (SELECT DISTINCT lang FROM documents)
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN dim ON d.lang = dim.lang AND dim.tier = 0
+GROUP BY 1
+"""
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the orders-derived
+    graph: triangles through each node / C(degree, 2), as an EXACT
+    integer pair (tri2 = 2·triangles, denom = deg·(deg-1)) so no
+    float crosses the gate. Triangle counting is the standard two-join
+    wedge-close on the undirected edge set with id-ordering dedup —
+    the same shape as triangle_motif, aggregated per node."""
+    orders = _t(spark, sf_dir, "orders")
+    raw = orders.select(
+        (F.col("o_custkey") % 499).cast("long").alias("a"),
+        (F.col("o_orderkey") % 499).cast("long").alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    und = (
+        raw.select("a", "b")
+        .unionByName(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # ordered edges close wedges once; each triangle {x,y,z} appears
+    # once per corner when re-expanded through the undirected set
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y")).filter("x < y")
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z")).filter("y < z")
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z")).filter("x < z")
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    corner = (
+        tris.select(F.col("x").alias("node"))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .unionAll(tris.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return (
+        deg.join(corner, deg["a"] == corner["node"], "left")
+        .select(
+            F.col("a").alias("node"),
+            F.col("deg"),
+            (F.coalesce(F.col("n_tri"), F.lit(0)) * 2).cast("long").alias("tri2"),
+            (F.col("deg") * (F.col("deg") - 1)).cast("long").alias("denom"),
+        )
+    )
+
+
+Q_CLUSTERING_COEFF_SQL = """
+WITH raw AS (
+  SELECT CAST(o_custkey % 499 AS BIGINT) AS a,
+         CAST(o_orderkey % 499 AS BIGINT) AS b
+  FROM orders WHERE o_custkey % 499 <> o_orderkey % 499
+), und AS (
+  SELECT a, b FROM raw UNION SELECT b, a FROM raw
+), deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a
+), tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a AND e2.a < e2.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+  WHERE e1.a < e1.b
+), corner AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT x AS node FROM tris
+    UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris
+  ) GROUP BY node
+)
+SELECT deg.a AS node, deg.deg,
+       CAST(coalesce(corner.n_tri, 0) * 2 AS BIGINT) AS tri2,
+       CAST(deg.deg * (deg.deg - 1) AS BIGINT) AS denom
+FROM deg LEFT JOIN corner ON corner.node = deg.a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dpp_scan": q_dpp_scan,
+    "clustering_coeff": q_clustering_coeff,
     "msa_consensus": q_msa_consensus,
     "zorder_scan": q_zorder_scan,
     "value_histogram": q_value_histogram,
@@ -6889,6 +7009,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "dpp_scan": Q_DPP_SCAN_SQL,
+    "clustering_coeff": Q_CLUSTERING_COEFF_SQL,
     "msa_consensus": Q_MSA_CONSENSUS_SQL,
     "zorder_scan": Q_ZORDER_SCAN_SQL,
     "value_histogram": Q_VALUE_HISTOGRAM_SQL,

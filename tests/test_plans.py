@@ -442,3 +442,17 @@ def test_winsorized_windows_are_segment_partitioned(spark, sf_dir):
     p = plan_of(QUERIES["winsorized_stats"](spark, sf_dir))
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert "c_mktsegment" in spec
+
+
+def test_dpp_scan_has_dynamic_pruning(spark, sf_dir):
+    """The lang-partitioned fact scan must carry a dynamicpruning
+    subquery fed by the filtered dim — join-driven partition pruning,
+    not a full scan followed by a join filter."""
+    p = plan_of(QUERIES["dpp_scan"](spark, sf_dir))
+    assert "dynamicpruning" in p.lower()
+
+
+def test_clustering_coeff_no_cartesian(spark, sf_dir):
+    p = plan_of(QUERIES["clustering_coeff"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
