@@ -6858,7 +6858,59 @@ FROM deg LEFT JOIN corner ON corner.node = deg.a
 """
 
 
+def q_supplier_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-result shape: each supplier's top-3 parts by shipped
+    quantity as an ORDERED array column (rank window per supplier →
+    sort_array of (rank, part) structs → projected part list). The
+    gate hash-compares Spark arrays against DuckDB lists element-wise,
+    so ordering inside the array must be deterministic — rank then
+    part id."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(cents(F.col("l_quantity"))).alias("q")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("q").desc(), F.col("l_partkey")
+    )
+    top = qty.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 3)
+    return (
+        top.groupBy("l_suppkey")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_rn", "l_partkey"))),
+                lambda s: s["l_partkey"].cast("long"),
+            ).alias("top_parts"),
+            F.max("q").cast("long").alias("best_qty_c"),
+        )
+        .select(
+            F.col("l_suppkey").cast("long").alias("l_suppkey"),
+            "top_parts",
+            "best_qty_c",
+        )
+    )
+
+
+Q_SUPPLIER_TOP_PARTS_SQL = """
+WITH qty AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT l_suppkey, l_partkey, q,
+    row_number() OVER (PARTITION BY l_suppkey
+                       ORDER BY q DESC, l_partkey) AS rn
+  FROM qty
+)
+SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+       list(CAST(l_partkey AS BIGINT) ORDER BY rn) AS top_parts,
+       CAST(max(q) AS BIGINT) AS best_qty_c
+FROM ranked WHERE rn <= 3
+GROUP BY l_suppkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "supplier_top_parts": q_supplier_top_parts,
     "dpp_scan": q_dpp_scan,
     "clustering_coeff": q_clustering_coeff,
     "msa_consensus": q_msa_consensus,
@@ -7009,6 +7061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "supplier_top_parts": Q_SUPPLIER_TOP_PARTS_SQL,
     "dpp_scan": Q_DPP_SCAN_SQL,
     "clustering_coeff": Q_CLUSTERING_COEFF_SQL,
     "msa_consensus": Q_MSA_CONSENSUS_SQL,
