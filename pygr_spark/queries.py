@@ -6909,7 +6909,119 @@ GROUP BY l_suppkey
 """
 
 
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each view's FIRST purchase at-or-after it,
+    within 1 hour — by running the backward asof carry over NEGATED
+    timestamps (the same reversed-ordering trick the repo's window
+    operators use for forward frames; running frames are the O(n)
+    direction). One user-keyed sort, no per-row subquery."""
+    from pygr_spark.operators.asof import asof_join
+
+    ev = read_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        (-F.col("ts")).alias("nts"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (-F.col("ts")).alias("nts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # backward asof on negated ts == forward asof on real ts; the
+    # tiebreak picks the max purchase_id among equal-ts purchases
+    # (deterministic; at-or-after includes equal timestamps)
+    att = asof_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="nts",
+        right_ts="nts",
+        value_cols=["purchase_id"],
+        how="inner",
+        right_tiebreak="purchase_id",
+    )
+    lag = (-F.col("r_ts")) - F.col("view_ts")
+    return (
+        att.filter(lag <= 3600 * 1_000_000_000)
+        .select(
+            F.col("view_id").cast("long").alias("view_id"),
+            F.col("purchase_id").cast("long").alias("purchase_id"),
+            lag.cast("long").alias("lag_ns"),
+        )
+    )
+
+
+Q_CONVERSION_LAG_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns FROM events
+), v AS (SELECT user_id, event_id AS view_id, tns AS vt FROM e WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id AS purchase_id, tns AS pt FROM e WHERE event_type = 'purchase'),
+u AS (
+  SELECT user_id, -vt AS nts, 1 AS is_left, view_id, vt,
+         CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS BIGINT) AS pt
+  FROM v
+  UNION ALL
+  SELECT user_id, -pt, 0, NULL, NULL, purchase_id, pt FROM p
+), c AS (
+  SELECT user_id, is_left, view_id, vt,
+    last_value(purchase_id IGNORE NULLS) OVER w AS a_pid,
+    last_value(pt IGNORE NULLS) OVER w AS a_pt
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY nts, is_left, purchase_id NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(view_id AS BIGINT) AS view_id,
+       CAST(a_pid AS BIGINT) AS purchase_id,
+       CAST(a_pt - vt AS BIGINT) AS lag_ns
+FROM c
+WHERE is_left = 1 AND a_pid IS NOT NULL AND a_pt - vt <= 3600000000000
+"""
+
+
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day: EXACT sliding distinct via
+    the offset-explode equi-join trick (each (user, active-day) row
+    fans out to the 7 target days it supports, then one distinct
+    count per target day) — never a per-day range self-join. Linear in
+    activity x window, the standard distributed WAU shape."""
+    ev = read_events(spark, sf_dir)
+    act = ev.select(
+        "user_id", F.expr("CAST(ts DIV 86400000000000 AS BIGINT)").alias("day")
+    ).distinct()
+    fan = act.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("tday"),
+    ).distinct()
+    days = act.select("day").distinct().withColumnRenamed("day", "tday")
+    return (
+        fan.join(days, "tday")
+        .groupBy("tday")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+        .select(F.col("tday").cast("long").alias("day"), "wau")
+    )
+
+
+Q_ROLLING_WAU_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day
+  FROM events
+), fan AS (
+  SELECT DISTINCT user_id, day + o AS tday
+  FROM act, unnest(range(0, 7)) AS t(o)
+), days AS (
+  SELECT DISTINCT day AS tday FROM act
+)
+SELECT CAST(f.tday AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS wau
+FROM fan f JOIN days USING (tday)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "conversion_lag": q_conversion_lag,
+    "rolling_wau": q_rolling_wau,
     "supplier_top_parts": q_supplier_top_parts,
     "dpp_scan": q_dpp_scan,
     "clustering_coeff": q_clustering_coeff,
@@ -7061,6 +7173,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "conversion_lag": Q_CONVERSION_LAG_SQL,
+    "rolling_wau": Q_ROLLING_WAU_SQL,
     "supplier_top_parts": Q_SUPPLIER_TOP_PARTS_SQL,
     "dpp_scan": Q_DPP_SCAN_SQL,
     "clustering_coeff": Q_CLUSTERING_COEFF_SQL,
