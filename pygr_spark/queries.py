@@ -7019,7 +7019,76 @@ GROUP BY 1
 """
 
 
+def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule statistics over co-purchased part pairs:
+    support, confidence and lift as EXACT integer
+    numerator/denominator pairs (lift = N·n(ab) / (n(a)·n(b)) — no
+    float crosses the gate). Pair counting reuses the capped basket
+    self-join shape (operators/cooccur.py rationale); item and basket
+    totals are broadcast back."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
+    ).distinct()
+    sized = items.withColumn(
+        "_bsz", F.count(F.lit(1)).over(Window.partitionBy("b"))
+    ).filter(F.col("_bsz") <= 50)
+    n_baskets = sized.select("b").distinct().count()
+    a = sized.select("b", F.col("i").alias("p1"))
+    c = sized.select("b", F.col("i").alias("p2"))
+    pairs = (
+        a.join(c, "b")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    icnt = sized.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    return (
+        pairs.join(F.broadcast(icnt.withColumnRenamed("i", "p1")
+                   .withColumnRenamed("n_i", "n_a")), "p1")
+        .join(F.broadcast(icnt.withColumnRenamed("i", "p2")
+              .withColumnRenamed("n_i", "n_b")), "p2")
+        .select(
+            F.col("p1").cast("long").alias("p1"),
+            F.col("p2").cast("long").alias("p2"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.lit(n_baskets) * F.col("n_ab")).cast("long").alias("lift_num"),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("lift_den"),
+        )
+    )
+
+
+Q_PART_AFFINITY_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), sized AS (
+  SELECT b, i FROM (
+    SELECT b, i, count(*) OVER (PARTITION BY b) AS bsz FROM items
+  ) WHERE bsz <= 50
+), nb AS (SELECT count(DISTINCT b) AS n FROM sized),
+pairs AS (
+  SELECT a.i AS p1, c.i AS p2, CAST(count(*) AS BIGINT) AS n_ab
+  FROM sized a JOIN sized c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), icnt AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM sized GROUP BY 1
+)
+SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2, n_ab,
+       ia.n_i AS n_a, ib.n_i AS n_b,
+       CAST(nb.n * n_ab AS BIGINT) AS lift_num,
+       CAST(ia.n_i * ib.n_i AS BIGINT) AS lift_den
+FROM pairs
+JOIN icnt ia ON ia.i = p1
+JOIN icnt ib ON ib.i = p2
+CROSS JOIN nb
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "part_affinity": q_part_affinity,
     "conversion_lag": q_conversion_lag,
     "rolling_wau": q_rolling_wau,
     "supplier_top_parts": q_supplier_top_parts,
@@ -7173,6 +7242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "part_affinity": Q_PART_AFFINITY_SQL,
     "conversion_lag": Q_CONVERSION_LAG_SQL,
     "rolling_wau": Q_ROLLING_WAU_SQL,
     "supplier_top_parts": Q_SUPPLIER_TOP_PARTS_SQL,
