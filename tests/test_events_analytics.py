@@ -54,3 +54,40 @@ class TestCohortRetention:
         n_users = ev.select("user_id").distinct().count()
         assert day0 == n_users
         assert all(r.days_since >= 0 for r in rows)
+
+
+class TestForwardAsof:
+    """conversion_lag's negated-timestamp trick: backward asof on -ts
+    is forward asof on ts."""
+
+    def _fwd(self, spark, views, purchases):
+        from pygr_spark.operators.asof import asof_join
+        import pyspark.sql.functions as SF
+
+        v = spark.createDataFrame(views, "user_id long, ts long, view_id long")
+        p = spark.createDataFrame(purchases, "user_id long, ts long, purchase_id long")
+        att = asof_join(
+            v.select("user_id", (-SF.col("ts")).alias("nts"), "view_id",
+                     SF.col("ts").alias("view_ts")),
+            p.select("user_id", (-SF.col("ts")).alias("nts"), "purchase_id"),
+            key="user_id", left_ts="nts", right_ts="nts",
+            value_cols=["purchase_id"], how="left",
+            right_tiebreak="purchase_id",
+        )
+        return {r.view_id: r.purchase_id for r in att.collect()}
+
+    def test_first_subsequent_purchase_wins(self, spark):
+        got = self._fwd(
+            spark,
+            [(1, 100, 10)],
+            [(1, 50, 1), (1, 150, 2), (1, 200, 3)],
+        )
+        assert got == {10: 2}  # earliest at-or-after, not the latest
+
+    def test_purchase_before_view_not_matched(self, spark):
+        got = self._fwd(spark, [(1, 100, 10)], [(1, 99, 1)])
+        assert got == {10: None}
+
+    def test_equal_ts_counts_as_after(self, spark):
+        got = self._fwd(spark, [(1, 100, 10)], [(1, 100, 1)])
+        assert got == {10: 1}
