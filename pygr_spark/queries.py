@@ -7087,7 +7087,147 @@ CROSS JOIN nb
 """
 
 
+def q_kmer_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-mer frequency spectrum over the acgt-projected corpus (the
+    assembly-QC histogram: how many distinct 8-mers occur exactly m
+    times). Two stacked hash aggregates — kmer counts, then counts of
+    counts; the explode is the same codegen substring fan-out as
+    seed_extend's k-mer build."""
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id"),
+        F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq"),
+    ).filter(F.length("seq") >= 8)
+    k = 8
+    km = docs.select(
+        F.explode(F.sequence(F.lit(1), F.length("seq") - (k - 1))).alias("p"),
+        F.col("seq"),
+    ).select(F.substring("seq", F.col("p"), k).alias("km"))
+    counts = km.groupBy("km").agg(F.count(F.lit(1)).alias("m"))
+    return (
+        counts.groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kmers"))
+        .select(F.col("m").cast("long").alias("multiplicity"), "n_kmers")
+    )
+
+
+Q_KMER_SPECTRUM_SQL = """
+WITH s AS (
+  SELECT regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+  FROM documents
+), km AS (
+  SELECT substr(seq, CAST(unnest(range(1, length(seq) - 6)) AS INT), 8) AS km
+  FROM s WHERE length(seq) >= 8
+), counts AS (
+  SELECT km, count(*) AS m FROM km GROUP BY km
+)
+SELECT CAST(m AS BIGINT) AS multiplicity,
+       CAST(count(*) AS BIGINT) AS n_kmers
+FROM counts GROUP BY m
+"""
+
+
+def q_gc_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed GC skew profile (origin-of-replication signal in
+    bacterial genomes): per 64-char chunk of each acgt sequence, exact
+    integer (G−C, G+C) — chunking is the same arithmetic projection
+    as chunked_slice, counts are length-difference expressions, no
+    explode of characters."""
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id"),
+        F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq"),
+    ).filter(F.length("seq") >= 1)
+    w = 64
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.expr(f"CAST((length(seq) - 1) DIV {w} AS INT)")
+            )
+        ).alias("chunk"),
+        F.col("seq"),
+    ).select(
+        "doc_id",
+        F.col("chunk").cast("long").alias("chunk"),
+        F.substring("seq", (F.col("chunk") * w + 1).cast("int"), w).alias("c"),
+    ).filter(F.length("c") > 0)
+    ng = F.length("c") - F.length(F.regexp_replace("c", "g", ""))
+    nc = F.length("c") - F.length(F.regexp_replace("c", "c", ""))
+    return chunks.select(
+        "doc_id",
+        "chunk",
+        (ng - nc).cast("long").alias("skew_num"),
+        (ng + nc).cast("long").alias("skew_den"),
+        F.length("c").cast("long").alias("chunk_len"),
+    )
+
+
+Q_GC_SKEW_SQL = """
+WITH s AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+  FROM documents
+), chunks AS (
+  SELECT doc_id, unnest(range(0, (length(seq) + 63) // 64)) AS chunk, seq
+  FROM s WHERE length(seq) >= 1
+), c2 AS (
+  SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+         substr(seq, CAST(chunk * 64 + 1 AS INT), 64) AS c
+  FROM chunks
+)
+SELECT doc_id, chunk,
+  CAST((length(c) - length(replace(c, 'g', '')))
+     - (length(c) - length(replace(c, 'c', ''))) AS BIGINT) AS skew_num,
+  CAST((length(c) - length(replace(c, 'g', '')))
+     + (length(c) - length(replace(c, 'c', ''))) AS BIGINT) AS skew_den,
+  CAST(length(c) AS BIGINT) AS chunk_len
+FROM c2 WHERE length(c) > 0
+"""
+
+
+def q_palindrome_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse-complement palindromic sites (restriction-site finder,
+    the EcoRI/BamHI shape): 6-char windows equal to their own
+    reverse complement, found as a codegen projection —
+    translate+reverse on the window, no UDF (functions/seqfns.py F1
+    machinery; reference sequence.py reverse-complement slices)."""
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id"),
+        F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq"),
+    ).filter(F.length("seq") >= 6)
+    win = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("seq") - 5)).alias("p"),
+        F.col("seq"),
+    ).select(
+        "doc_id",
+        F.col("p").cast("long").alias("pos"),
+        F.substring("seq", F.col("p"), 6).alias("site"),
+    )
+    rc = F.reverse(F.translate(F.col("site"), "acgt", "tgca"))
+    return win.filter(F.col("site") == rc).select(
+        "doc_id", (F.col("pos") - 1).alias("pos0"), "site"
+    )
+
+
+Q_PALINDROME_SQL = """
+WITH s AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+  FROM documents
+), win AS (
+  SELECT doc_id, CAST(unnest(range(1, length(seq) - 4)) AS BIGINT) AS pos, seq
+  FROM s WHERE length(seq) >= 6
+), sites AS (
+  SELECT doc_id, pos, substr(seq, CAST(pos AS INT), 6) AS site FROM win
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos - 1 AS BIGINT) AS pos0, site
+FROM sites
+WHERE site = reverse(translate(site, 'acgt', 'tgca'))
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kmer_spectrum": q_kmer_spectrum,
+    "gc_skew": q_gc_skew,
+    "palindrome_sites": q_palindrome_sites,
     "part_affinity": q_part_affinity,
     "conversion_lag": q_conversion_lag,
     "rolling_wau": q_rolling_wau,
@@ -7242,6 +7382,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "kmer_spectrum": Q_KMER_SPECTRUM_SQL,
+    "gc_skew": Q_GC_SKEW_SQL,
+    "palindrome_sites": Q_PALINDROME_SQL,
     "part_affinity": Q_PART_AFFINITY_SQL,
     "conversion_lag": Q_CONVERSION_LAG_SQL,
     "rolling_wau": Q_ROLLING_WAU_SQL,
