@@ -7224,7 +7224,92 @@ WHERE site = reverse(translate(site, 'acgt', 'tgca'))
 """
 
 
+def q_codon_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-0 codon usage table over the acgt corpus (the
+    codon-bias profile behind expression optimization): non-overlapping
+    3-mers via a stride-3 sequence explode, one hash aggregate, usage
+    share as exact (count, total) integers."""
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq")
+    ).filter(F.length("seq") >= 3)
+    codons = docs.select(
+        F.explode(
+            F.sequence(F.lit(1), F.length("seq") - 2, F.lit(3))
+        ).alias("p"),
+        F.col("seq"),
+    ).select(F.substring("seq", F.col("p"), 3).alias("codon"))
+    counts = codons.groupBy("codon").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "codon", "n", F.col("t").cast("long").alias("total")
+    )
+
+
+Q_CODON_USAGE_SQL = """
+WITH s AS (
+  SELECT regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+  FROM documents
+), codons AS (
+  SELECT substr(seq, CAST(p AS INT), 3) AS codon
+  FROM (
+    SELECT seq, unnest(range(1, length(seq) - 1, 3)) AS p
+    FROM s WHERE length(seq) >= 3
+  )
+), counts AS (
+  SELECT codon, CAST(count(*) AS BIGINT) AS n FROM codons GROUP BY codon
+)
+SELECT codon, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM counts
+"""
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per event type: each value holds
+    from its event until the type's next event (lead over the
+    per-type stream); TWAP = Σ value·duration / Σ duration as an
+    EXACT integer (cents × seconds) pair. Per-type window (bounded
+    partitions), one aggregate."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seg = ev.select(
+        "event_type",
+        cents(F.col("value")).alias("c"),
+        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("tsec"),
+        F.lead(F.expr("CAST(ts DIV 1000000000 AS BIGINT)")).over(w).alias("nsec"),
+    ).filter(F.col("nsec").isNotNull())
+    dur = F.col("nsec") - F.col("tsec")
+    return seg.groupBy("event_type").agg(
+        F.sum(F.col("c") * dur).cast("long").alias("twap_num"),
+        F.sum(dur).cast("long").alias("twap_den"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+    )
+
+
+Q_TWAP_SQL = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         epoch_ns(ts) // 1000000000 AS tsec
+  FROM events
+), seg AS (
+  SELECT event_type, c, tsec,
+    lead(tsec) OVER (PARTITION BY event_type
+                     ORDER BY tsec, event_id) AS nsec
+  FROM e
+)
+SELECT event_type,
+       CAST(sum(c * (nsec - tsec)) AS BIGINT) AS twap_num,
+       CAST(sum(nsec - tsec) AS BIGINT) AS twap_den,
+       CAST(count(*) AS BIGINT) AS n_segments
+FROM seg WHERE nsec IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "codon_usage": q_codon_usage,
+    "twap": q_twap,
     "kmer_spectrum": q_kmer_spectrum,
     "gc_skew": q_gc_skew,
     "palindrome_sites": q_palindrome_sites,
@@ -7382,6 +7467,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "codon_usage": Q_CODON_USAGE_SQL,
+    "twap": Q_TWAP_SQL,
     "kmer_spectrum": Q_KMER_SPECTRUM_SQL,
     "gc_skew": Q_GC_SKEW_SQL,
     "palindrome_sites": Q_PALINDROME_SQL,
