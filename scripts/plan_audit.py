@@ -41,6 +41,9 @@ EXEMPT: dict[str, dict[str, str]] = {
     "above_avg_orders": {
         "bnlj": "cross with the 1-row global-average aggregate"
     },
+    "codon_usage": {
+        "bnlj": "cross with the 1-row grand-total aggregate"
+    },
     "kmeans_clusters": {
         "bnlj": "cross with the 1-row broadcast centroid-array state "
                 "of the lazy Lloyd chain (k centroids in one row)"
