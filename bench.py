@@ -122,17 +122,54 @@ def main() -> None:
             dt = run_query(spark, name, sf_dir)
             times[name] = round(min(times.get(name, dt), dt), 4)
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # Paired same-session DuckDB oracle pass: the Spark-vs-DuckDB
+    # ratio is only meaningful when both sides share one load window
+    # (this machine shows 10x interference bursts; measuring the two
+    # sides hours apart made round-4's ratio an artifact of WHEN each
+    # ran). One pass, sequential after the Spark passes.
+    oracle_total = _oracle_pass(sf_dir)
+    out = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if oracle_total is not None:
+        out["oracle_total"] = round(oracle_total, 4)
+        out["ratio"] = round(total / oracle_total, 4)
+    print(json.dumps(out))
+
+
+def _oracle_pass(sf_dir: str) -> float | None:
+    """Single-pass DuckDB timing of every HEADLINE oracle on the same
+    parquet, in-process — the denominator of the judge's same-machine
+    ratio. Returns None if DuckDB is unavailable."""
+    try:
+        import duckdb
+    except ImportError:
+        return None
+    from pygr_spark.queries import ORACLES
+
+    con = duckdb.connect()
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    total = 0.0
+    for name in HEADLINE:
+        if name not in ORACLES:
+            continue
+        t0 = time.perf_counter()
+        con.execute(ORACLES[name]).fetchall()
+        total += time.perf_counter() - t0
+    return total
 
 
 if __name__ == "__main__":

@@ -146,10 +146,18 @@ def kmeans_spherical(
     aggregate emits no row for them); ids of surviving centroids keep
     their initial index, matching the SQL oracle's GROUP BY."""
     spark = corpus.sparkSession
+    # Eager localCheckpoint (not persist): the quantized projection is
+    # referenced by the init job, every Lloyd round, AND the final
+    # assignment that runs inside the CALLER's first action — a
+    # persist unpersisted before return would leave all of those
+    # recomputing the projection (round-4 did exactly that). The
+    # checkpoint materializes once here and the block-manager copy
+    # serves every later reference; ContextCleaner reclaims it when
+    # the plan is garbage-collected.
     v = (
         corpus.select(F.col(id_col), quantized(F.col(vec_col)).alias("qv"))
         .withColumn("qn", sqnorm(F.col("qv")))
-        .persist()  # referenced by init + every lazy Lloyd reference
+        .localCheckpoint(eager=True)
     )
     init = (
         v.withColumn("_h", md5_hash60(F.col(id_col).cast("string")))
@@ -216,13 +224,9 @@ def kmeans_spherical(
             )
             .agg(F.sort_array(F.collect_list("_c")).alias("_cents"))
         )
-    out = _with_assignment(
+    return _with_assignment(
         v.crossJoin(F.broadcast(cents_df)), F.col("_cents"), v.columns
     )
-    # the cache only serves the (already-run) init job; unpersist
-    # non-blocking so nothing lingers to be GC-collected mid-bench
-    v.unpersist(blocking=False)
-    return out
 
 
 def semdedup(

@@ -621,8 +621,11 @@ def seed_extend_join(
     """BLAST-style seed-AND-EXTEND homology join — completes the
     seed step of ``kmer_seed_join`` with the ungapped extension the
     reference gets from shelling out to blastall (blast.py:158-351):
-    every shared k-mer seed is extended left and right, scoring
-    ``match``/``mismatch`` per aligned character, and the extension
+    shared k-mer seeds are grouped by alignment diagonal
+    (``pos_a - pos_b``) and each diagonal's FIRST seed is extended
+    left and right (BLAST's two-hit heuristic — later seeds on the
+    same diagonal cover the same character columns), scoring
+    ``match``/``mismatch`` per aligned character; the extension
     keeps the best-scoring prefix (X-drop with an infinite X — the
     max prefix sum), capped at ``window`` characters per direction.
 
@@ -630,15 +633,19 @@ def seed_extend_join(
     >= ``min_seeds`` distinct k-mers after the ubiquity mask
     (``max_kmer_docs`` — BLAST's low-complexity filter, the skew
     guard that keeps one stop-word k-mer from going quadratic);
-    ``best_score`` is the max over that pair's seeds of
+    ``best_score`` is the max over that pair's DIAGONALS of
     ``k*match + left_ext + right_ext``.
 
     Scale shape: the seed join is the same bucketed equi-join as
     ``kmer_seed_join``; extension is a per-row O(window) fold over
-    substrings — whole-stage-codegen expressions, no UDF, no second
-    shuffle. Seeds use each k-mer's FIRST occurrence per document
-    (deterministic; min position), so a pair contributes one
-    extension per shared k-mer.
+    substrings — whole-stage-codegen expressions, no UDF. Seeds use
+    each k-mer's FIRST occurrence per document (deterministic; min
+    position); the diagonal groupBy then reduces a pair's seeds to
+    one extension per diagonal (near-identical documents share
+    almost every seed on ONE diagonal, so this cuts extension volume
+    by ~the seed count while changing best_score only where a later
+    same-diagonal seed would out-extend the first — outside the
+    first seed's window cap).
     """
     base = docs.filter(F.length(text) >= k)
     # explode(sequence) + substr stays inside whole-stage codegen; the
@@ -672,30 +679,40 @@ def seed_extend_join(
         F.col("_id").alias("_id_b"), "_km", F.col("_pos").alias("_pos_b")
     )
     pairs = km.join(b, "_km").filter(F.col("_id") < F.col("_id_b"))
-    # pre-apply the min_seeds gate BEFORE texts are attached and
-    # extensions scored: seed counting needs only the slim pair rows,
-    # and pairs below the gate (a third of rows here, usually far
-    # more at low-duplication scale) never pay the extension
-    pairs = pairs.withColumn(
-        "_nseed",
-        F.count(F.lit(1)).over(
-            Window.partitionBy("_id", "_id_b")
-        ),
-    ).filter(F.col("_nseed") >= min_seeds).drop("_nseed")
+    # Diagonal reduction (BLAST's two-hit shape): seeds on the same
+    # alignment diagonal (_pos - _pos_b) extend over the same
+    # character columns, so only each diagonal's FIRST seed (min
+    # _pos — unique: distinct k-mers have distinct first positions)
+    # is extended. n_seeds still counts EVERY shared k-mer. The
+    # partial-aggregating groupBy also shrinks the rows the
+    # min_seeds window and the texts join see — the gate applies
+    # BEFORE texts are attached, so sub-gate pairs never pay the
+    # extension.
+    diag = (
+        pairs.groupBy(
+            "_id", "_id_b", (F.col("_pos") - F.col("_pos_b")).alias("_diag")
+        )
+        .agg(F.count(F.lit(1)).alias("_dn"), F.min("_pos").alias("_pos"))
+        .withColumn("_pos_b", F.col("_pos") - F.col("_diag"))
+        .withColumn(
+            "_nseed", F.sum("_dn").over(Window.partitionBy("_id", "_id_b"))
+        )
+        .filter(F.col("_nseed") >= min_seeds)
+    )
     slim = docs.select(
         F.col(id_col).alias("_tid"),
         F.col(text).alias("_t"),
         F.length(text).alias("_tl"),
     )
     px = (
-        pairs.join(slim, pairs["_id"] == slim["_tid"])
+        diag.join(slim, diag["_id"] == slim["_tid"])
         .select(
-            "_id", "_id_b", "_km", "_pos", "_pos_b",
+            "_id", "_id_b", "_pos", "_pos_b", "_nseed",
             F.col("_t").alias("_ta"), F.col("_tl").alias("_la"),
         )
         .join(slim, F.col("_id_b") == slim["_tid"])
         .select(
-            "_id", "_id_b", "_km", "_pos", "_pos_b", "_ta", "_la",
+            "_id", "_id_b", "_pos", "_pos_b", "_nseed", "_ta", "_la",
             F.col("_t").alias("_tb"), F.col("_tl").alias("_lb"),
         )
     )
@@ -732,6 +749,7 @@ def seed_extend_join(
     scored = px.select(
         "_id",
         "_id_b",
+        "_nseed",
         (
             F.lit(k * match) + _best_prefix(arr_r) + _best_prefix(arr_l)
         ).alias("_total"),
@@ -739,10 +757,9 @@ def seed_extend_join(
     return (
         scored.groupBy("_id", "_id_b")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_seeds"),
+            F.max("_nseed").cast("long").alias("n_seeds"),
             F.max("_total").cast("long").alias("best_score"),
         )
-        .filter(F.col("n_seeds") >= min_seeds)
         .select(
             F.col("_id").alias("id_a"), F.col("_id_b").alias("id_b"),
             "n_seeds", "best_score",

@@ -5550,23 +5550,28 @@ WITH km0 AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.m,
          a.p AS pa, b.p AS pb
   FROM kept a JOIN kept b ON a.m = b.m AND a.doc_id < b.doc_id
-), flt AS (
-  SELECT id_a, id_b FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3
+), diag AS (
+  SELECT id_a, id_b, pa - pb AS dg, count(*) AS dn, MIN(pa) AS pa
+  FROM pairs GROUP BY 1, 2, 3
+), drep AS (
+  SELECT id_a, id_b, pa, pa - dg AS pb,
+         SUM(dn) OVER (PARTITION BY id_a, id_b) AS nseed
+  FROM diag
 ), px AS (
-  SELECT p.id_a, p.id_b, p.pa, p.pb,
+  SELECT p.id_a, p.id_b, p.pa, p.pb, p.nseed,
          da.text AS ta, db.text AS tb,
          length(da.text) AS la, length(db.text) AS lb
-  FROM pairs p
-  JOIN flt USING (id_a, id_b)
+  FROM drep p
   JOIN documents da ON da.doc_id = p.id_a
   JOIN documents db ON db.doc_id = p.id_b
+  WHERE p.nseed >= 3
 ), dims AS (
-  SELECT id_a, id_b, pa, pb, ta, tb,
+  SELECT id_a, id_b, pa, pb, nseed, ta, tb,
     least(la - (pa + 20) + 1, lb - (pb + 20) + 1, 40) AS lr,
     least(pa - 1, pb - 1, 40) AS ll
   FROM px
 ), arrs AS (
-  SELECT id_a, id_b,
+  SELECT id_a, id_b, nseed,
     list_transform(range(0, greatest(lr, 0)), i ->
       CASE WHEN substr(ta, pa + 20 + i, 1) = substr(tb, pb + 20 + i, 1)
            THEN 1 ELSE -2 END) AS sr,
@@ -5575,7 +5580,7 @@ WITH km0 AS (
            THEN 1 ELSE -2 END) AS sl
   FROM dims
 ), scored AS (
-  SELECT id_a, id_b,
+  SELECT id_a, id_b, nseed,
     20
     + greatest(0, coalesce(list_max(list_transform(
         range(1, len(sr) + 1), j -> list_sum(list_slice(sr, 1, j)))), 0))
@@ -5584,7 +5589,7 @@ WITH km0 AS (
       AS total
   FROM arrs
 )
-SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_seeds,
+SELECT id_a, id_b, CAST(max(nseed) AS BIGINT) AS n_seeds,
        CAST(max(total) AS BIGINT) AS best_score
 FROM scored GROUP BY 1, 2
 """
@@ -6859,12 +6864,14 @@ FROM deg LEFT JOIN corner ON corner.node = deg.a
 
 
 def q_supplier_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nested-result shape: each supplier's top-3 parts by shipped
-    quantity as an ORDERED array column (rank window per supplier →
-    sort_array of (rank, part) structs → projected part list). The
-    gate hash-compares Spark arrays against DuckDB lists element-wise,
-    so ordering inside the array must be deterministic — rank then
-    part id."""
+    """Top-3 parts per supplier by shipped quantity, as exploded
+    scalar rows (l_suppkey, rnk, l_partkey, best_qty_c) — one row per
+    (supplier, rank). The driver's canonicalizer sorts/hashes scalar
+    cells only, so the result schema must stay flat (no array/struct
+    columns; round-4 shipped an array<long> here and the gate errored
+    on it). best_qty_c repeats the supplier's best quantity on every
+    row so the per-supplier aggregate stays visible after the
+    explode."""
     li = _t(spark, sf_dir, "lineitem")
     qty = li.groupBy("l_suppkey", "l_partkey").agg(
         F.sum(cents(F.col("l_quantity"))).alias("q")
@@ -6872,21 +6879,13 @@ def q_supplier_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_suppkey").orderBy(
         F.col("q").desc(), F.col("l_partkey")
     )
+    wmax = Window.partitionBy("l_suppkey")
     top = qty.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 3)
-    return (
-        top.groupBy("l_suppkey")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("_rn", "l_partkey"))),
-                lambda s: s["l_partkey"].cast("long"),
-            ).alias("top_parts"),
-            F.max("q").cast("long").alias("best_qty_c"),
-        )
-        .select(
-            F.col("l_suppkey").cast("long").alias("l_suppkey"),
-            "top_parts",
-            "best_qty_c",
-        )
+    return top.select(
+        F.col("l_suppkey").cast("long").alias("l_suppkey"),
+        F.col("_rn").cast("long").alias("rnk"),
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+        F.max("q").over(wmax).cast("long").alias("best_qty_c"),
     )
 
 
@@ -6902,10 +6901,10 @@ WITH qty AS (
   FROM qty
 )
 SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
-       list(CAST(l_partkey AS BIGINT) ORDER BY rn) AS top_parts,
-       CAST(max(q) AS BIGINT) AS best_qty_c
+       CAST(rn AS BIGINT) AS rnk,
+       CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(max(q) OVER (PARTITION BY l_suppkey) AS BIGINT) AS best_qty_c
 FROM ranked WHERE rn <= 3
-GROUP BY l_suppkey
 """
 
 
@@ -7271,12 +7270,18 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT integer (cents × seconds) pair. Per-type window (bounded
     partitions), one aggregate."""
     ev = read_events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # Order by the TRUNCATED second (not the ns-resolution ts) so the
+    # lead sequence matches the oracle's ORDER BY (tsec, event_id)
+    # exactly even when several events share a second with distinct
+    # ns parts — event_id happening to be monotone with ns ts in one
+    # dataset is not a contract.
+    tsec = F.expr("CAST(ts DIV 1000000000 AS BIGINT)")
+    w = Window.partitionBy("event_type").orderBy(tsec, "event_id")
     seg = ev.select(
         "event_type",
         cents(F.col("value")).alias("c"),
-        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("tsec"),
-        F.lead(F.expr("CAST(ts DIV 1000000000 AS BIGINT)")).over(w).alias("nsec"),
+        tsec.alias("tsec"),
+        F.lead(tsec).over(w).alias("nsec"),
     ).filter(F.col("nsec").isNotNull())
     dur = F.col("nsec") - F.col("tsec")
     return seg.groupBy("event_type").agg(

@@ -79,11 +79,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would stream zero rows.
     d = tempfile.mkdtemp(prefix="pygr_spark_stream_")
     if os.path.isdir(src):
-        for i, f in enumerate(sorted(os.listdir(src))):
-            if f.endswith(".parquet"):
-                os.symlink(
-                    os.path.join(src, f), os.path.join(d, f"part{i}.parquet")
-                )
+        # Mirror the directory tree (not just the top level): a
+        # Hive-partitioned table keeps part-files under nested
+        # key=value dirs, and the file source's partition discovery
+        # needs that structure preserved — flattening the links
+        # would stream rows with the partition columns missing,
+        # while linking the dir itself would stream zero rows.
+        for root, _dirs, files in os.walk(src, followlinks=True):
+            rel = os.path.relpath(root, src)
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                tgt_dir = d if rel == "." else os.path.join(d, rel)
+                os.makedirs(tgt_dir, exist_ok=True)
+                os.symlink(os.path.join(root, f), os.path.join(tgt_dir, f))
     else:
         os.symlink(src, os.path.join(d, "events.parquet"))
     stream = normalize_event_ts(spark.readStream.schema(batch.schema).parquet(d))

@@ -47,6 +47,7 @@ def digest(df) -> tuple[int, int]:
 
 def main() -> int:
     from pyspark.sql import SparkSession
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -85,7 +86,26 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = qs[name](spark, SF_DIR).toPandas()
+            spark_plan = qs[name](spark, SF_DIR)
+            # The driver's canonicalizer (pandas sort_values over all
+            # columns) cannot factorize list/struct/map cells — a
+            # complex-typed output column errors the real gate even
+            # though this sweep's stringified digest would tolerate
+            # it (that exact gap hid the round-4 supplier_top_parts
+            # failure). Reject it here so local green ⇒ driver green.
+            complex_cols = [
+                f.name
+                for f in spark_plan.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if complex_cols:
+                print(
+                    f"{name}: COMPLEX-TYPE OUTPUT {complex_cols} — "
+                    "driver canon would error; flatten/explode/to_json"
+                )
+                bad.append(name)
+                continue
+            sdf = spark_plan.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
             bad.append(name)

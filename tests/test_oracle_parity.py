@@ -32,6 +32,15 @@ def _norm_cell(v):
         if math.isnan(v):
             return None
         return round(v, 9)
+    # DuckDB returns LIST columns as numpy arrays and Spark/Arrow as
+    # Python lists; both are unhashable / ambiguous under tuple
+    # compare. Canonicalize recursively so a complex-typed entry
+    # fails with a clean value assert, not a ValueError — though the
+    # catalog-wide schema lint below should catch it first.
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
     return v
 
 
@@ -42,6 +51,28 @@ def _norm(df_pandas):
         for row in df_pandas[cols].itertuples(index=False, name=None)
     ]
     return cols, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_output_schema_is_flat(spark, sf_dir, name):
+    """The driver's canonicalizer (pandas sort_values over all
+    columns) cannot factorize array/map/struct cells — any
+    complex-typed output column errors the real correctness gate
+    (round-4 `supplier_top_parts` shipped red this way). Every
+    catalog entry must emit scalar columns only: explode, to_json,
+    or concat_ws the nested shape instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = QUERIES[name](spark, sf_dir).schema
+    complex_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: complex-typed output columns {complex_cols} would "
+        "error the driver's canonicalizer — flatten them"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

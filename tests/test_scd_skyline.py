@@ -145,10 +145,11 @@ def test_seed_extend_left_extension_counts(spark):
 
 
 def test_seed_extend_window_caps_extension(spark):
-    # identical 50-char texts: a seed at position p has p-1 matching
-    # chars left and 31-p right. Uncapped (window=40) the best seed
-    # scores 20 + (p-1) + (31-p) = 50; capped at 5/direction it is
-    # 20 + 5 + 5 = 30. Distinct k-mers: positions 1..20 (sliding off
+    # identical 50-char texts: every shared k-mer sits on diagonal 0,
+    # whose representative (first seed) is pos 1 — diagonal reduction
+    # extends ONLY that seed. Uncapped (window=40) it scores
+    # 20 + 0 left + 30 right = 50; capped at 5/direction it is
+    # 20 + 0 + 5 = 25. Distinct k-mers: positions 1..20 (sliding off
     # the seed) plus the all-M 20-mer (first occurrence pos 21) = 21.
     text = "ABCDEFGHIJKLMNOPQRST" + "M" * 30
     df = spark.createDataFrame(
@@ -158,7 +159,7 @@ def test_seed_extend_window_caps_extension(spark):
         df, k=20, min_seeds=1, max_kmer_docs=None, window=5
     ).collect()[0]
     assert capped.n_seeds == 21
-    assert capped.best_score == 30
+    assert capped.best_score == 25
     full = seed_extend_join(
         df, k=20, min_seeds=1, max_kmer_docs=None, window=40
     ).collect()[0]

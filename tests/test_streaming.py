@@ -141,6 +141,30 @@ def test_stream_source_handles_directory_parquet(spark, sf_dir, tmp_path):
     assert out.agg({"count": "sum"}).first()[0] == 200
 
 
+def test_stream_source_handles_hive_partitioned_parquet(spark, sf_dir, tmp_path):
+    """Hive-partitioned event tables nest part-files under key=value
+    dirs; the symlink shim must mirror the tree (round-4's flat link
+    loop streamed zero rows here) and the file source's partition
+    discovery must rehydrate the partition column from the dir names."""
+    import os
+
+    from pygr_spark.streaming.events import read_events_stream, run_stream_to_table
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = str(tmp_path / "evdir")
+    src.limit(200).write.partitionBy("event_type").parquet(d)
+    os.rename(d, str(tmp_path / "events.parquet"))
+    stream = read_events_stream(spark, str(tmp_path))
+    out = run_stream_to_table(stream.groupBy("event_type").count(), spark)
+    rows = out.collect()
+    assert sum(r["count"] for r in rows) == 200
+    # partition column restored from the dir names, not null
+    batch_types = {
+        r.event_type for r in src.limit(200).select("event_type").collect()
+    }
+    assert {r.event_type for r in rows} == batch_types
+
+
 def test_checkpoint_resume_exactly_once(spark, tmp_path):
     """Kill-and-resume semantics: two availableNow runs sharing one
     checkpoint over a growing file source must process every file
