@@ -7312,7 +7312,546 @@ GROUP BY event_type
 """
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label prediction over the embeddings table: every 20th
+    vector is a held-out query; its label is predicted by majority
+    vote of its 5 exact-cosine nearest neighbours among the REST
+    (ties → smaller label — deterministic). The scoring path is the
+    Arrow-batched matmul (`cosine_topk_vectorized`, the documented
+    small-query-by-contract broadcast); the vote is a hash agg + one
+    keyed rank window. Reference parity: classification-by-homology is
+    how pygr users label unknown sequences from BLAST neighbours
+    (reference blast.py + apps/leelab docs)."""
+    from pygr_spark.operators.similarity import cosine_topk_vectorized
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    nn = cosine_topk_vectorized(corpus, queries, k=5)
+    labeled = nn.join(
+        emb.select("vec_id", F.col("label").cast("long").alias("nb_label")),
+        "vec_id",
+    )
+    votes = labeled.groupBy("query_id", "nb_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nb_label")
+    )
+    pred = votes.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    truth = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    return pred.join(truth, "query_id").select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("nb_label").cast("long").alias("pred_label"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+        "true_label",
+    )
+
+
+Q_KNN_CLASSIFY_SQL = """
+WITH v AS (
+  SELECT vec_id, label,
+    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS q
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, q,
+    list_reduce(list_transform(range(1, len(q)+1), i -> q[i]*q[i]), (x,y) -> x+y) AS nn
+  FROM v
+), qs AS (SELECT vec_id AS query_id, q AS qq, nn AS qn, label AS true_label
+          FROM n WHERE vec_id % 20 = 0),
+cand AS (SELECT * FROM n WHERE vec_id % 20 != 0),
+scored AS (
+  SELECT qs.query_id, cand.vec_id, cand.label AS nb_label,
+    list_reduce(list_transform(range(1, len(cand.q)+1), i -> cand.q[i]*qs.qq[i]), (x,y) -> x+y)
+      / (sqrt(CAST(cand.nn AS DOUBLE)) * sqrt(CAST(qs.qn AS DOUBLE))) AS sim
+  FROM cand CROSS JOIN qs
+), ranked AS (
+  SELECT query_id, vec_id, nb_label,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM scored
+), votes AS (
+  SELECT query_id, nb_label, count(*) AS n_votes
+  FROM ranked WHERE rnk <= 5 GROUP BY 1, 2
+), best AS (
+  SELECT query_id, nb_label, n_votes,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY n_votes DESC, nb_label) AS vr
+  FROM votes
+)
+SELECT CAST(b.query_id AS BIGINT) AS query_id,
+       CAST(b.nb_label AS BIGINT) AS pred_label,
+       CAST(b.n_votes AS BIGINT) AS n_votes,
+       CAST(qs.true_label AS BIGINT) AS true_label
+FROM best b JOIN qs ON qs.query_id = b.query_id
+WHERE b.vr = 1
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per event_type median + MAD (median
+    absolute deviation) over exact cents, flagging rows with
+    |c − med| > 3·MAD. Two grouped medians (each a per-type exact
+    percentile agg) + broadcast joins of the tiny per-type stats back
+    onto the stream — no row explosion, one shuffle per agg. Both
+    engines interpolate even-count medians as the mean of the two
+    middles, which is exact in binary for integer cents (…,0 or ,5).
+    At 100 TB the exact grouped median becomes approx_percentile —
+    documented scale swap, same plan shape."""
+    ev = read_events(spark, sf_dir)
+    c = ev.select(
+        "event_id", "event_type", cents(F.col("value")).alias("c")
+    )
+    med = c.groupBy("event_type").agg(F.median("c").alias("med"))
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "_adev", F.abs(F.col("c") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("_adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("_adev") > 3 * F.col("mad"))
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+            F.col("c").cast("long").alias("c"),
+            "med",
+            "mad",
+        )
+    )
+
+
+Q_MAD_OUTLIERS_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), med AS (
+  SELECT event_type, median(c) AS med FROM c GROUP BY 1
+), dev AS (
+  SELECT c.event_id, c.event_type, c.c, med.med,
+         abs(c.c - med.med) AS adev
+  FROM c JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+)
+SELECT CAST(dev.event_id AS BIGINT) AS event_id, dev.event_type,
+       CAST(dev.c AS BIGINT) AS c, dev.med, mad.mad
+FROM dev JOIN mad USING (event_type)
+WHERE dev.adev > 3 * mad.mad
+"""
+
+
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram per event_type: ntile(10) over
+    the deterministic total order (cents, event_id), then per-bucket
+    count/lo/hi — the optimizer-statistics histogram shape (and the
+    quantile-bucketing step of corpus quality binning). One sort per
+    type partition, one hash agg."""
+    ev = read_events(spark, sf_dir)
+    c = ev.select("event_type", "event_id", cents(F.col("value")).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    return (
+        c.withColumn("tile", F.ntile(10).over(w))
+        .groupBy("event_type", "tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("c").cast("long").alias("lo_c"),
+            F.max("c").cast("long").alias("hi_c"),
+        )
+        .select(
+            "event_type", F.col("tile").cast("long").alias("tile"),
+            "n_rows", "lo_c", "hi_c",
+        )
+    )
+
+
+Q_EQUIDEPTH_HIST_SQL = """
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), t AS (
+  SELECT event_type, c,
+    ntile(10) OVER (PARTITION BY event_type ORDER BY c, event_id) AS tile
+  FROM c
+)
+SELECT event_type, CAST(tile AS BIGINT) AS tile,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(c) AS BIGINT) AS lo_c,
+       CAST(max(c) AS BIGINT) AS hi_c
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats, round 6) —
+    the Gopher-style randomness/quality signal that separates natural
+    text from binary junk and repeated padding. Identity
+    H = ln(n) − (Σ cᵢ·ln cᵢ)/n lets everything reduce over exact
+    integer counts, with ln applied only at the final per-doc step
+    (one float op per doc per char-class, not per char). Char fan-out
+    is the codegen explode(sequence)+substr shape; the (doc, char)
+    hash agg partial-combines map-side before any shuffle."""
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.length("text") >= 1
+    )
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("_i"),
+        F.col("text"),
+    ).select(
+        "doc_id", F.col("text").substr(F.col("_i"), F.lit(1)).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("_n"),
+            F.sum(F.col("cnt") * F.log(F.col("cnt").cast("double"))).alias(
+                "_clogc"
+            ),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("_n").cast("long").alias("n_chars_counted"),
+            F.round(
+                F.log(F.col("_n").cast("double"))
+                - F.col("_clogc") / F.col("_n"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
+Q_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+  FROM documents, unnest(range(1, length(text) + 1)) t(i)
+  WHERE length(text) >= 1
+), counts AS (
+  SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_chars_counted,
+       round(ln(CAST(sum(cnt) AS DOUBLE))
+             - sum(cnt * ln(CAST(cnt AS DOUBLE))) / sum(cnt), 6) AS entropy
+FROM counts GROUP BY doc_id
+"""
+
+
+def q_orf_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest complete open reading frame (ATG…stop, frame 0) per
+    acgt-derived sequence — the reference's annotation use case
+    (translation ranges over genomic sequence, sqlgraph.py seqdb
+    annotations). Gaps-and-islands over codon rows: a running count
+    of stop codons BEFORE each codon assigns its island; each island
+    that contains both an atg and its terminating stop yields a
+    candidate, the per-doc winner being the longest (tie → leftmost).
+    All windows are keyed by doc_id — no unpartitioned sort, no UDF."""
+    docs = (
+        _spread(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq"),
+        )
+        .filter(F.length("seq") >= 6)
+    )
+    codons = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.length("seq") / 3).cast("int") - 1)
+        ).alias("idx"),
+        F.col("seq"),
+    ).select(
+        "doc_id",
+        F.col("idx").cast("long").alias("idx"),
+        F.substring(
+            "seq", (F.col("idx") * 3 + 1).cast("int"), 3
+        ).alias("codon"),
+    )
+    codons = codons.withColumn(
+        "_stop", F.col("codon").isin("taa", "tag", "tga").cast("int")
+    ).withColumn("_start", (F.col("codon") == "atg").cast("int"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = codons.withColumn(
+        "grp", F.coalesce(F.sum("_stop").over(w), F.lit(0))
+    )
+    islands = grp.groupBy("doc_id", "grp").agg(
+        F.min(F.when(F.col("_start") == 1, F.col("idx"))).alias("atg_idx"),
+        F.max(F.when(F.col("_stop") == 1, F.col("idx"))).alias("stop_idx"),
+    ).filter(
+        F.col("atg_idx").isNotNull()
+        & F.col("stop_idx").isNotNull()
+        & (F.col("atg_idx") < F.col("stop_idx"))
+    )
+    cand = islands.select(
+        "doc_id",
+        (F.col("atg_idx") * 3 + 1).cast("long").alias("orf_start"),
+        (F.col("stop_idx") - F.col("atg_idx") + 1)
+        .cast("long")
+        .alias("orf_codons"),
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.col("orf_codons").desc(), F.col("orf_start")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "orf_start", "orf_codons")
+    )
+
+
+Q_ORF_FINDER_SQL = """
+WITH s AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+  FROM documents
+), sl AS (
+  SELECT doc_id, seq FROM s WHERE length(seq) >= 6
+), codons AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+         substr(seq, CAST(i * 3 + 1 AS INT), 3) AS codon
+  FROM sl, unnest(range(0, length(seq) // 3)) t(i)
+), flags AS (
+  SELECT doc_id, idx,
+    CASE WHEN codon IN ('taa','tag','tga') THEN 1 ELSE 0 END AS is_stop,
+    CASE WHEN codon = 'atg' THEN 1 ELSE 0 END AS is_start
+  FROM codons
+), grp AS (
+  SELECT doc_id, idx, is_stop, is_start,
+    coalesce(SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g
+  FROM flags
+), islands AS (
+  SELECT doc_id, g,
+    MIN(CASE WHEN is_start = 1 THEN idx END) AS atg_idx,
+    MAX(CASE WHEN is_stop = 1 THEN idx END) AS stop_idx
+  FROM grp GROUP BY 1, 2
+), cand AS (
+  SELECT doc_id,
+    CAST(atg_idx * 3 + 1 AS BIGINT) AS orf_start,
+    CAST(stop_idx - atg_idx + 1 AS BIGINT) AS orf_codons
+  FROM islands
+  WHERE atg_idx IS NOT NULL AND stop_idx IS NOT NULL AND atg_idx < stop_idx
+), best AS (
+  SELECT doc_id, orf_start, orf_codons,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY orf_codons DESC, orf_start) AS rn
+  FROM cand
+)
+SELECT doc_id, orf_start, orf_codons FROM best WHERE rn = 1
+"""
+
+
+def q_restriction_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-silico restriction digest: cut every acgt-derived sequence
+    at each occurrence of the site 'ga' and histogram the fragment
+    lengths corpus-wide (the classic gel-electrophoresis profile; the
+    reference's seqdb slicing + len() use case). split+explode stays
+    in codegen; the (frag_len) hash agg partial-combines map-side, so
+    the only shuffle carries one row per distinct length."""
+    docs = (
+        _spread(_t(spark, sf_dir, "documents"))
+        .select(
+            F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq")
+        )
+        .filter(F.length("seq") >= 1)
+    )
+    frags = docs.select(
+        F.explode(F.split("seq", "ga", -1)).alias("frag")
+    )
+    return (
+        frags.groupBy(F.length("frag").cast("long").alias("frag_len"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frags"))
+    )
+
+
+Q_RESTRICTION_DIGEST_SQL = """
+WITH s AS (
+  SELECT regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+  FROM documents
+), frags AS (
+  SELECT unnest(string_split(seq, 'ga')) AS frag
+  FROM s WHERE length(seq) >= 1
+)
+SELECT CAST(length(frag) AS BIGINT) AS frag_len,
+       CAST(count(*) AS BIGINT) AS n_frags
+FROM frags GROUP BY 1
+"""
+
+
+def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step over the corpus at character level: count
+    all adjacent symbol pairs, pick the most frequent (tie →
+    lexicographic), merge it into a single symbol, and re-count — the
+    exact inner loop of byte-pair-encoding tokenizer training
+    (Sennrich et al. 2016). Output: top-10 pairs of each round.
+    The argmax pair is a 1-row driver collect (small-by-contract, the
+    same shape as the k-means centroid init); the pair fan-out is the
+    codegen explode(sequence)+substr path with map-side combine, and
+    the merge is one regexp_replace projection — no UDF anywhere."""
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("text")
+    ).filter(F.length("text") >= 2)
+
+    def pair_counts(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.sequence(F.lit(1), F.length(col) - 1)
+                ).alias("_i"),
+                F.col(col),
+            )
+            .select(F.col(col).substr(F.col("_i"), F.lit(2)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    r1 = pair_counts(docs, "text")
+    top = r1.orderBy(F.col("cnt").desc(), "pair").first()  # 1 row
+    # \Q...\E quoting keeps regexp_replace literal (the oracle uses
+    # plain replace()), whatever characters the corpus pair contains
+    merged = docs.select(
+        F.regexp_replace("text", "\\Q" + top["pair"] + "\\E", "_").alias("m")
+    ).filter(F.length("m") >= 2)
+    r2 = pair_counts(merged, "m")
+    out1 = r1.withColumn("rnd", F.lit(1))
+    out2 = r2.withColumn("rnd", F.lit(2))
+    w = Window.partitionBy("rnd").orderBy(F.col("cnt").desc(), "pair")
+    return (
+        out1.unionByName(out2)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.col("rnd").cast("long").alias("rnd"),
+            "pair",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+Q_BPE_MERGE_SQL = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 2
+), p1 AS (
+  SELECT substr(text, CAST(i AS INT), 2) AS pair
+  FROM docs, unnest(range(1, length(text))) t(i)
+), r1 AS (
+  SELECT pair, count(*) AS cnt FROM p1 GROUP BY 1
+), top1 AS (
+  SELECT pair FROM r1 ORDER BY cnt DESC, pair LIMIT 1
+), merged AS (
+  SELECT replace(docs.text, (SELECT pair FROM top1), '_') AS m
+  FROM docs
+), p2 AS (
+  SELECT substr(m, CAST(i AS INT), 2) AS pair
+  FROM merged, unnest(range(1, length(m))) t(i)
+  WHERE length(m) >= 2
+), r2 AS (
+  SELECT pair, count(*) AS cnt FROM p2 GROUP BY 1
+), unioned AS (
+  SELECT 1 AS rnd, pair, cnt FROM r1
+  UNION ALL
+  SELECT 2 AS rnd, pair, cnt FROM r2
+), ranked AS (
+  SELECT rnd, pair, cnt,
+    row_number() OVER (PARTITION BY rnd ORDER BY cnt DESC, pair) AS rnk
+  FROM unioned
+)
+SELECT CAST(rnd AS BIGINT) AS rnd, pair, CAST(cnt AS BIGINT) AS cnt,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 10
+"""
+
+
+def q_sparse_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sparse matrix multiply C = A·B: A is the doc-term
+    count matrix (split+explode), B a term-feature projection with two
+    nonzeros per term (md5-derived feature ids and small integer
+    weights, engine-portable). The product is the canonical two-stage
+    shape — join A with B on term, then hash-aggregate (doc, feature)
+    partial sums — exactly how a 100 TB featurization/embedding
+    projection runs: no collect, both shuffles keyed, map-side
+    combine on the agg. Exact integers throughout."""
+    from pygr_spark.operators.dedup import md5_hash60
+
+    docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    a = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ", -1)).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    terms = a.select("term").distinct()
+    # integer DIV, not `/`: float division of a 60-bit hash loses
+    # exactness past 2^53 and would diverge from DuckDB's `//`
+    b = terms.withColumn("_hv", md5_hash60(F.col("term"))).select(
+        "term",
+        F.expr("_hv % 16").alias("f1"),
+        F.expr("(_hv DIV 16) % 16").alias("f2"),
+        F.expr("_hv % 7 - 3").alias("w1"),
+        F.expr("(_hv DIV 7) % 7 - 3").alias("w2"),
+    )
+    b2 = b.select("term", F.col("f1").alias("feature"), F.col("w1").alias("w")).unionByName(
+        b.select("term", F.col("f2").alias("feature"), F.col("w2").alias("w"))
+    )
+    return (
+        a.join(b2, "term")
+        .groupBy("doc_id", "feature")
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("score"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("feature").cast("long").alias("feature"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
+
+
+Q_SPARSE_MATMUL_SQL = """
+WITH a AS (
+  SELECT doc_id, term, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term != '' GROUP BY 1, 2
+), terms AS (
+  SELECT DISTINCT term FROM a
+), h AS (
+  SELECT term, ('0x' || substr(md5(term), 1, 15))::BIGINT AS hv FROM terms
+), b AS (
+  SELECT term, hv % 16 AS feature, hv % 7 - 3 AS w FROM h
+  UNION ALL
+  SELECT term, (hv // 16) % 16 AS feature, (hv // 7) % 7 - 3 AS w FROM h
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(b.feature AS BIGINT) AS feature,
+       CAST(sum(a.cnt * b.w) AS BIGINT) AS score
+FROM a JOIN b USING (term)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "orf_finder": q_orf_finder,
+    "restriction_digest": q_restriction_digest,
+    "bpe_merge": q_bpe_merge,
+    "sparse_matmul": q_sparse_matmul,
+    "knn_classify": q_knn_classify,
+    "mad_outliers": q_mad_outliers,
+    "equidepth_hist": q_equidepth_hist,
+    "char_entropy": q_char_entropy,
     "codon_usage": q_codon_usage,
     "twap": q_twap,
     "kmer_spectrum": q_kmer_spectrum,
@@ -7472,6 +8011,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "orf_finder": Q_ORF_FINDER_SQL,
+    "restriction_digest": Q_RESTRICTION_DIGEST_SQL,
+    "bpe_merge": Q_BPE_MERGE_SQL,
+    "sparse_matmul": Q_SPARSE_MATMUL_SQL,
+    "knn_classify": Q_KNN_CLASSIFY_SQL,
+    "mad_outliers": Q_MAD_OUTLIERS_SQL,
+    "equidepth_hist": Q_EQUIDEPTH_HIST_SQL,
+    "char_entropy": Q_CHAR_ENTROPY_SQL,
     "codon_usage": Q_CODON_USAGE_SQL,
     "twap": Q_TWAP_SQL,
     "kmer_spectrum": Q_KMER_SPECTRUM_SQL,
