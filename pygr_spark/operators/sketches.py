@@ -85,3 +85,51 @@ def countmin_estimate(
     return joined.groupBy(item_col).agg(
         F.min(F.coalesce(F.col("total"), F.lit(0))).cast("long").alias("estimate")
     )
+
+
+def hll_registers(
+    items: DataFrame,
+    group_cols: list[str],
+    item_col: str = "item",
+    m: int = 64,
+) -> DataFrame:
+    """Per-group HyperLogLog register state (Flajolet et al. 2007)
+    with the md5-portable hash, so — unlike Spark's opaque
+    ``approx_count_distinct`` binary — the sketch itself sits under
+    the exact-value oracle gate. Register index is the low lg(m) bits
+    of the 60-bit hash; rho is the position of the highest set bit in
+    the remaining 60−lg(m) bits counted from the top (leading zeros
+    + 1), computed with exact integer ``length(bin(w))`` — no float
+    log2, which rounds differently at powers of two.
+
+    Returns one row per (group, register) actually hit: at most
+    ``m`` rows per group no matter the stream size (the definitional
+    HLL property). Duplicated items change nothing (max is
+    idempotent), so no pre-distinct is needed. One shuffle on
+    (group, register) with map-side partial max.
+
+    The estimate E = alpha_m · m² / Σ_j 2^(−M_j) is a dyadic
+    rational; callers that need it under an exact gate should emit
+    the pair (L, num) with L = max_j M_j and num = Σ_j 2^(L−M_j)
+    (missing registers contribute 2^L), which is the denominator
+    scaled integer — see the hll_distinct catalog entry.
+    """
+    lg = m.bit_length() - 1
+    assert 1 << lg == m, "m must be a power of two"
+    wbits = 60 - lg
+    h = md5_hash60(F.col(item_col).cast("string"))
+    # shiftright, not `/ m`: double division loses exactness past
+    # 2^53 and h is 60 bits (oracle side is integer `// m`)
+    w = F.shiftright(h, lg)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        items.select(
+            *group_cols,
+            F.pmod(h, F.lit(m)).cast("long").alias("register"),
+            rho.cast("long").alias("_rho"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("_rho").cast("long").alias("m_j"))
+    )

@@ -7843,7 +7843,422 @@ GROUP BY 1, 2
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog under the exact-value gate
+    (companion to countmin_topk; Flajolet et al. 2007): per-flag
+    m=64 register state from the md5-portable hash, emitted in exact
+    dyadic-rational form — L = max register, num = Σ_j 2^(L−M_j)
+    with empty registers contributing 2^L — so the estimate
+    α·m²·2^L/num is pinned by integers and the gate never compares
+    engine floats. Exact distinct count rides along for calibration.
+    One shuffle to (flag, register) with map-side partial max, then
+    a ≤64-row keyed window + aggregate — sketch size is independent
+    of stream size, the definitional HLL property."""
+    from pygr_spark.operators.sketches import hll_registers
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_partkey").alias("item")
+    )
+    regs = hll_registers(li, ["l_returnflag"], m=64)
+    wL = Window.partitionBy("l_returnflag")
+    scaled = regs.withColumn("hll_l", F.max("m_j").over(wL)).withColumn(
+        "_term",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(hll_l - m_j AS INT))"),
+    )
+    agg = scaled.groupBy("l_returnflag", "hll_l").agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+        F.sum("_term").cast("long").alias("_present"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("item").cast("long").alias("n_exact")
+    )
+    return agg.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n_exact",
+        "n_regs",
+        F.col("hll_l").cast("long").alias("hll_l"),
+        (
+            F.col("_present")
+            + (F.lit(64) - F.col("n_regs"))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(hll_l AS INT))")
+        ).cast("long").alias("hll_num"),
+    )
+
+
+Q_HLL_DISTINCT_SQL = """
+WITH it AS (
+  SELECT l_returnflag,
+    ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15))::BIGINT AS h
+  FROM lineitem
+), r AS (
+  SELECT l_returnflag, h % 64 AS register,
+    CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM it
+), regs AS (
+  SELECT l_returnflag, register, CAST(max(rho) AS BIGINT) AS m_j
+  FROM r GROUP BY 1, 2
+), lmax AS (
+  SELECT l_returnflag, m_j,
+    max(m_j) OVER (PARTITION BY l_returnflag) AS hll_l
+  FROM regs
+), agg AS (
+  SELECT l_returnflag, hll_l, CAST(count(*) AS BIGINT) AS n_regs,
+    CAST(sum(CAST(1 AS BIGINT) << CAST(hll_l - m_j AS INT)) AS BIGINT)
+      AS present
+  FROM lmax GROUP BY 1, 2
+), ex AS (
+  SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+  FROM lineitem GROUP BY 1
+)
+SELECT a.l_returnflag, e.n_exact, a.n_regs,
+  CAST(a.hll_l AS BIGINT) AS hll_l,
+  CAST(a.present
+       + (64 - a.n_regs) * (CAST(1 AS BIGINT) << CAST(a.hll_l AS INT))
+       AS BIGINT) AS hll_num
+FROM agg a JOIN ex e USING (l_returnflag)
+"""
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning made visible (the pattern
+    behind Spark's runtime row-level filters, InjectRuntimeFilter):
+    build a k=3/m=65536 filter over the urgent-order customer set
+    with md5-portable bit positions, probe every customer, and emit
+    the candidates WITH their membership label — so the oracle pins
+    the exact false-positive set, not just counts. The filter is
+    ≤65536 distinct bits and broadcasts (512 KB — well under the broadcast threshold; size m ∝ member count to hold the FP rate); the probe side needs no
+    shuffle until the 3-row-per-customer hit count (map-side
+    combinable). At 100 TB the big-side scan is pruned to candidates
+    before any wide join — the filter cost is one small-side pass."""
+    from pygr_spark.operators.dedup import md5_hash60
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    members = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j")
+    bits = (
+        members.select("k", ks)
+        .select(
+            F.pmod(
+                md5_hash60(
+                    F.concat_ws(
+                        ",", F.col("j").cast("string"), F.col("k").cast("string")
+                    )
+                ),
+                F.lit(65536),
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probes = cust.select("c_custkey").select("c_custkey", ks).withColumn(
+        "bit",
+        F.pmod(
+            md5_hash60(
+                F.concat_ws(
+                    ",",
+                    F.col("j").cast("string"),
+                    F.col("c_custkey").cast("string"),
+                )
+            ),
+            F.lit(65536),
+        ),
+    )
+    cand = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == 3)
+    )
+    mem = members.select(F.col("k").alias("c_custkey"), F.lit(1).alias("_m"))
+    return (
+        cand.join(F.broadcast(mem), "c_custkey", "left")
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.coalesce(F.col("_m"), F.lit(0)).cast("long").alias("is_member"),
+        )
+    )
+
+
+Q_BLOOM_PRUNE_SQL = """
+WITH mem AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), bits AS (
+  SELECT DISTINCT
+    ('0x'||substr(md5(CAST(j AS VARCHAR)||','||CAST(k AS VARCHAR)),1,15))::BIGINT
+      % 65536 AS bit
+  FROM mem, unnest(range(0, 3)) AS u(j)
+), probe AS (
+  SELECT c.c_custkey, u.j,
+    ('0x'||substr(md5(CAST(u.j AS VARCHAR)||','||CAST(c.c_custkey AS VARCHAR)),1,15))::BIGINT
+      % 65536 AS bit
+  FROM customer c CROSS JOIN unnest(range(0, 3)) AS u(j)
+), cand AS (
+  SELECT c_custkey FROM probe p JOIN bits b USING (bit)
+  GROUP BY c_custkey HAVING count(*) = 3
+)
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+  CAST(CASE WHEN m.k IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_member
+FROM cand c LEFT JOIN mem m ON m.k = c.c_custkey
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm): hash every 8-gram, slide a 16-hash
+    window, keep each window's minimum — guaranteeing any shared
+    substring of length ≥ 23 chars yields a shared fingerprint,
+    at ~2/(w+1) selection density. The gram explode is the
+    fingerprint_chars shape (linear rows, whole-stage codegen md5);
+    the window min is doc-keyed ROWS-frame — no unpartitioned sort.
+    Fingerprint sets are what a plagiarism/near-dup index stores:
+    distinct (doc, fp) rows, joinable on fp at corpus scale."""
+    from pygr_spark.operators.dedup import md5_hash60
+
+    docs = (
+        _spread(_t(spark, sf_dir, "documents"))
+        .select("doc_id", F.lower("text").alias("s"))
+        .filter(F.length("s") >= 23)
+    )
+    grams = docs.select(
+        "doc_id",
+        (F.length("s") - 7).alias("n_h"),
+        F.explode(F.sequence(F.lit(1), F.length("s") - 7)).alias("pos"),
+        "s",
+    ).select(
+        "doc_id",
+        "n_h",
+        "pos",
+        md5_hash60(F.expr("substring(s, pos, 8)")).alias("h"),
+    )
+    wmin = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 15)
+    )
+    return (
+        grams.withColumn("fp", F.min("h").over(wmin))
+        .filter(F.col("pos") <= F.col("n_h") - 15)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("fp").cast("long").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+Q_WINNOW_SQL = """
+WITH d AS (
+  SELECT doc_id, lower(text) AS s FROM documents WHERE length(text) >= 23
+), g AS (
+  SELECT doc_id, length(s) - 7 AS n_h, CAST(u.pos AS BIGINT) AS pos,
+    ('0x'||substr(md5(substr(s, CAST(u.pos AS INT), 8)),1,15))::BIGINT AS h
+  FROM d, unnest(range(1, length(s) - 6)) AS u(pos)
+), m AS (
+  SELECT doc_id, n_h, pos,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+  FROM g
+)
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, CAST(fp AS BIGINT) AS fp
+FROM m WHERE pos <= n_h - 15
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling with inclusion probability
+    ∝ order value, fully deterministic: keep order o iff
+    u(o)·max_cents < cents(o)·10⁶ where u is the md5-portable hash
+    mod 10⁶ — the exact-integer cross-multiplied form of
+    u/10⁶ < w/w_max (no float division crosses the gate). The global
+    max is a 1-row broadcast; membership is then a stateless
+    map-side filter — the streaming-friendly weighted sampler (each
+    row decides independently), unlike A-Res top-k which needs a
+    global sort. Products stay < 2⁴⁷ — no overflow."""
+    from pygr_spark.operators.dedup import md5_hash60
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("c")
+    )
+    mx = orders.agg(F.max("c").alias("maxc"))
+    return (
+        orders.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "u",
+            F.pmod(
+                md5_hash60(F.col("o_orderkey").cast("string")),
+                F.lit(1_000_000),
+            ),
+        )
+        .filter(F.col("u") * F.col("maxc") < F.col("c") * F.lit(1_000_000))
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("c").cast("long").alias("price_cents"),
+            F.col("u").cast("long").alias("u_hash"),
+        )
+    )
+
+
+Q_WEIGHTED_SAMPLE_SQL = """
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+    ('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT
+      % 1000000 AS u
+  FROM orders
+), mx AS (SELECT max(c) AS maxc FROM o)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+  CAST(c AS BIGINT) AS price_cents, CAST(u AS BIGINT) AS u_hash
+FROM o, mx WHERE u * maxc < c * 1000000
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across event types (Bolstad et al.
+    2003 — the microarray-standard cross-sample normalizer, squarely
+    the reference's bioinformatics turf): rank values within each
+    type, then map every rank-r value to the cross-type mean of
+    rank-r values, emitted as exact (Σ cents, n_types) fractions.
+    Ranks beyond the smallest type's size are dropped (the
+    equal-length variant). The per-type rank is a keyed total order
+    — the equidepth_hist shape; at 100 TB each type's order would be
+    a range-partitioned sort, and the rank-r reference table
+    shuffles on r with map-side partial sums."""
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "event_type", cents(F.col("value")).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    ranked = ev.withColumn("r", F.row_number().over(w).cast("long"))
+    nmin = (
+        ranked.groupBy("event_type")
+        .agg(F.max("r").alias("n"))
+        .agg(F.min("n").alias("n_min"))
+    )
+    trimmed = ranked.crossJoin(F.broadcast(nmin)).filter(
+        F.col("r") <= F.col("n_min")
+    )
+    ref = trimmed.groupBy("r").agg(
+        F.sum("c").cast("long").alias("norm_num"),
+        F.count(F.lit(1)).cast("long").alias("norm_den"),
+    )
+    return trimmed.join(ref, "r").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("value_cents"),
+        "norm_num",
+        "norm_den",
+    )
+
+
+Q_QUANTILE_NORMALIZE_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), ranked AS (
+  SELECT event_id, event_type, c,
+    CAST(row_number() OVER (PARTITION BY event_type ORDER BY c, event_id)
+         AS BIGINT) AS r
+  FROM e
+), nmin AS (
+  SELECT min(n) AS n_min
+  FROM (SELECT count(*) AS n FROM ranked GROUP BY event_type)
+), t AS (
+  SELECT * FROM ranked, nmin WHERE r <= n_min
+), ref AS (
+  SELECT r, CAST(sum(c) AS BIGINT) AS norm_num,
+    CAST(count(*) AS BIGINT) AS norm_den
+  FROM t GROUP BY r
+)
+SELECT CAST(t.event_id AS BIGINT) AS event_id, t.event_type,
+  CAST(t.r AS BIGINT) AS r, CAST(t.c AS BIGINT) AS value_cents,
+  ref.norm_num, ref.norm_den
+FROM t JOIN ref USING (r)
+"""
+
+
+def q_tandem_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tandem-repeat detection over the acgt-derived sequences (the
+    reference's repeat-annotation use case, seqdb annotations over
+    genomic intervals): a position i is a period-k repeat site iff
+    seq[i:i+k] == seq[i+k:i+2k]; consecutive sites chain into runs
+    via gaps-and-islands (i − row_number), giving per-(doc, k) site
+    counts and the longest run — all substring compares are
+    whole-stage codegen, all windows doc-keyed. Linear row blowup
+    (3 k-values × positions), the kmer_spectrum shape."""
+    docs = (
+        _spread(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq"),
+        )
+        .filter(F.length("seq") >= 4)
+    )
+    ks = F.explode(F.array(F.lit(2), F.lit(3), F.lit(4))).alias("k")
+    base = docs.select("doc_id", "seq", ks).filter(
+        F.length("seq") >= 2 * F.col("k")
+    )
+    pos = base.select(
+        "doc_id",
+        "k",
+        F.explode(
+            F.sequence(F.lit(1), F.length("seq") - 2 * F.col("k") + 1)
+        ).alias("i"),
+        "seq",
+    )
+    hits = pos.filter(
+        F.expr("substring(seq, i, k) = substring(seq, i + k, k)")
+    ).select("doc_id", "k", F.col("i").cast("long").alias("i"))
+    w = Window.partitionBy("doc_id", "k").orderBy("i")
+    runs = (
+        hits.withColumn("island", F.col("i") - F.row_number().over(w))
+        .groupBy("doc_id", "k", "island")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return runs.groupBy("doc_id", "k").agg(
+        F.sum("run").cast("long").alias("n_sites"),
+        F.max("run").cast("long").alias("max_run"),
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("k").cast("long").alias("k"),
+        "n_sites",
+        "max_run",
+    )
+
+
+Q_TANDEM_REPEATS_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+  FROM documents
+), dk AS (
+  SELECT doc_id, seq, k
+  FROM d, unnest([2, 3, 4]) AS u(k)
+  WHERE length(seq) >= 2 * k
+), hits AS (
+  SELECT doc_id, k, CAST(u.i AS BIGINT) AS i
+  FROM dk, unnest(range(1, length(seq) - 2 * k + 2)) AS u(i)
+  WHERE substr(seq, CAST(u.i AS INT), k) = substr(seq, CAST(u.i + k AS INT), k)
+), isl AS (
+  SELECT doc_id, k, i,
+    i - row_number() OVER (PARTITION BY doc_id, k ORDER BY i) AS island
+  FROM hits
+), runs AS (
+  SELECT doc_id, k, island, count(*) AS run FROM isl GROUP BY 1, 2, 3
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(k AS BIGINT) AS k,
+  CAST(sum(run) AS BIGINT) AS n_sites, CAST(max(run) AS BIGINT) AS max_run
+FROM runs GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hll_distinct": q_hll_distinct,
+    "bloom_prune": q_bloom_prune,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "weighted_sample": q_weighted_sample,
+    "quantile_normalize": q_quantile_normalize,
+    "tandem_repeats": q_tandem_repeats,
     "orf_finder": q_orf_finder,
     "restriction_digest": q_restriction_digest,
     "bpe_merge": q_bpe_merge,
@@ -8011,6 +8426,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "hll_distinct": Q_HLL_DISTINCT_SQL,
+    "bloom_prune": Q_BLOOM_PRUNE_SQL,
+    "winnow_fingerprints": Q_WINNOW_SQL,
+    "weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
+    "quantile_normalize": Q_QUANTILE_NORMALIZE_SQL,
+    "tandem_repeats": Q_TANDEM_REPEATS_SQL,
     "orf_finder": Q_ORF_FINDER_SQL,
     "restriction_digest": Q_RESTRICTION_DIGEST_SQL,
     "bpe_merge": Q_BPE_MERGE_SQL,

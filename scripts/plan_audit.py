@@ -41,6 +41,12 @@ EXEMPT: dict[str, dict[str, str]] = {
     "above_avg_orders": {
         "bnlj": "cross with the 1-row global-average aggregate"
     },
+    "weighted_sample": {
+        "bnlj": "cross with the 1-row global max-price aggregate"
+    },
+    "quantile_normalize": {
+        "bnlj": "cross with the 1-row min-group-size aggregate"
+    },
     "codon_usage": {
         "bnlj": "cross with the 1-row grand-total aggregate"
     },

@@ -35,3 +35,98 @@ def test_countmin_unseen_item_estimates_low(spark):
     # with 1 distinct item in 4x256 cells, an unseen probe almost
     # surely misses every cell -> estimate 0 (min over empty cells)
     assert est.estimate in (0, 10)
+
+
+def test_hll_estimate_within_hll_error_bound(spark):
+    """The dyadic pair (L, num) emitted by the hll_distinct entry must
+    reconstruct to alpha_64*64^2*2^L/num within HLL's expected error
+    (1.04/sqrt(64) ~ 13%; allow 3 sigma) for a 5k-distinct stream."""
+    from pygr_spark.operators.sketches import hll_registers
+
+    n = 5000
+    items = spark.createDataFrame([(f"item-{i}",) for i in range(n)], ["item"])
+    regs = hll_registers(items.withColumn("g", F.lit("x")), ["g"], m=64)
+    rows = {r.register: r.m_j for r in regs.collect()}
+    assert len(rows) <= 64
+    L = max(rows.values())
+    num = sum(2 ** (L - rows.get(j, 0)) for j in range(64))
+    est = 0.709 * 64 * 64 * (2**L) / num
+    assert abs(est - n) / n < 0.40  # 3 sigma of 1.04/sqrt(64)
+
+
+def test_hll_duplicates_do_not_change_registers(spark):
+    from pygr_spark.operators.sketches import hll_registers
+
+    once = spark.createDataFrame([(f"i{i}",) for i in range(200)], ["item"])
+    thrice = once.unionAll(once).unionAll(once)
+    a = sorted(map(tuple, hll_registers(once.withColumn("g", F.lit(1)), ["g"]).collect()))
+    b = sorted(map(tuple, hll_registers(thrice.withColumn("g", F.lit(1)), ["g"]).collect()))
+    assert a == b
+
+
+def test_bloom_prune_no_false_negatives(spark, sf_dir):
+    """Every true member must survive the Bloom pruning (the one-sided
+    guarantee); false positives are allowed and labeled."""
+    from pygr_spark.queries import q_bloom_prune, _t
+
+    out = q_bloom_prune(spark, sf_dir).toPandas()
+    orders = _t(spark, sf_dir, "orders")
+    true_members = {
+        r.o_custkey
+        for r in orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey").distinct().collect()
+    }
+    got_members = set(out[out.is_member == 1].c_custkey)
+    assert got_members == true_members
+    # and the filter actually prunes something at sf0.001/sf0.01
+    n_cust = _t(spark, sf_dir, "customer").count()
+    assert len(out) <= n_cust
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Schleimer guarantee: two docs sharing a substring of length
+    >= k + w - 1 = 23 share at least one fingerprint."""
+    from pygr_spark.operators.dedup import md5_hash60
+    from pyspark.sql import Window
+
+    shared = "the quick brown fox jumps over it"  # 33 chars
+    docs = spark.createDataFrame(
+        [(1, "aaax" + shared + "zzzq" * 3), (2, "bb bb" + shared + "ppp qq rr")],
+        ["doc_id", "text"],
+    )
+    grams = (
+        docs.select("doc_id", F.lower("text").alias("s"))
+        .filter(F.length("s") >= 23)
+        .select(
+            "doc_id",
+            (F.length("s") - 7).alias("n_h"),
+            F.explode(F.sequence(F.lit(1), F.length("s") - 7)).alias("pos"),
+            "s",
+        )
+        .select("doc_id", "n_h", "pos", md5_hash60(F.expr("substring(s, pos, 8)")).alias("h"))
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 15)
+    fps = (
+        grams.withColumn("fp", F.min("h").over(wmin))
+        .filter(F.col("pos") <= F.col("n_h") - 15)
+        .select("doc_id", "fp").distinct().toPandas()
+    )
+    a = set(fps[fps.doc_id == 1].fp)
+    b = set(fps[fps.doc_id == 2].fp)
+    assert a & b, "shared 33-char substring must produce a shared fingerprint"
+
+
+def test_weighted_sample_rate_tracks_weight(spark, sf_dir):
+    """Inclusion probability is proportional to price: the kept set's
+    mean price must exceed the population mean (heavier rows more
+    likely kept), and every max-price row is always kept (p=1)."""
+    from pygr_spark.queries import q_weighted_sample, _t, cents
+
+    kept = q_weighted_sample(spark, sf_dir).toPandas()
+    pop = (
+        _t(spark, sf_dir, "orders")
+        .select(cents(F.col("o_totalprice")).alias("c"))
+        .toPandas()
+    )
+    assert kept.price_cents.mean() > pop.c.mean()
+    assert kept.price_cents.max() == pop.c.max()
