@@ -8252,7 +8252,380 @@ FROM runs GROUP BY 1, 2
 """
 
 
+#: integer log-odds PWM (×10) for a 6-site motif over acgt — column
+#: order a,c,g,t per position; consensus "acgtac" favored. A literal
+#: parameter matrix, not data: both engines inline it as constants.
+_PWM = [
+    {"a": 5, "c": -2, "g": -2, "t": -1},
+    {"a": -2, "c": 5, "g": -1, "t": -2},
+    {"a": -2, "c": -2, "g": 5, "t": -1},
+    {"a": -1, "c": -2, "g": -2, "t": 5},
+    {"a": 5, "c": -1, "g": -2, "t": -2},
+    {"a": -2, "c": 5, "g": -2, "t": -1},
+]
+
+
+def _pwm_case_sql(pos_expr: str, p: int) -> str:
+    w = _PWM[p]
+    return (
+        f"CASE substr(seq, CAST({pos_expr} + {p} AS INT), 1) "
+        f"WHEN 'a' THEN {w['a']} WHEN 'c' THEN {w['c']} "
+        f"WHEN 'g' THEN {w['g']} ELSE {w['t']} END"
+    )
+
+
+def q_pwm_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weight-matrix motif scan (the quantitative version of
+    the reference's exact-match motif searches, motif.py): score every
+    window of the acgt-derived sequences against a 6-site integer
+    log-odds PWM and report each document's best site (max score,
+    leftmost tie-break). The scorer is six stacked CASE lookups on
+    single chars — whole-stage codegen, no UDF, no join; the per-doc
+    argmax is one keyed aggregate via max(struct(score, -pos)).
+    Linear fan-out (len−5 rows/doc), the kmer_spectrum shape."""
+    docs = (
+        _spread(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq"),
+        )
+        .filter(F.length("seq") >= 6)
+    )
+    pos = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("seq") - 5)).alias("i"),
+        "seq",
+    )
+    score = sum(
+        F.expr(
+            f"CASE substring(seq, i + {p}, 1) "
+            f"WHEN 'a' THEN {_PWM[p]['a']} WHEN 'c' THEN {_PWM[p]['c']} "
+            f"WHEN 'g' THEN {_PWM[p]['g']} ELSE {_PWM[p]['t']} END"
+        )
+        for p in range(6)
+    )
+    # (score, leftmost-pos) argmax packed into ONE long: max(struct)
+    # falls back to SortAggregate (no mutable agg buffer for structs),
+    # so encode enc = (score+100)·2³¹ − i and take a plain hash-agg
+    # max; decode S = enc DIV 2³¹ + 1 − 100, i = 2³¹ − pmod(enc, 2³¹)
+    # (exact for 1 ≤ i < 2³¹, scores in [−12, 30]).
+    K = 1 << 31
+    scored = pos.select(
+        "doc_id",
+        ((score + F.lit(100)).cast("long") * F.lit(K) - F.col("i")).alias(
+            "enc"
+        ),
+    )
+    best = scored.groupBy("doc_id").agg(F.max("enc").alias("enc"))
+    return best.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.lit(K) - F.pmod(F.col("enc"), F.lit(K))).cast("long").alias(
+            "best_pos"
+        ),
+        (F.expr(f"enc DIV {K}") + 1 - 100).cast("long").alias("best_score"),
+    )
+
+
+Q_PWM_SCAN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+  FROM documents
+), pos AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, seq
+  FROM d, unnest(range(1, length(seq) - 4)) AS u(i)
+  WHERE length(seq) >= 6
+), scored AS (
+  SELECT doc_id, i,
+    CAST({' + '.join(_pwm_case_sql('i', p) for p in range(6))} AS BIGINT)
+      AS score
+  FROM pos
+), ranked AS (
+  SELECT doc_id, i, score,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, i) AS rn
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(i AS BIGINT) AS best_pos,
+  CAST(score AS BIGINT) AS best_score
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_debruijn_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De Bruijn graph construction over the acgt corpus (the
+    assembly primitive behind the reference's sequence-graph layer):
+    k=4 edges connect overlapping 3-mer nodes; output per-node
+    in/out degree totals and the Eulerian imbalance (out − in) —
+    nonzero imbalance marks path endpoints. Two global aggregates
+    over codegen substring fan-out; node vocabulary is ≤ 4³ = 64
+    rows, so every post-explode stage is tiny regardless of corpus
+    size — the graph SUMMARY scales as O(4^(k-1)), not O(data)."""
+    docs = (
+        _spread(_t(spark, sf_dir, "documents"))
+        .select(
+            F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq")
+        )
+        .filter(F.length("seq") >= 4)
+    )
+    edges = docs.select(
+        F.explode(F.sequence(F.lit(1), F.length("seq") - 3)).alias("i"),
+        "seq",
+    ).select(
+        F.expr("substring(seq, i, 3)").alias("n_from"),
+        F.expr("substring(seq, i + 1, 3)").alias("n_to"),
+    )
+    out_d = edges.groupBy(F.col("n_from").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_n")
+    )
+    in_d = edges.groupBy(F.col("n_to").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_n")
+    )
+    return (
+        out_d.join(in_d, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_n", F.lit(0)).cast("long").alias("out_n"),
+            F.coalesce("in_n", F.lit(0)).cast("long").alias("in_n"),
+            (
+                F.coalesce("out_n", F.lit(0)) - F.coalesce("in_n", F.lit(0))
+            ).cast("long").alias("imbalance"),
+        )
+    )
+
+
+Q_DEBRUIJN_SQL = """
+WITH d AS (
+  SELECT regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+  FROM documents
+), e AS (
+  SELECT substr(seq, CAST(u.i AS INT), 3) AS n_from,
+         substr(seq, CAST(u.i + 1 AS INT), 3) AS n_to
+  FROM d, unnest(range(1, length(seq) - 2)) AS u(i)
+  WHERE length(seq) >= 4
+), o AS (
+  SELECT n_from AS node, CAST(count(*) AS BIGINT) AS out_n FROM e GROUP BY 1
+), i AS (
+  SELECT n_to AS node, CAST(count(*) AS BIGINT) AS in_n FROM e GROUP BY 1
+)
+SELECT COALESCE(o.node, i.node) AS node,
+  CAST(COALESCE(o.out_n, 0) AS BIGINT) AS out_n,
+  CAST(COALESCE(i.in_n, 0) AS BIGINT) AS in_n,
+  CAST(COALESCE(o.out_n, 0) - COALESCE(i.in_n, 0) AS BIGINT) AS imbalance
+FROM o FULL OUTER JOIN i ON o.node = i.node
+"""
+
+
+def q_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation of two event streams (does click
+    volume lead purchase volume?): bucket both types into hourly
+    counts, join at lags −3…+3 hours, and emit the Pearson
+    correlation per lag as the exact integer moment tuple
+    (n, num = n·Σxy − Σx·Σy, den_x = n·Σxx − (Σx)², den_y likewise)
+    — corr = num/√(den_x·den_y) never crosses the gate as a float.
+    Hour-bucket aggregation is map-side combinable; the lag join is
+    a self-join on shifted hour keys over the SMALL bucket table
+    (hours, not events) — at 100 TB the event→bucket reduction does
+    all the heavy lifting before any join."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type", F.expr("CAST(ts_sec DIV 3600 AS BIGINT)").alias("h")
+    )
+    bucket = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    x = bucket.filter(F.col("event_type") == "click").select(
+        "h", F.col("n").alias("x")
+    )
+    y = bucket.filter(F.col("event_type") == "purchase").select(
+        F.col("h").alias("hy"), F.col("n").alias("y")
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
+    j = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("h") + F.col("lag") == F.col("hy"))
+    )
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return m.select(
+        "lag",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long").alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long").alias("den_x"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("long").alias("den_y"),
+    )
+
+
+Q_LAG_CORRELATION_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS h
+  FROM events WHERE event_type IN ('click', 'purchase')
+), b AS (
+  SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+), x AS (SELECT h, n AS x FROM b WHERE event_type = 'click'),
+y AS (SELECT h AS hy, n AS y FROM b WHERE event_type = 'purchase'),
+lags AS (SELECT CAST(u.lag AS BIGINT) AS lag FROM unnest(range(-3, 4)) u(lag)),
+j AS (
+  SELECT lag, x, y FROM x CROSS JOIN lags JOIN y ON x.h + lag = y.hy
+), m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(y * y) AS BIGINT) AS syy
+  FROM j GROUP BY lag
+)
+SELECT lag, n,
+  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+  CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+  CAST(n * syy - sy * sy AS BIGINT) AS den_y
+FROM m
+"""
+
+
+def q_bwt_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows–Wheeler transform of each acgt-derived sequence — the
+    index structure behind FM-index read mappers (the modern answer
+    to the reference's suffix-oriented sequence queries): explode all
+    n rotations, per-doc sort, concatenate last characters. Rotation
+    materialization is O(n²) chars per document, which is exactly why
+    real BWT is BLOCK-based (bzip2: ≤900 KB blocks) — docs are the
+    blocks here, each bounded, and the whole stage is codegen
+    (array_sort + transform, no UDF). Equal rotations imply equal
+    last chars, so the sort needs no tie-break. Output is a scalar
+    string column (canon-safe), verified by the doc-length invariant
+    and the oracle's ORDER-BY string_agg."""
+    docs = (
+        _spread(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq"),
+        )
+        .filter(F.length("seq").between(2, 512))
+    )
+    rots = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("seq"))).alias("i"),
+        "seq",
+    ).select(
+        "doc_id",
+        F.expr(
+            "concat(substring(seq, i), substring(seq, 1, i - 1))"
+        ).alias("rot"),
+    )
+    return (
+        rots.groupBy("doc_id")
+        .agg(F.collect_list("rot").alias("rs"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.expr(
+                "array_join(transform(array_sort(rs), r -> right(r, 1)), '')"
+            ).alias("bwt"),
+        )
+    )
+
+
+Q_BWT_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+  FROM documents
+), ok AS (
+  SELECT doc_id, seq FROM d WHERE length(seq) BETWEEN 2 AND 512
+), rots AS (
+  SELECT doc_id,
+    substr(seq, CAST(u.i AS INT)) || substr(seq, 1, CAST(u.i - 1 AS INT))
+      AS rot
+  FROM ok, unnest(range(1, length(seq) + 1)) AS u(i)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  string_agg(substr(rot, length(rot), 1), '' ORDER BY rot) AS bwt
+FROM rots GROUP BY doc_id
+"""
+
+
+def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini concentration of customer spend (is revenue
+    dominated by a few customers?) via the order-statistics identity
+    G = Σᵢ(2i−n−1)·x₍ᵢ₎ / (n·Σx), emitted as the exact integer pair
+    (gini_num, gini_den). The rank pass is a nation-keyed window
+    over per-customer totals (≈25 groups); all sums are integer
+    cents. At 100 TB: the heavy orders→customer rollup is one keyed
+    shuffle with map-side combine; the ranked pass runs over the
+    much smaller per-customer table."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = (
+        orders.select("o_custkey", cents(F.col("o_totalprice")).alias("c"))
+        .groupBy("o_custkey")
+        .agg(F.sum("c").cast("long").alias("tot"))
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(F.col("c_nationkey").alias("nation"), "o_custkey", "tot")
+    )
+    w = Window.partitionBy("nation").orderBy("tot", "o_custkey")
+    wn = Window.partitionBy("nation")
+    ranked = (
+        spend.withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wn).cast("long"))
+    )
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            F.max("n").cast("long").alias("n_cust"),
+            F.sum("tot").cast("long").alias("sum_cents"),
+            F.sum(
+                (F.lit(2) * F.col("i") - F.col("n") - 1) * F.col("tot")
+            ).cast("long").alias("gini_num"),
+        )
+        .select(
+            F.col("nation").cast("long").alias("nation"),
+            "n_cust",
+            "sum_cents",
+            "gini_num",
+            (F.col("n_cust") * F.col("sum_cents")).cast("long").alias("gini_den"),
+        )
+    )
+
+
+Q_SPEND_GINI_SQL = """
+WITH spend AS (
+  SELECT c.c_nationkey AS nation, o.o_custkey,
+    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS tot
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT nation, tot,
+    CAST(row_number() OVER (PARTITION BY nation ORDER BY tot, o_custkey)
+         AS BIGINT) AS i,
+    CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS n
+  FROM spend
+)
+SELECT CAST(nation AS BIGINT) AS nation,
+  CAST(max(n) AS BIGINT) AS n_cust,
+  CAST(sum(tot) AS BIGINT) AS sum_cents,
+  CAST(sum((2 * i - n - 1) * tot) AS BIGINT) AS gini_num,
+  CAST(max(n) * sum(tot) AS BIGINT) AS gini_den
+FROM ranked GROUP BY nation
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pwm_scan": q_pwm_scan,
+    "debruijn_degrees": q_debruijn_degrees,
+    "lag_correlation": q_lag_correlation,
+    "bwt_transform": q_bwt_transform,
+    "spend_gini": q_spend_gini,
     "hll_distinct": q_hll_distinct,
     "bloom_prune": q_bloom_prune,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -8426,6 +8799,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "pwm_scan": Q_PWM_SCAN_SQL,
+    "debruijn_degrees": Q_DEBRUIJN_SQL,
+    "lag_correlation": Q_LAG_CORRELATION_SQL,
+    "bwt_transform": Q_BWT_SQL,
+    "spend_gini": Q_SPEND_GINI_SQL,
     "hll_distinct": Q_HLL_DISTINCT_SQL,
     "bloom_prune": Q_BLOOM_PRUNE_SQL,
     "winnow_fingerprints": Q_WINNOW_SQL,

@@ -44,6 +44,9 @@ EXEMPT: dict[str, dict[str, str]] = {
     "weighted_sample": {
         "bnlj": "cross with the 1-row global max-price aggregate"
     },
+    "lag_correlation": {
+        "bnlj": "cross with the broadcast 7-row lag parameter table"
+    },
     "quantile_normalize": {
         "bnlj": "cross with the 1-row min-group-size aggregate"
     },
