@@ -8620,7 +8620,52 @@ FROM ranked GROUP BY nation
 """
 
 
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — a REAL multi-micro-batch run
+    (maxFilesPerTrigger=1 over a 4-file split, Trigger.AvailableNow)
+    whose foreachBatch sink MERGES each batch into a keyed state
+    table: latest-wins on max(struct(ts, event_id)) plus a running
+    version count. Because the merge is associative+commutative, the
+    drained state equals the batch latest-per-key query exactly — the
+    oracle below — regardless of file admission order. Covers the
+    upsert-sink half of §2.9 that the state-operator entries
+    (stream_gap_merge/anomaly) don't touch."""
+    from pygr_spark.streaming.stateful import cdc_apply_stream
+
+    final, n_batches = cdc_apply_stream(spark, sf_dir, n_source_files=4)
+    assert n_batches >= 2, "multi-batch CDC run expected"
+    return final.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("last_ts").cast("long").alias("last_ts"),
+        F.col("last_event_id").cast("long").alias("last_event_id"),
+        F.col("last_cents").cast("long").alias("last_cents"),
+        F.col("n_versions").cast("long").alias("n_versions"),
+    )
+
+
+Q_STREAM_CDC_APPLY_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT user_id, tsn, event_id, cents,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY tsn DESC, event_id DESC) AS rn,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM e
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  CAST(tsn AS BIGINT) AS last_ts,
+  CAST(event_id AS BIGINT) AS last_event_id,
+  CAST(cents AS BIGINT) AS last_cents,
+  CAST(n AS BIGINT) AS n_versions
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_cdc_apply": q_stream_cdc_apply,
     "pwm_scan": q_pwm_scan,
     "debruijn_degrees": q_debruijn_degrees,
     "lag_correlation": q_lag_correlation,
@@ -8799,6 +8844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "stream_cdc_apply": Q_STREAM_CDC_APPLY_SQL,
     "pwm_scan": Q_PWM_SCAN_SQL,
     "debruijn_degrees": Q_DEBRUIJN_SQL,
     "lag_correlation": Q_LAG_CORRELATION_SQL,

@@ -173,3 +173,124 @@ def streaming_prefix_anomaly(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def cdc_apply_stream(
+    spark,
+    sf_dir: str,
+    n_source_files: int = 4,
+) -> tuple[DataFrame, int]:
+    """Streaming CDC apply through a ``foreachBatch`` upsert sink —
+    the merge-into pattern (reference analog: sqlgraph.py's
+    SQLTable update path; here it is the streaming half of the batch
+    ``cdc_compact`` entry). The event stream is split into
+    ``n_source_files`` files processed one per micro-batch
+    (``maxFilesPerTrigger=1`` under ``Trigger.AvailableNow``), and
+    each batch MERGES into a keyed state table: latest-wins on
+    ``max(struct(ts, event_id))`` plus a running version count.
+
+    The merge is associative and commutative (max + sum), so the
+    drained state is independent of file admission order — that is
+    what makes the sink restart-safe: re-processing a batch after a
+    checkpointed failure re-derives the same aggregates. State
+    versions are written as parquet (v0, v1, …) with a
+    driver-tracked current pointer, the plain-filesystem stand-in
+    for a transactional table format's MERGE.
+
+    Scale shape: each micro-batch shuffles only ITS keys (map-side
+    combined) and joins against the state table on the key — at
+    production scale the state table would be bucketed by key so the
+    merge join never re-shuffles state.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="pygr_spark_cdc_")
+    src_dir = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+
+    # deterministic multi-file split of the single driver parquet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pygr_spark.streaming.events import normalize_event_ts
+
+    base = normalize_event_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    base.repartitionByRange(n_source_files, "event_id").write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    current: dict[str, str | None] = {"path": None, "batches": 0}
+
+    def apply_batch(bdf: DataFrame, bid: int) -> None:
+        upd = (
+            bdf.select(
+                "user_id",
+                F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("event_id").alias("event_id"),
+                    F.round(F.col("value") * 100, 0)
+                    .cast("long")
+                    .alias("cents"),
+                ).alias("s"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.max("s").alias("last"),
+                F.count(F.lit(1)).cast("long").alias("n_versions"),
+            )
+        )
+        sess = bdf.sparkSession
+        if current["path"] is not None:
+            prior = sess.read.parquet(current["path"]).select(
+                "user_id",
+                F.struct(
+                    F.col("last_ts").alias("ts"),
+                    F.col("last_event_id").alias("event_id"),
+                    F.col("last_cents").alias("cents"),
+                ).alias("last"),
+                "n_versions",
+            )
+            upd = (
+                upd.unionByName(prior)
+                .groupBy("user_id")
+                .agg(
+                    F.max("last").alias("last"),
+                    F.sum("n_versions").cast("long").alias("n_versions"),
+                )
+            )
+        out = upd.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("last.ts").cast("long").alias("last_ts"),
+            F.col("last.event_id").cast("long").alias("last_event_id"),
+            F.col("last.cents").cast("long").alias("last_cents"),
+            "n_versions",
+        )
+        vpath = os.path.join(work, f"v{bid}")
+        out.write.mode("overwrite").parquet(vpath)
+        old = current["path"]
+        current["path"] = vpath
+        current["batches"] += 1
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert current["path"] is not None
+    final = spark.read.parquet(current["path"])
+    # materialize before the temp dir can be reclaimed by the caller
+    return final, current["batches"]

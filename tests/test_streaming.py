@@ -211,3 +211,17 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     ).collect()
     # every id exactly once — no reprocessing of f1, no loss of f2
     assert {r.id: r.n for r in final} == {1: 1, 2: 1, 3: 1}
+
+
+def test_cdc_apply_state_independent_of_batch_split(spark, sf_dir):
+    """The foreachBatch merge is associative+commutative, so draining
+    the same stream as 2 files or 4 files must produce byte-identical
+    state tables (admission order cannot matter)."""
+    from pygr_spark.streaming.stateful import cdc_apply_stream
+
+    a, n_a = cdc_apply_stream(spark, sf_dir, n_source_files=2)
+    b, n_b = cdc_apply_stream(spark, sf_dir, n_source_files=4)
+    assert n_a >= 2 and n_b >= 4
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
