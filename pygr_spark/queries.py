@@ -8664,7 +8664,260 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_auc_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the classifier_filter margin (positive class:
+    label < 5) as the Mann-Whitney rank statistic in exact rational
+    form — auc = num2/den2 with num2 = Σ_s (2·p_s·negBelow(s) +
+    p_s·n_s) (ties get the standard ½ credit, hence the ×2 scaling)
+    and den2 = 2·n_pos·n_neg. No float crosses the gate.
+
+    The prefix sum negBelow(s) is computed with the DISTRIBUTED
+    global-cumsum pattern, not a single-task global window: distinct
+    scores are range-partitioned, per-partition negative totals
+    (≤ n_partitions rows) are collected and turned into broadcast
+    offsets, and the within-partition running sum is a window KEYED
+    by partition id — the two-pass prefix-scan every 100 TB ranking
+    pipeline uses. plan_audit stays clean: no empty PARTITION BY."""
+    from pygr_spark.operators.similarity import quantized
+
+    dim = 64
+    w = [((i * 7) % 9) - 4 for i in range(dim)]
+    terms = " ".join(
+        ("+" if c >= 0 else "-") + f" {abs(c)} * element_at(qv, {i + 1})"
+        for i, c in enumerate(w)
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", quantized(F.col("embedding")).alias("qv")
+    )
+    scored = emb.select(
+        (F.col("label").cast("long") < 5).cast("long").alias("pos"),
+        F.expr(f"CAST(0 {terms} AS BIGINT)").alias("s"),
+    )
+    by_s = scored.groupBy("s").agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n"),
+    )
+    n_parts = 8
+    parts = by_s.repartitionByRange(n_parts, "s").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    # ≤ n_parts rows by construction — the documented small-by-contract
+    # collect that turns per-partition totals into prefix offsets
+    totals = {
+        r.pid: r.t
+        for r in parts.groupBy("pid")
+        .agg(F.sum("n").cast("long").alias("t"))
+        .collect()
+    }
+    offs = []
+    acc = 0
+    for pid in sorted(totals):
+        offs.append((pid, acc))
+        acc += totals[pid]
+    off_df = spark.createDataFrame(offs, ["pid", "off"])
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = (
+        parts.join(F.broadcast(off_df), "pid")
+        .withColumn(
+            "neg_below",
+            F.col("off") + F.coalesce(F.sum("n").over(w_in), F.lit(0)),
+        )
+    )
+    return pre.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_neg"),
+        F.sum(
+            F.lit(2) * F.col("p") * F.col("neg_below") + F.col("p") * F.col("n")
+        ).cast("long").alias("auc_num2"),
+        (F.lit(2) * F.sum("p") * F.sum("n")).cast("long").alias("auc_den2"),
+    )
+
+
+def _auc_sql(dim: int = 64) -> str:
+    w = [((i * 7) % 9) - 4 for i in range(dim)]
+    terms = " ".join(
+        ("+" if c >= 0 else "-") + f" {abs(c)} * q[{i + 1}]"
+        for i, c in enumerate(w)
+    )
+    return f"""
+WITH v AS (
+  SELECT CASE WHEN CAST(label AS BIGINT) < 5 THEN 1 ELSE 0 END AS pos,
+    list_transform(embedding,
+                   e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS q
+  FROM embeddings
+), scored AS (
+  SELECT pos, CAST(0 {terms} AS BIGINT) AS s FROM v
+), by_s AS (
+  SELECT s, CAST(sum(pos) AS BIGINT) AS p,
+    CAST(sum(1 - pos) AS BIGINT) AS n
+  FROM scored GROUP BY s
+), pre AS (
+  SELECT p, n,
+    COALESCE(sum(n) OVER (ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM by_s
+)
+SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+  CAST(sum(2 * p * neg_below + p * n) AS BIGINT) AS auc_num2,
+  CAST(2 * sum(p) * sum(n) AS BIGINT) AS auc_den2
+FROM pre
+"""
+
+
+Q_AUC_METRIC_SQL = _auc_sql()
+
+
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall material for the kNN classifier —
+    the confusion-matrix margins (support, n_pred, tp, fp, fn) as
+    exact integers per label, so precision = tp/n_pred and recall =
+    tp/support never cross the gate as floats. Two keyed aggregates
+    over the knn_classify output full-outer-joined on the label —
+    evaluation is O(predictions), a rounding error next to scoring."""
+    knn = q_knn_classify(spark, sf_dir)
+    truth = knn.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("support"),
+        F.sum(
+            (F.col("true_label") == F.col("pred_label")).cast("long")
+        ).cast("long").alias("tp_t"),
+    )
+    pred = knn.groupBy(F.col("pred_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred"),
+        F.sum(
+            (F.col("true_label") == F.col("pred_label")).cast("long")
+        ).cast("long").alias("tp_p"),
+    )
+    return (
+        truth.join(pred, "label", "full")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp_t", F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp_p", F.lit(0)))
+            .cast("long").alias("fp"),
+            (F.coalesce("support", F.lit(0)) - F.coalesce("tp_t", F.lit(0)))
+            .cast("long").alias("fn"),
+        )
+    )
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a
+    deterministic Rademacher (±1) matrix: project the 64-dim
+    quantized embeddings to 8 dims, y_j = Σ_i sign(i,j)·q_i, where
+    the signs come from md5 parity computed at PLAN time and embedded
+    as literal coefficients — like classifier_filter, inference is a
+    pure no-shuffle codegen projection. Output is the flattened
+    (vec_id, j, y) rows (canon-safe scalars). Distance preservation
+    (the JL property) is asserted in a test; the projected table is
+    what an ANN prefilter or a cheaper downstream model consumes."""
+    from pygr_spark.operators.similarity import quantized
+
+    signs = _rp_signs(64, 8)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized(F.col("embedding")).alias("qv")
+    )
+    # two-step shape for codegen's sake: the 8×64-term sums as a flat
+    # projection (ProjectExec splits long expression lists across
+    # methods), then a tiny stack() generator over the 8 finished
+    # columns — the single-expression array-of-structs explode
+    # exceeds janino's method limit and drops to interpreted
+    ys = []
+    for j in range(8):
+        terms = " ".join(
+            ("+" if signs[i][j] > 0 else "-") + f" element_at(qv, {i + 1})"
+            for i in range(64)
+        )
+        ys.append(F.expr(f"CAST(0 {terms} AS BIGINT)").alias(f"y{j}"))
+    proj = emb.select("vec_id", *ys)
+    stack_args = ", ".join(
+        f"CAST({j} AS BIGINT), y{j}" for j in range(8)
+    )
+    return proj.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr(f"stack(8, {stack_args})").alias("j", "y"),
+    )
+
+
+def _rp_signs(dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic Rademacher matrix: sign(i,j) = ±1 from md5
+    parity of "i,j" — reproducible in any engine/language, computed
+    once at plan time (a parameter matrix, not data)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{i},{j}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1
+            for j in range(out_dim)
+        ]
+        for i in range(dim)
+    ]
+
+
+def _rp_sql() -> str:
+    signs = _rp_signs(64, 8)
+    branches = []
+    for j in range(8):
+        terms = " ".join(
+            ("+" if signs[i][j] > 0 else "-") + f" q[{i + 1}]"
+            for i in range(64)
+        )
+        branches.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS j,"
+            f" CAST(0 {terms} AS BIGINT) AS y FROM v"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding,
+                   e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS q
+  FROM embeddings
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, j, y FROM ({union})
+"""
+
+
+Q_RANDOM_PROJECTION_SQL = _rp_sql()
+
+#: confusion-matrix margins over the kNN predictions — reuses the
+#: knn_classify oracle verbatim as a nested CTE so the two entries
+#: can never drift apart
+Q_EVAL_METRICS_SQL = f"""
+WITH knn AS ({Q_KNN_CLASSIFY_SQL}),
+t AS (
+  SELECT true_label AS label, CAST(count(*) AS BIGINT) AS support,
+    CAST(sum(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp_t
+  FROM knn GROUP BY 1
+), p AS (
+  SELECT pred_label AS label, CAST(count(*) AS BIGINT) AS n_pred,
+    CAST(sum(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp_p
+  FROM knn GROUP BY 1
+)
+SELECT CAST(COALESCE(t.label, p.label) AS BIGINT) AS label,
+  CAST(COALESCE(t.support, 0) AS BIGINT) AS support,
+  CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+  CAST(COALESCE(t.tp_t, 0) AS BIGINT) AS tp,
+  CAST(COALESCE(p.n_pred, 0) - COALESCE(p.tp_p, 0) AS BIGINT) AS fp,
+  CAST(COALESCE(t.support, 0) - COALESCE(t.tp_t, 0) AS BIGINT) AS fn
+FROM t FULL OUTER JOIN p ON t.label = p.label
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "auc_metric": q_auc_metric,
+    "eval_metrics": q_eval_metrics,
+    "random_projection": q_random_projection,
     "stream_cdc_apply": q_stream_cdc_apply,
     "pwm_scan": q_pwm_scan,
     "debruijn_degrees": q_debruijn_degrees,
@@ -8844,6 +9097,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "auc_metric": Q_AUC_METRIC_SQL,
+    "eval_metrics": Q_EVAL_METRICS_SQL,
+    "random_projection": Q_RANDOM_PROJECTION_SQL,
     "stream_cdc_apply": Q_STREAM_CDC_APPLY_SQL,
     "pwm_scan": Q_PWM_SCAN_SQL,
     "debruijn_degrees": Q_DEBRUIJN_SQL,

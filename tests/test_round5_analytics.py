@@ -91,3 +91,69 @@ def test_lag_correlation_moments(spark, sf_dir):
     assert set(df.lag) == set(range(-3, 4))
     assert ((df.num.astype("float64") ** 2)
             <= (df.den_x.astype("float64") * df.den_y.astype("float64")) * (1 + 1e-12)).all()
+
+
+def test_auc_matches_bruteforce_pair_count(spark, sf_dir):
+    """The distributed prefix-sum AUC must equal the O(n^2) textbook
+    pair count on the same (label, margin) data."""
+    from pygr_spark.queries import q_auc_metric, q_classifier_filter
+
+    row = q_auc_metric(spark, sf_dir).collect()[0]
+    sc = q_classifier_filter(spark, sf_dir).toPandas()
+    pos = sc[sc.label.astype(int) < 5].margin_u.to_numpy()
+    neg = sc[sc.label.astype(int) >= 5].margin_u.to_numpy()
+    gt = sum((p > neg).sum() for p in pos)
+    ties = sum((p == neg).sum() for p in pos)
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert row.auc_num2 == 2 * gt + ties
+    assert row.auc_den2 == 2 * len(pos) * len(neg)
+    auc = row.auc_num2 / row.auc_den2
+    assert 0.0 <= auc <= 1.0
+
+
+def test_eval_metrics_margins_consistent(spark, sf_dir):
+    """Confusion margins must tie out: sum(support) == sum(n_pred)
+    == #queries, and micro-precision == micro-recall (same tp total
+    over the same denominator)."""
+    from pygr_spark.queries import q_eval_metrics, q_knn_classify
+
+    m = q_eval_metrics(spark, sf_dir).toPandas()
+    n_queries = q_knn_classify(spark, sf_dir).count()
+    assert m.support.sum() == n_queries
+    assert m.n_pred.sum() == n_queries
+    assert (m.tp + m.fn == m.support).all()
+    assert (m.tp <= m.n_pred).all()
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property: squared distances in the 8-dim projection
+    correlate strongly with the 64-dim originals (scaled by d'/d)."""
+    import numpy as np
+
+    from pygr_spark.queries import _t, q_random_projection
+    from pygr_spark.operators.similarity import quantized
+
+    proj = q_random_projection(spark, sf_dir).toPandas()
+    y = proj.pivot(index="vec_id", columns="j", values="y").to_numpy(
+        dtype="float64"
+    )
+    q = np.array(
+        _t(spark, sf_dir, "embeddings")
+        .select(quantized(F.col("embedding")).alias("qv"))
+        .orderBy("vec_id")
+        .toPandas()
+        .qv.tolist(),
+        dtype="float64",
+    )
+    rng = np.random.RandomState(7)
+    idx = rng.choice(len(q), size=(60, 2))
+    d_orig = ((q[idx[:, 0]] - q[idx[:, 1]]) ** 2).sum(axis=1)
+    d_proj = ((y[idx[:, 0]] - y[idx[:, 1]]) ** 2).sum(axis=1)
+    mask = d_orig > 0
+    # the testdata embeddings are near-uniform random, so pairwise
+    # distances CONCENTRATE (cv ~ 0.13) and a rank correlation would
+    # only measure JL noise; the sharp testable property is the
+    # Rademacher unbiasedness E[||Sx||^2] = d' * ||x||^2 — the mean
+    # ratio over pairs must sit near 1 (measured 1.04)
+    ratio = (d_proj[mask] / (8.0 * d_orig[mask])).mean()
+    assert 0.8 < ratio < 1.25, f"JL energy ratio off: {ratio}"
