@@ -8914,7 +8914,92 @@ FROM t FULL OUTER JOIN p ON t.label = p.label
 """
 
 
+def q_target_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-coverage BREADTH semantics (the companion to the
+    depth-oriented coverage_segments; reference analog: NLMSA
+    coverage queries, cnestedlist.pyx): for every target interval,
+    the number of distinct bases covered by ≥1 read — reads are
+    clipped to the target, per-target unions merged with the
+    gaps-and-islands gap_merge (touching half-open intervals
+    coalesce), merged lengths summed. Composition of the existing
+    operators: binned overlap_join → clip → gap_merge → keyed sum;
+    every stage is the already-probed scale shape."""
+    targets = _order_ivals(spark, sf_dir)
+    reads = _spread(_lineitem_ivals(spark, sf_dir))
+    ov = overlap_join(targets, reads, strategy="binned", bin_width=32)
+    clipped = ov.select(
+        "o_orderkey",
+        (F.col("stop") - F.col("start")).alias("target_len"),
+        F.greatest(F.col("start"), F.col("start_r")).alias("cstart"),
+        F.least(F.col("stop"), F.col("stop_r")).alias("cstop"),
+    ).filter(F.col("cstop") > F.col("cstart"))
+    merged = gap_merge(
+        clipped,
+        ["o_orderkey", "target_len"],
+        start="cstart",
+        stop="cstop",
+        maxgap=0,
+    )
+    return (
+        merged.groupBy("o_orderkey", "target_len")
+        .agg(
+            F.sum(F.col("cstop") - F.col("cstart"))
+            .cast("long").alias("covered"),
+            F.sum("n_merged").cast("long").alias("n_reads"),
+        )
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("target_len").cast("long").alias("target_len"),
+            "covered",
+            "n_reads",
+        )
+    )
+
+
+Q_TARGET_BREADTH_SQL = f"""
+WITH t AS ({_ORDER_IVALS_SQL}),
+r AS ({_LINEITEM_IVALS_SQL}),
+ov AS (
+  -- carry the read id: BOTH window passes below must share one TOTAL
+  -- order — with only (cstart, cstop), tied reads can be permuted
+  -- differently by the two passes, and a split flag computed in one
+  -- order then prefix-summed in another double-counts islands (the
+  -- exact trap gap_merge's canonical-order materialization avoids)
+  SELECT t.o_orderkey, t.stop - t.start AS target_len,
+    r.l_orderkey, r.l_linenumber,
+    greatest(t.start, r.start) AS cstart,
+    least(t.stop, r.stop) AS cstop
+  FROM t JOIN r ON t.id = r.id AND t.start < r.stop AND r.start < t.stop
+  WHERE least(t.stop, r.stop) > greatest(t.start, r.start)
+), ordered AS (
+  SELECT o_orderkey, target_len, cstart, cstop, l_orderkey, l_linenumber,
+    max(cstop) OVER (PARTITION BY o_orderkey
+                     ORDER BY cstart, cstop, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prev_max
+  FROM ov
+), islands AS (
+  SELECT o_orderkey, target_len, cstart, cstop,
+    sum(CASE WHEN prev_max IS NULL OR cstart > prev_max THEN 1 ELSE 0 END)
+      OVER (PARTITION BY o_orderkey
+            ORDER BY cstart, cstop, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM ordered
+), m AS (
+  SELECT o_orderkey, target_len, isl,
+    min(cstart) AS s, max(cstop) AS e, count(*) AS n
+  FROM islands GROUP BY 1, 2, 3
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+  CAST(target_len AS BIGINT) AS target_len,
+  CAST(sum(e - s) AS BIGINT) AS covered,
+  CAST(sum(n) AS BIGINT) AS n_reads
+FROM m GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "target_breadth": q_target_breadth,
     "auc_metric": q_auc_metric,
     "eval_metrics": q_eval_metrics,
     "random_projection": q_random_projection,
@@ -9097,6 +9182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "target_breadth": Q_TARGET_BREADTH_SQL,
     "auc_metric": Q_AUC_METRIC_SQL,
     "eval_metrics": Q_EVAL_METRICS_SQL,
     "random_projection": Q_RANDOM_PROJECTION_SQL,

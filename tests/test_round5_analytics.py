@@ -157,3 +157,37 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     # ratio over pairs must sit near 1 (measured 1.04)
     ratio = (d_proj[mask] / (8.0 * d_orig[mask])).mean()
     assert 0.8 < ratio < 1.25, f"JL energy ratio off: {ratio}"
+
+
+def test_target_breadth_matches_bruteforce_union(spark, sf_dir):
+    """Per-target covered bases must equal the Python set-union of
+    clipped read intervals (bedtools-coverage ground truth)."""
+    from collections import defaultdict
+
+    from pygr_spark.queries import (
+        _lineitem_ivals,
+        _order_ivals,
+        q_target_breadth,
+    )
+
+    out = {r.o_orderkey: r for r in q_target_breadth(spark, sf_dir).collect()}
+    targets = _order_ivals(spark, sf_dir).toPandas()
+    reads = _lineitem_ivals(spark, sf_dir).toPandas()
+    by_id = defaultdict(list)
+    for r in reads.itertuples():
+        by_id[r.id].append((r.start, r.stop))
+    for t in targets.itertuples():
+        bases = set()
+        n = 0
+        for (rs, re) in by_id.get(t.id, ()):
+            cs, ce = max(t.start, rs), min(t.stop, re)
+            if ce > cs:
+                n += 1
+                bases.update(range(cs, ce))
+        if n == 0:
+            assert t.o_orderkey not in out
+        else:
+            row = out[t.o_orderkey]
+            assert row.covered == len(bases)
+            assert row.n_reads == n
+            assert row.covered <= row.target_len
