@@ -8998,7 +8998,92 @@ FROM m GROUP BY 1, 2
 """
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median order quantity plus the modal
+    quantity per return flag — the robust-stats companions
+    mad_outliers doesn't cover, both EXACT: the weighted median is
+    the smallest quantity whose running weight reaches half the
+    total (2·cumw ≥ totw, the definitional form, no float midpoint);
+    the mode takes the smallest value on count ties. Quantity
+    aggregates to one row per (flag, qty) first — map-side
+    combinable — so the keyed cumulative window runs over ≤ 50
+    distinct-value rows per flag, not raw lineitems; the same
+    two-level shape as spend_gini."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("delay"),
+        cents(F.col("l_extendedprice")).alias("w"),
+    )
+    agg = li.groupBy("l_returnflag", "delay").agg(
+        F.sum("w").cast("long").alias("wsum"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    wk = Window.partitionBy("l_returnflag")
+    wcum = wk.orderBy("delay").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        agg.withColumn("cumw", F.sum("wsum").over(wcum))
+        .withColumn("totw", F.sum("wsum").over(wk))
+    )
+    med = (
+        ranked.filter(F.lit(2) * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("delay").cast("long").alias("wmedian_qty"),
+            F.max("totw").cast("long").alias("total_weight"),
+        )
+    )
+    wmode = wk.orderBy(F.col("cnt").desc(), F.col("delay"))
+    mode = (
+        agg.withColumn("_rn", F.row_number().over(wmode))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("delay").cast("long").alias("mode_qty"),
+            F.col("cnt").cast("long").alias("mode_count"),
+        )
+    )
+    return med.join(mode, "l_returnflag")
+
+
+Q_WEIGHTED_MEDIAN_SQL = """
+WITH li AS (
+  SELECT l_returnflag,
+    CAST(l_quantity AS BIGINT) AS delay,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+  FROM lineitem
+), agg AS (
+  SELECT l_returnflag, delay, CAST(sum(w) AS BIGINT) AS wsum,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM li GROUP BY 1, 2
+), ranked AS (
+  SELECT l_returnflag, delay, wsum, cnt,
+    sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY delay
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cumw,
+    sum(wsum) OVER (PARTITION BY l_returnflag) AS totw
+  FROM agg
+), med AS (
+  SELECT l_returnflag, CAST(min(delay) AS BIGINT) AS wmedian_qty,
+    CAST(max(totw) AS BIGINT) AS total_weight
+  FROM ranked WHERE 2 * cumw >= totw GROUP BY 1
+), mode AS (
+  SELECT l_returnflag, CAST(delay AS BIGINT) AS mode_qty,
+    CAST(cnt AS BIGINT) AS mode_count
+  FROM (
+    SELECT l_returnflag, delay, cnt,
+      row_number() OVER (PARTITION BY l_returnflag
+                         ORDER BY cnt DESC, delay) AS rn
+    FROM agg
+  ) WHERE rn = 1
+)
+SELECT m.l_returnflag, m.wmedian_qty, m.total_weight,
+  o.mode_qty, o.mode_count
+FROM med m JOIN mode o USING (l_returnflag)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "weighted_median": q_weighted_median,
     "target_breadth": q_target_breadth,
     "auc_metric": q_auc_metric,
     "eval_metrics": q_eval_metrics,
@@ -9182,6 +9267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "weighted_median": Q_WEIGHTED_MEDIAN_SQL,
     "target_breadth": Q_TARGET_BREADTH_SQL,
     "auc_metric": Q_AUC_METRIC_SQL,
     "eval_metrics": Q_EVAL_METRICS_SQL,

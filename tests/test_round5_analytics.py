@@ -191,3 +191,57 @@ def test_target_breadth_matches_bruteforce_union(spark, sf_dir):
             assert row.covered == len(bases)
             assert row.n_reads == n
             assert row.covered <= row.target_len
+
+
+def test_weighted_median_matches_bruteforce(spark, sf_dir):
+    """The window-based weighted median must equal the textbook
+    scan: sort values, walk cumulative weight to half the total."""
+    from pygr_spark.queries import _t, cents, q_weighted_median
+
+    out = {r.l_returnflag: r for r in q_weighted_median(spark, sf_dir).collect()}
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("q"),
+            cents(F.col("l_extendedprice")).alias("w"),
+        )
+        .toPandas()
+    )
+    for flag, g in li.groupby("l_returnflag"):
+        tot = g.w.sum()
+        cum = 0
+        med = None
+        for q, w in sorted(g.groupby("q").w.sum().items()):
+            cum += w
+            if 2 * cum >= tot:
+                med = q
+                break
+        assert out[flag].wmedian_qty == med
+        assert out[flag].total_weight == tot
+        counts = g.groupby("q").size()
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert (out[flag].mode_qty, out[flag].mode_count) == best
+
+
+def test_hll_registers_merge_like_partial_aggregates(spark):
+    """HLL mergeability — the property Spark's partial aggregation
+    exploits at scale: registers of a union stream equal the
+    register-wise MAX of the parts' registers."""
+    from pygr_spark.operators.sketches import hll_registers
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], ["item"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(500)], ["item"])
+    ra = {r.register: r.m_j for r in hll_registers(a.withColumn("g", F.lit(1)), ["g"]).collect()}
+    rb = {r.register: r.m_j for r in hll_registers(b.withColumn("g", F.lit(1)), ["g"]).collect()}
+    ru = {
+        r.register: r.m_j
+        for r in hll_registers(
+            a.unionAll(b).withColumn("g", F.lit(1)), ["g"]
+        ).collect()
+    }
+    merged = {
+        j: max(ra.get(j, 0), rb.get(j, 0))
+        for j in set(ra) | set(rb)
+    }
+    assert ru == merged
