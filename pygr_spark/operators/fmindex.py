@@ -1,0 +1,174 @@
+"""FM-index backward search on Spark DataFrames.
+
+The FM-index (Ferragina & Manzini 2000) is the compressed substring
+index behind modern read mappers (bwa, bowtie) — the contemporary
+answer to the reference's suffix-oriented sequence queries
+(cnestedlist.pyx interval queries over sequence databases;
+seqdb.py:'s random-access slices). This module builds the index as
+plain DataFrames and runs backward search as a fixed number of keyed
+joins:
+
+- ``bwt_table``: per doc, the Burrows–Wheeler transform of
+  ``seq + '$'`` ('$' < any base, the sentinel that makes rotation
+  sort = suffix sort) as (doc, i, L-char) rows, via rotation explode
+  + per-doc rank — all whole-stage codegen.
+- ``occ_table``: Occ(c, i) = count of c in L[1..i], a doc-keyed
+  cumulative window per alphabet char (4·n rows, linear).
+- ``c_table``: C[c] = count of chars < c per doc, from the char
+  histogram.
+- ``fm_count``: classic backward search — for pattern chars right to
+  left, (lo, hi) ← (C[c] + Occ(c, lo−1) + 1, C[c] + Occ(c, hi)); the
+  final ``hi − lo + 1`` is the number of occurrences. Each step is
+  ONE equi-join of the per-doc state against the occ rows at exactly
+  two positions — the pattern length bounds the join count
+  (parameter-sized driver loop, not data-sized).
+
+Scale shape: index construction is the bwt_transform rotation explode
+(O(n²) chars per doc, bounded by the block cap — the bzip2 block
+discipline); search is m keyed equi-joins touching 2 rows per doc
+each. At 100 TB the occ table would be sampled every k positions
+(the standard FM occ-checkpoint trick) — noted, not needed at block
+sizes.
+
+Emptiness propagates: once hi < lo the range stays empty because Occ
+is monotone, so no per-step branch is needed; the final count clamps
+at zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ALPHABET = ["$", "a", "c", "g", "t"]
+
+
+def bwt_table(docs: DataFrame, id_col: str = "doc_id", seq: str = "seq") -> DataFrame:
+    """(id, i, ch): the BWT of ``seq + '$'`` with 1-based rank i in
+    rotation-sorted order and ch = L[i] (the rotation's last char)."""
+    s = docs.select(
+        F.col(id_col), F.concat(F.col(seq), F.lit("$")).alias("s")
+    )
+    rots = s.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.length("s"))).alias("r"),
+        "s",
+    ).select(
+        id_col,
+        F.expr("concat(substring(s, r), substring(s, 1, r - 1))").alias(
+            "rot"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("rot")
+    return rots.select(
+        id_col,
+        F.row_number().over(w).cast("long").alias("i"),
+        F.expr("right(rot, 1)").alias("ch"),
+    )
+
+
+def occ_table(bwt: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, ch, i, occ): cumulative count of ch in L[1..i] for every
+    alphabet char — one doc-keyed window per char, unioned (4·n rows;
+    '$' is never searched so it is skipped)."""
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    parts = []
+    for c in ALPHABET[1:]:
+        parts.append(
+            bwt.withColumn(
+                "occ",
+                F.sum((F.col("ch") == c).cast("long")).over(w),
+            ).select(
+                id_col, F.lit(c).alias("c"), "i", F.col("occ").cast("long")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def c_table(bwt: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, c, c_less): per doc, the number of characters strictly
+    smaller than c in the text — the F-column offsets."""
+    hist = bwt.groupBy(id_col, "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rows = []
+    for idx, c in enumerate(ALPHABET[1:], start=1):
+        less = ALPHABET[:idx]
+        rows.append(
+            hist.filter(F.col("ch").isin(less))
+            .groupBy(id_col)
+            .agg(F.sum("n").cast("long").alias("c_less"))
+            .select(id_col, F.lit(c).alias("c"), "c_less")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def fm_count(
+    docs: DataFrame,
+    pattern: str,
+    id_col: str = "doc_id",
+    seq: str = "seq",
+) -> DataFrame:
+    """Count occurrences of ``pattern`` in every doc via backward
+    search over the DataFrame FM-index. Returns (id, n_occ) for all
+    input docs (zero-occurrence docs included)."""
+    bwt = bwt_table(docs, id_col, seq)
+    occ = occ_table(bwt, id_col)
+    ctab = c_table(bwt, id_col)
+    n = bwt.groupBy(id_col).agg(F.max("i").cast("long").alias("n"))
+    # initial range: the whole suffix array [1, n]
+    state = n.select(
+        id_col, F.lit(1).cast("long").alias("lo"), F.col("n").alias("hi")
+    )
+    for ch in reversed(pattern):
+        occ_c = occ.filter(F.col("c") == ch)
+        cc = ctab.filter(F.col("c") == ch).select(id_col, "c_less")
+        state = _occ_at(state, occ_c, F.col("lo") - 1, "occ_lo", id_col)
+        state = _occ_at(state, occ_c, F.col("hi"), "occ_hi", id_col)
+        # a doc with no ch at all has no c_table row: C defaults to 0
+        # and occ reads 0, so the range goes empty — correct
+        state = (
+            state.join(cc, id_col, "left")
+            .withColumn("_c", F.coalesce(F.col("c_less"), F.lit(0)))
+            .select(
+                id_col,
+                (F.col("_c") + F.col("occ_lo") + 1).alias("lo"),
+                (F.col("_c") + F.col("occ_hi")).alias("hi"),
+            )
+        )
+    return state.select(
+        id_col,
+        F.greatest(
+            F.col("hi") - F.col("lo") + 1, F.lit(0)
+        ).cast("long").alias("n_occ"),
+    )
+
+
+def _occ_at(
+    state: DataFrame,
+    occ_c: DataFrame,
+    pos_col,
+    out_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Left-join Occ(c, ·) at one exact position per doc; position 0
+    (or any position with no row) reads as 0."""
+    probe = occ_c.select(
+        id_col, F.col("i").alias("_pos"), F.col("occ").alias(out_col)
+    )
+    joined = state.withColumn("_pos", pos_col).join(
+        probe, [id_col, "_pos"], "left"
+    )
+    return joined.withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0)).cast("long")
+    ).drop("_pos")

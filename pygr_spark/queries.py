@@ -9082,7 +9082,48 @@ FROM med m JOIN mode o USING (l_returnflag)
 """
 
 
+def q_fm_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM-index substring counting (Ferragina–Manzini backward
+    search, the bwa/bowtie core — the modern form of the reference's
+    suffix-oriented sequence queries): build the sentinel BWT, Occ
+    rank table and C offsets per acgt-derived sequence as DataFrames
+    (operators/fmindex.py) and count 'acgt' occurrences with 4
+    LF-mapping steps — each ONE keyed equi-join probing Occ at
+    exactly two positions per doc. The oracle counts the same
+    pattern by direct (non-overlapping-safe: 'acgt' cannot overlap
+    itself) substring replacement, so any index/search bug
+    hash-mismatches. Zero-occurrence docs are emitted with 0."""
+    from pygr_spark.operators.fmindex import fm_count
+
+    docs = (
+        _spread(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq"),
+        )
+        .filter(F.length("seq").between(4, 512))
+    )
+    out = fm_count(docs, "acgt")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_occ").cast("long").alias("n_occ"),
+    )
+
+
+Q_FM_COUNT_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST((length(seq) - length(replace(seq, 'acgt', ''))) / 4 AS BIGINT)
+    AS n_occ
+FROM d WHERE length(seq) BETWEEN 4 AND 512
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "fm_count": q_fm_count,
     "weighted_median": q_weighted_median,
     "target_breadth": q_target_breadth,
     "auc_metric": q_auc_metric,
@@ -9267,6 +9308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "fm_count": Q_FM_COUNT_SQL,
     "weighted_median": Q_WEIGHTED_MEDIAN_SQL,
     "target_breadth": Q_TARGET_BREADTH_SQL,
     "auc_metric": Q_AUC_METRIC_SQL,

@@ -1,0 +1,56 @@
+"""FM-index backward search: parity with Python substring counting,
+sentinel semantics (no cyclic matches), empty-range propagation."""
+
+import pytest
+
+from pygr_spark.operators.fmindex import bwt_table, fm_count
+
+
+def _count(s: str, p: str) -> int:
+    return sum(1 for i in range(len(s) - len(p) + 1) if s[i:i + len(p)] == p)
+
+
+@pytest.mark.parametrize("pattern", ["acgt", "aa", "t", "gattaca"])
+def test_fm_count_matches_python(spark, pattern):
+    docs = spark.createDataFrame(
+        [
+            (1, "acgtacgtacgt"),
+            (2, "aaaa"),
+            (3, "acgt"),
+            (4, "tacg"),          # would match 'acgt' only cyclically
+            (5, "gattacagattaca"),
+            (6, "tttt"),
+        ],
+        ["doc_id", "seq"],
+    )
+    got = {r.doc_id: r.n_occ for r in fm_count(docs, pattern).collect()}
+    exp = {r.doc_id: _count(r.seq, pattern) for r in docs.collect()}
+    assert got == exp
+
+
+def test_sentinel_blocks_wraparound(spark):
+    """'tacg' contains 'acgt' as a rotation but not as a substring —
+    the sentinel must keep the cyclic match out."""
+    docs = spark.createDataFrame([(1, "tacg")], ["doc_id", "seq"])
+    assert fm_count(docs, "acgt").collect()[0].n_occ == 0
+
+
+def test_bwt_table_is_sentinel_bwt(spark):
+    """The L column read in rank order must be the textbook BWT of
+    seq + '$' (banana test vector: BWT('banana$') = 'annb$aa'),
+    transliterated into the acgt alphabet: BWT of 'cagaga$' with
+    a<c<g and '$' smallest = 'aggc$aa'."""
+    docs = spark.createDataFrame([(1, "cagaga")], ["doc_id", "seq"])
+    rows = sorted(bwt_table(docs).collect(), key=lambda r: r.i)
+    s = "cagaga$"
+    rots = sorted(s[i:] + s[:i] for i in range(len(s)))
+    expected = "".join(r[-1] for r in rots)
+    assert "".join(r.ch for r in rows) == expected
+
+
+def test_empty_range_propagates(spark):
+    """A pattern whose suffix never occurs must yield 0, not garbage,
+    even when earlier chars do occur."""
+    docs = spark.createDataFrame([(1, "aaaccc")], ["doc_id", "seq"])
+    assert fm_count(docs, "ga").collect()[0].n_occ == 0
+    assert fm_count(docs, "ac").collect()[0].n_occ == 1
