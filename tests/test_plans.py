@@ -456,3 +456,51 @@ def test_clustering_coeff_no_cartesian(spark, sf_dir):
     p = plan_of(QUERIES["clustering_coeff"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pwm_scan_hash_aggregates(spark, sf_dir):
+    """The packed-long argmax must hash-aggregate — max(struct) would
+    silently fall back to the spill-prone SortAggregate."""
+    p = plan_of(QUERIES["pwm_scan"](spark, sf_dir))
+    assert "SortAggregate" not in p
+    assert "HashAggregate" in p
+
+
+def test_bloom_prune_broadcasts_bits(spark, sf_dir):
+    """The ≤65536-row bit set must be the broadcast side; the
+    customer probe side must never shuffle before the hit count."""
+    p = plan_of(QUERIES["bloom_prune"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_auc_windows_all_partitioned(spark, sf_dir):
+    """The distributed prefix-sum must never use a global window:
+    every windowspec carries the partition-id key."""
+    import re
+
+    p = plan_of(QUERIES["auc_metric"](spark, sf_dir))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "pid" in spec
+
+
+def test_random_projection_is_codegen_no_python(spark, sf_dir):
+    p = plan_of(QUERIES["random_projection"](spark, sf_dir))
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+
+
+def test_fm_count_joins_are_keyed(spark, sf_dir):
+    """Backward search must run as hash joins on (doc, position) —
+    no nested-loop fallback anywhere in the 4-step LF chain."""
+    p = plan_of(QUERIES["fm_count"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_weighted_median_windows_are_flag_partitioned(spark, sf_dir):
+    import re
+
+    p = plan_of(QUERIES["weighted_median"](spark, sf_dir))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "l_returnflag" in spec
