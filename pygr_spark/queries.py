@@ -9122,7 +9122,120 @@ FROM d WHERE length(seq) BETWEEN 4 AND 512
 """
 
 
+def q_interval_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-jaccard between the order and lineitem interval sets
+    per sequence id: |A∩B| / |A∪B| over base pairs, emitted as the
+    exact integer triple (len_a, len_b, len_intersect) with
+    len_union = len_a + len_b − len_intersect by inclusion-exclusion
+    — the genome-arithmetic similarity statistic (reference analog:
+    NLMSA coverage comparisons). Each set self-merges first
+    (gap_merge per id) so lengths count DISTINCT covered bases; the
+    intersection runs the binned overlap join over the two merged
+    sets and sums clipped lengths — merged sets are disjoint within
+    id, so no double counting. One summary row per id."""
+    a = gap_merge(
+        _order_ivals(spark, sf_dir).select("id", "start", "stop"),
+        ["id"],
+        maxgap=0,
+    ).select("id", "start", "stop")
+    b = gap_merge(
+        _spread(_lineitem_ivals(spark, sf_dir)).select("id", "start", "stop"),
+        ["id"],
+        maxgap=0,
+    ).select("id", "start", "stop")
+    la = a.groupBy("id").agg(
+        F.sum(F.col("stop") - F.col("start")).cast("long").alias("len_a")
+    )
+    lb = b.groupBy("id").agg(
+        F.sum(F.col("stop") - F.col("start")).cast("long").alias("len_b")
+    )
+    ov = overlap_join(a, b, strategy="binned", bin_width=32)
+    li = ov.select(
+        "id",
+        (
+            F.least(F.col("stop"), F.col("stop_r"))
+            - F.greatest(F.col("start"), F.col("start_r"))
+        ).alias("l"),
+    ).filter(F.col("l") > 0)
+    inter = li.groupBy("id").agg(
+        F.sum("l").cast("long").alias("len_intersect")
+    )
+    return (
+        la.join(lb, "id", "full")
+        .join(inter, "id", "left")
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.coalesce("len_a", F.lit(0)).cast("long").alias("len_a"),
+            F.coalesce("len_b", F.lit(0)).cast("long").alias("len_b"),
+            F.coalesce("len_intersect", F.lit(0)).cast("long").alias(
+                "len_intersect"
+            ),
+            (
+                F.coalesce("len_a", F.lit(0))
+                + F.coalesce("len_b", F.lit(0))
+                - F.coalesce("len_intersect", F.lit(0))
+            ).cast("long").alias("len_union"),
+        )
+    )
+
+
+Q_INTERVAL_JACCARD_SQL = f"""
+WITH ta AS ({_ORDER_IVALS_SQL}),
+tb AS ({_LINEITEM_IVALS_SQL}),
+ma AS (
+  SELECT id, isl, min(start) AS start, max(stop) AS stop FROM (
+    SELECT id, start, stop,
+      sum(CASE WHEN prev_max IS NULL OR start > prev_max THEN 1 ELSE 0 END)
+        OVER (PARTITION BY id ORDER BY start, stop, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM (
+      SELECT id, start, stop, o_orderkey,
+        max(stop) OVER (PARTITION BY id ORDER BY start, stop, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM ta
+    )
+  ) GROUP BY 1, 2
+), mb AS (
+  SELECT id, isl, min(start) AS start, max(stop) AS stop FROM (
+    SELECT id, start, stop,
+      sum(CASE WHEN prev_max IS NULL OR start > prev_max THEN 1 ELSE 0 END)
+        OVER (PARTITION BY id
+              ORDER BY start, stop, l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM (
+      SELECT id, start, stop, l_orderkey, l_linenumber,
+        max(stop) OVER (PARTITION BY id
+          ORDER BY start, stop, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM tb
+    )
+  ) GROUP BY 1, 2
+), la AS (
+  SELECT id, CAST(sum(stop - start) AS BIGINT) AS len_a FROM ma GROUP BY 1
+), lb AS (
+  SELECT id, CAST(sum(stop - start) AS BIGINT) AS len_b FROM mb GROUP BY 1
+), inter AS (
+  SELECT a.id,
+    CAST(sum(least(a.stop, b.stop) - greatest(a.start, b.start)) AS BIGINT)
+      AS len_intersect
+  FROM ma a JOIN mb b
+    ON a.id = b.id AND a.start < b.stop AND b.start < a.stop
+  WHERE least(a.stop, b.stop) > greatest(a.start, b.start)
+  GROUP BY 1
+)
+SELECT CAST(COALESCE(la.id, lb.id) AS BIGINT) AS id,
+  CAST(COALESCE(la.len_a, 0) AS BIGINT) AS len_a,
+  CAST(COALESCE(lb.len_b, 0) AS BIGINT) AS len_b,
+  CAST(COALESCE(i.len_intersect, 0) AS BIGINT) AS len_intersect,
+  CAST(COALESCE(la.len_a, 0) + COALESCE(lb.len_b, 0)
+       - COALESCE(i.len_intersect, 0) AS BIGINT) AS len_union
+FROM la FULL OUTER JOIN lb ON la.id = lb.id
+LEFT JOIN inter i ON COALESCE(la.id, lb.id) = i.id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "interval_jaccard": q_interval_jaccard,
     "fm_count": q_fm_count,
     "weighted_median": q_weighted_median,
     "target_breadth": q_target_breadth,
@@ -9308,6 +9421,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "interval_jaccard": Q_INTERVAL_JACCARD_SQL,
     "fm_count": Q_FM_COUNT_SQL,
     "weighted_median": Q_WEIGHTED_MEDIAN_SQL,
     "target_breadth": Q_TARGET_BREADTH_SQL,

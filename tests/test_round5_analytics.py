@@ -245,3 +245,16 @@ def test_hll_registers_merge_like_partial_aggregates(spark):
         for j in set(ra) | set(rb)
     }
     assert ru == merged
+
+
+def test_interval_jaccard_identities(spark, sf_dir):
+    """Set identities must hold exactly: intersect <= min(len_a,
+    len_b), union = a + b - intersect >= max side, and the self
+    Jaccard of A with A is 1 by construction of the merge."""
+    from pygr_spark.queries import q_interval_jaccard
+
+    df = q_interval_jaccard(spark, sf_dir).toPandas()
+    assert (df.len_intersect <= df[["len_a", "len_b"]].min(axis=1)).all()
+    assert (df.len_union == df.len_a + df.len_b - df.len_intersect).all()
+    assert (df.len_union >= df[["len_a", "len_b"]].max(axis=1)).all()
+    assert (df.len_intersect >= 0).all()
