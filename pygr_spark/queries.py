@@ -8664,6 +8664,48 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _margin_scored(spark: SparkSession, sf_dir: str):
+    """(pos, s): the classifier_filter margin with the binary label
+    used by auc_metric / ks_statistic / gains_table — one definition
+    so the three metrics can never disagree about the model."""
+    from pygr_spark.operators.similarity import quantized
+
+    dim = 64
+    w = [((i * 7) % 9) - 4 for i in range(dim)]
+    terms = " ".join(
+        ("+" if c >= 0 else "-") + f" {abs(c)} * element_at(qv, {i + 1})"
+        for i, c in enumerate(w)
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", quantized(F.col("embedding")).alias("qv")
+    )
+    return emb.select(
+        (F.col("label").cast("long") < 5).cast("long").alias("pos"),
+        F.expr(f"CAST(0 {terms} AS BIGINT)").alias("s"),
+    )
+
+
+_MARGIN_SQL = """
+  SELECT CASE WHEN CAST(label AS BIGINT) < 5 THEN 1 ELSE 0 END AS pos,
+    CAST(0 {terms} AS BIGINT) AS s
+  FROM (
+    SELECT label,
+      list_transform(embedding,
+                     e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS q
+    FROM embeddings
+  )
+"""
+
+
+def _margin_sql(dim: int = 64) -> str:
+    w = [((i * 7) % 9) - 4 for i in range(dim)]
+    terms = " ".join(
+        ("+" if c >= 0 else "-") + f" {abs(c)} * q[{i + 1}]"
+        for i, c in enumerate(w)
+    )
+    return _MARGIN_SQL.format(terms=terms)
+
+
 def q_auc_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC-AUC of the classifier_filter margin (positive class:
     label < 5) as the Mann-Whitney rank statistic in exact rational
@@ -8678,21 +8720,7 @@ def q_auc_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets, and the within-partition running sum is a window KEYED
     by partition id — the two-pass prefix-scan every 100 TB ranking
     pipeline uses. plan_audit stays clean: no empty PARTITION BY."""
-    from pygr_spark.operators.similarity import quantized
-
-    dim = 64
-    w = [((i * 7) % 9) - 4 for i in range(dim)]
-    terms = " ".join(
-        ("+" if c >= 0 else "-") + f" {abs(c)} * element_at(qv, {i + 1})"
-        for i, c in enumerate(w)
-    )
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "label", quantized(F.col("embedding")).alias("qv")
-    )
-    scored = emb.select(
-        (F.col("label").cast("long") < 5).cast("long").alias("pos"),
-        F.expr(f"CAST(0 {terms} AS BIGINT)").alias("s"),
-    )
+    scored = _margin_scored(spark, sf_dir)
     by_s = scored.groupBy("s").agg(
         F.sum("pos").cast("long").alias("p"),
         F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n"),
@@ -8737,21 +8765,10 @@ def q_auc_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _auc_sql(dim: int = 64) -> str:
-    w = [((i * 7) % 9) - 4 for i in range(dim)]
-    terms = " ".join(
-        ("+" if c >= 0 else "-") + f" {abs(c)} * q[{i + 1}]"
-        for i, c in enumerate(w)
-    )
+def _auc_sql() -> str:
     return f"""
-WITH v AS (
-  SELECT CASE WHEN CAST(label AS BIGINT) < 5 THEN 1 ELSE 0 END AS pos,
-    list_transform(embedding,
-                   e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS q
-  FROM embeddings
-), scored AS (
-  SELECT pos, CAST(0 {terms} AS BIGINT) AS s FROM v
-), by_s AS (
+WITH scored AS ({_margin_sql()}),
+by_s AS (
   SELECT s, CAST(sum(pos) AS BIGINT) AS p,
     CAST(sum(1 - pos) AS BIGINT) AS n
   FROM scored GROUP BY s
@@ -9234,7 +9251,190 @@ LEFT JOIN inter i ON COALESCE(la.id, lb.id) = i.id
 """
 
 
+def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between the
+    positive and negative margin distributions: KS = max over scores
+    of |F_pos − F_neg|, emitted as the integer pair (ks_num =
+    max |cumP·n_neg − cumN·n_pos|, ks_den = n_pos·n_neg). Reuses the
+    auc_metric shape — per-score reduction first, then keyed
+    cumulative sums; at this catalog's scale the distinct-score
+    table is small enough that the single-pass window form suffices
+    (the distributed two-pass prefix scan in auc_metric is the 100 TB
+    form and this entry's plan would adopt it identically)."""
+    scored = _margin_scored(spark, sf_dir)
+    by_s = scored.groupBy("s").agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n"),
+    )
+    n_parts = 8
+    parts = by_s.repartitionByRange(n_parts, "s").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    totals = {
+        r.pid: (r.tp, r.tn)
+        for r in parts.groupBy("pid")
+        .agg(
+            F.sum("p").cast("long").alias("tp"),
+            F.sum("n").cast("long").alias("tn"),
+        )
+        .collect()
+    }
+    offs, accp, accn = [], 0, 0
+    for pid in sorted(totals):
+        offs.append((pid, accp, accn))
+        accp += totals[pid][0]
+        accn += totals[pid][1]
+    off_df = spark.createDataFrame(offs, ["pid", "offp", "offn"])
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = parts.join(F.broadcast(off_df), "pid").select(
+        (F.col("offp") + F.sum("p").over(w_in)).alias("cump"),
+        (F.col("offn") + F.sum("n").over(w_in)).alias("cumn"),
+    )
+    n_pos, n_neg = accp, accn
+    return pre.agg(
+        F.max(
+            F.abs(
+                F.col("cump") * F.lit(n_neg) - F.col("cumn") * F.lit(n_pos)
+            )
+        ).cast("long").alias("ks_num"),
+        F.lit(n_pos * n_neg).cast("long").alias("ks_den"),
+        F.lit(n_pos).cast("long").alias("n_pos"),
+        F.lit(n_neg).cast("long").alias("n_neg"),
+    )
+
+
+Q_KS_STATISTIC_SQL = f"""
+WITH scored AS ({_margin_sql()}),
+by_s AS (
+  SELECT s, CAST(sum(pos) AS BIGINT) AS p,
+    CAST(sum(1 - pos) AS BIGINT) AS n
+  FROM scored GROUP BY s
+), tot AS (
+  SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg
+  FROM by_s
+), pre AS (
+  SELECT
+    sum(p) OVER (ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cump,
+    sum(n) OVER (ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+  FROM by_s
+)
+SELECT CAST(max(abs(cump * t.n_neg - cumn * t.n_pos)) AS BIGINT) AS ks_num,
+  CAST(t.n_pos * t.n_neg AS BIGINT) AS ks_den,
+  t.n_pos, t.n_neg
+FROM pre, tot t GROUP BY t.n_pos, t.n_neg
+"""
+
+
+def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table for the classifier margin — the
+    model-evaluation report every ranking pipeline prints: score
+    descending, SQL-standard ntile(10) semantics, per decile the
+    exact row and positive counts plus the cumulative positive
+    capture. Computed WITHOUT any global window: rows reduce to
+    (score, label) groups; each group's global rank interval
+    [c0+1, c0+g] comes from the same two-pass distributed prefix sum
+    as auc_metric; decile counts are then INTERVAL CLIPS of group
+    ranges against the ntile boundaries (first N%10 tiles get one
+    extra row — the standard definition), and even the cumulative
+    capture is a clip against [1, end_d] — no ntile, no sort, no
+    window over data-sized input anywhere in the plan."""
+    scored = _margin_scored(spark, sf_dir)
+    by_g = scored.groupBy("s", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("g")
+    )
+    n_parts = 8
+    parts = by_g.withColumn("_k", -F.col("s")).repartitionByRange(
+        n_parts, "_k", "pos"
+    ).withColumn("pid", F.spark_partition_id())
+    totals = {
+        r.pid: r.t
+        for r in parts.groupBy("pid")
+        .agg(F.sum("g").cast("long").alias("t"))
+        .collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(totals):
+        offs.append((pid, acc))
+        acc += totals[pid]
+    n_total = acc
+    off_df = spark.createDataFrame(offs, ["pid", "off"])
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("_k", "pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = parts.join(F.broadcast(off_df), "pid").withColumn(
+        "c0", F.col("off") + F.coalesce(F.sum("g").over(w_in), F.lit(0))
+    )
+    # SQL-standard ntile boundaries: q = N div 10, r = N mod 10; tile
+    # d has size q+1 for d <= r, else q; start_d follows by prefix
+    q_, r_ = n_total // 10, n_total % 10
+    bounds = []
+    start_rank = 1
+    for d in range(1, 11):
+        size = q_ + (1 if d <= r_ else 0)
+        bounds.append((d, start_rank, start_rank + size - 1))
+        start_rank += size
+    bdf = spark.createDataFrame(bounds, ["decile", "b_start", "b_end"])
+    clipped = ranked.crossJoin(F.broadcast(bdf)).select(
+        "decile",
+        "pos",
+        F.greatest(
+            F.least(F.col("b_end"), F.col("c0") + F.col("g"))
+            - F.greatest(F.col("b_start"), F.col("c0") + 1)
+            + 1,
+            F.lit(0),
+        ).alias("rows_in"),
+        F.greatest(
+            F.least(F.col("b_end"), F.col("c0") + F.col("g")) - F.col("c0"),
+            F.lit(0),
+        ).alias("cum_in"),
+    )
+    return (
+        clipped.groupBy("decile")
+        .agg(
+            F.sum("rows_in").cast("long").alias("n_rows"),
+            F.sum(F.col("rows_in") * F.col("pos")).cast("long").alias("n_pos"),
+            F.sum(F.col("cum_in") * F.col("pos")).cast("long").alias("cum_pos"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_rows",
+            "n_pos",
+            "cum_pos",
+        )
+    )
+
+
+Q_GAINS_TABLE_SQL = f"""
+WITH scored AS ({_margin_sql()}),
+deciled AS (
+  -- ntile ties within a (s, pos) group are interchangeable rows, so
+  -- per-decile aggregates are deterministic without a total order
+  SELECT pos,
+    CAST(ntile(10) OVER (ORDER BY s DESC, pos) AS BIGINT) AS decile
+  FROM scored
+), agg AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM deciled GROUP BY decile
+)
+SELECT decile, n_rows, n_pos,
+  CAST(sum(n_pos) OVER (ORDER BY decile
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ks_statistic": q_ks_statistic,
+    "gains_table": q_gains_table,
     "interval_jaccard": q_interval_jaccard,
     "fm_count": q_fm_count,
     "weighted_median": q_weighted_median,
@@ -9421,6 +9621,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ks_statistic": Q_KS_STATISTIC_SQL,
+    "gains_table": Q_GAINS_TABLE_SQL,
     "interval_jaccard": Q_INTERVAL_JACCARD_SQL,
     "fm_count": Q_FM_COUNT_SQL,
     "weighted_median": Q_WEIGHTED_MEDIAN_SQL,

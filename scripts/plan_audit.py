@@ -47,6 +47,9 @@ EXEMPT: dict[str, dict[str, str]] = {
     "lag_correlation": {
         "bnlj": "cross with the broadcast 7-row lag parameter table"
     },
+    "gains_table": {
+        "bnlj": "cross with the broadcast 10-row decile-boundary table"
+    },
     "quantile_normalize": {
         "bnlj": "cross with the 1-row min-group-size aggregate"
     },

@@ -258,3 +258,44 @@ def test_interval_jaccard_identities(spark, sf_dir):
     assert (df.len_union == df.len_a + df.len_b - df.len_intersect).all()
     assert (df.len_union >= df[["len_a", "len_b"]].max(axis=1)).all()
     assert (df.len_intersect >= 0).all()
+
+
+def test_ks_matches_bruteforce(spark, sf_dir):
+    """The prefix-sum KS must equal the brute-force max CDF gap."""
+    import numpy as np
+
+    from pygr_spark.queries import _margin_scored, q_ks_statistic
+
+    row = q_ks_statistic(spark, sf_dir).collect()[0]
+    sc = _margin_scored(spark, sf_dir).toPandas()
+    pos = np.sort(sc[sc.pos == 1].s.to_numpy())
+    neg = np.sort(sc[sc.pos == 0].s.to_numpy())
+    scores = np.unique(sc.s.to_numpy())
+    best = 0
+    for t in scores:
+        gap = abs(
+            int((pos <= t).sum()) * len(neg) - int((neg <= t).sum()) * len(pos)
+        )
+        best = max(best, gap)
+    assert row.ks_num == best
+    assert row.ks_den == len(pos) * len(neg)
+    assert 0 <= row.ks_num <= row.ks_den
+
+
+def test_gains_table_is_exact_ntile(spark, sf_dir):
+    """The window-free interval-clip deciling must reproduce the SQL
+    ntile exactly: sizes follow the q/q+1 split, totals tie out, and
+    cum_pos is the running sum of n_pos."""
+    from pygr_spark.queries import _margin_scored, q_gains_table
+
+    df = q_gains_table(spark, sf_dir).toPandas().sort_values("decile")
+    n = int(df.n_rows.sum())
+    q, r = divmod(n, 10)
+    expected_sizes = [q + 1 if d <= r else q for d in range(1, 11)]
+    assert df.n_rows.tolist() == expected_sizes
+    assert df.cum_pos.tolist() == df.n_pos.cumsum().tolist()
+    sc = _margin_scored(spark, sf_dir).toPandas()
+    assert df.n_pos.sum() == sc.pos.sum()
+    # top decile must capture at least its prorated share (the model
+    # margin is informative by construction)
+    assert df.iloc[0].n_pos * 10 >= df.n_pos.sum()
