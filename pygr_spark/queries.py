@@ -9432,7 +9432,192 @@ FROM agg
 """
 
 
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent-itemset mining, step 3 (Agrawal/Srikant):
+    frequent TRIPLES from frequent pairs — candidates are generated
+    by joining frequent pairs sharing a prefix item ((a,b)+(a,c) →
+    (a,b,c), the classic candidate-generation join), pruned by the
+    a-priori property (the third sub-pair (b,c) must itself be
+    frequent) BEFORE any support counting, then verified against the
+    capped baskets with one 3-way membership join. The pruning is
+    the scale lever: candidate count is bounded by frequent-pair
+    fan-out, never by C(items,3). Same basket cap and min-support
+    discipline as copurchase, mirrored in the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    # category id stand-in: this testdata has no p_brand/p_type
+    # column, so a modulus hash plays the category role — raw part
+    # keys are too sparse for any triple to repeat (verified: zero
+    # support-3 triples corpus-wide at part granularity)
+    items = li.select(
+        F.col("l_orderkey").alias("b"),
+        (F.col("l_partkey") % 500).alias("i"),
+    ).distinct()
+    sized = items.withColumn(
+        "_bsz", F.count(F.lit(1)).over(Window.partitionBy("b"))
+    ).filter(F.col("_bsz") <= 50).select("b", "i")
+    min_sup = 3
+    pairs = (
+        sized.alias("x")
+        .join(sized.alias("y"), "b")
+        .filter(F.col("x.i") < F.col("y.i"))
+        .groupBy(F.col("x.i").alias("p"), F.col("y.i").alias("q"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_sup)
+    )
+    # candidate generation: (a,b) + (a,c) with b < c → (a,b,c)
+    cand = (
+        pairs.alias("ab")
+        .join(pairs.alias("ac"), F.col("ab.p") == F.col("ac.p"))
+        .filter(F.col("ab.q") < F.col("ac.q"))
+        .select(
+            F.col("ab.p").alias("a"),
+            F.col("ab.q").alias("bb"),
+            F.col("ac.q").alias("c"),
+        )
+    )
+    # a-priori prune: (b, c) must be frequent too
+    bc = pairs.select(F.col("p").alias("bb"), F.col("q").alias("c"))
+    cand = cand.join(bc, ["bb", "c"])
+    # support count: generate WITHIN-BASKET triples (bounded by the
+    # basket cap, C(50,3) worst case, ~C(7,3) typical) and semi-join
+    # them against the pruned candidates BEFORE the count shuffle —
+    # the distributed a-priori discipline. Joining candidates to
+    # baskets item-first instead fans each candidate out to every
+    # basket containing its first item (measured: minutes at sf0.1);
+    # basket-first generation is linear in baskets times the capped
+    # in-basket triple count.
+    t3 = (
+        sized.alias("x")
+        .join(sized.alias("y"), "b")
+        .filter(F.col("x.i") < F.col("y.i"))
+        .join(sized.alias("z"), "b")
+        .filter(F.col("y.i") < F.col("z.i"))
+        .select(
+            F.col("x.i").alias("a"),
+            F.col("y.i").alias("bb"),
+            F.col("z.i").alias("c"),
+        )
+    )
+    sup = (
+        t3.join(cand, ["a", "bb", "c"], "left_semi")
+        .groupBy("a", "bb", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_sup)
+    )
+    return sup.select(
+        F.col("a").cast("long").alias("item_a"),
+        F.col("bb").cast("long").alias("item_b"),
+        F.col("c").cast("long").alias("item_c"),
+        "support",
+    )
+
+
+Q_FREQUENT_TRIPLES_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey % 500 AS i FROM lineitem
+), sized AS (
+  SELECT b, i FROM (
+    SELECT b, i, count(*) OVER (PARTITION BY b) AS bsz FROM items
+  ) WHERE bsz <= 50
+), pairs AS (
+  SELECT x.i AS p, y.i AS q, CAST(count(*) AS BIGINT) AS n
+  FROM sized x JOIN sized y ON x.b = y.b AND x.i < y.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), cand AS (
+  SELECT ab.p AS a, ab.q AS bb, ac.q AS c
+  FROM pairs ab JOIN pairs ac ON ab.p = ac.p AND ab.q < ac.q
+  JOIN pairs bc ON bc.p = ab.q AND bc.q = ac.q
+), t3 AS (
+  SELECT x.i AS a, y.i AS bb, z.i AS c
+  FROM sized x
+  JOIN sized y ON x.b = y.b AND x.i < y.i
+  JOIN sized z ON y.b = z.b AND y.i < z.i
+)
+SELECT CAST(t.a AS BIGINT) AS item_a, CAST(t.bb AS BIGINT) AS item_b,
+  CAST(t.c AS BIGINT) AS item_c, CAST(count(*) AS BIGINT) AS support
+FROM t3 t SEMI JOIN cand ON t.a = cand.a AND t.bb = cand.bb AND t.c = cand.c
+GROUP BY 1, 2, 3 HAVING count(*) >= 3
+"""
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CUSUM changepoint per event type (Page 1954): the split
+    position k maximizing |n·S_k − k·S_n| — the integer
+    cross-multiplied form of the mean-shift statistic
+    |S_k − k·μ|, so no float crosses the gate. Events reduce to
+    per-type ordered cents with a keyed prefix sum; the argmax packs
+    (stat, −k) into max(struct)-free integers the same way pwm_scan
+    does. Per-type total order — the equidepth_hist shape, range-sort
+    per key at scale."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        "ts_sec",
+        cents(F.col("value")).alias("c"),
+    )
+    word = Window.partitionBy("event_type").orderBy("ts_sec", "event_id")
+    wk = Window.partitionBy("event_type")
+    pre = (
+        ev.withColumn("k", F.row_number().over(word).cast("long"))
+        .withColumn(
+            "s_k",
+            F.sum("c").over(word.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wk).cast("long"))
+        .withColumn("s_n", F.sum("c").over(wk))
+    )
+    stat = pre.select(
+        "event_type",
+        "k",
+        F.abs(
+            F.col("n") * F.col("s_k") - F.col("k") * F.col("s_n")
+        ).alias("dev"),
+    )
+    # dev reaches ~n·|S_n| (≈2e13 at sf0.1) so the packed-long argmax
+    # trick would overflow; argmax = plain max + equi-join-back +
+    # min-k instead — two hash aggregates, no SortAggregate, no risk
+    best = stat.groupBy("event_type").agg(F.max("dev").alias("dev"))
+    return (
+        stat.join(best, ["event_type", "dev"])
+        .groupBy("event_type")
+        .agg(
+            F.min("k").cast("long").alias("cp_k"),
+            F.max("dev").cast("long").alias("cusum_dev"),
+        )
+    )
+
+
+Q_CUSUM_SQL = """
+WITH e AS (
+  SELECT event_type, event_id,
+    epoch_ns(ts) // 1000000000 AS ts_sec,
+    CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), pre AS (
+  SELECT event_type,
+    CAST(row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts_sec, event_id) AS BIGINT) AS k,
+    sum(c) OVER (PARTITION BY event_type ORDER BY ts_sec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k,
+    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+    sum(c) OVER (PARTITION BY event_type) AS s_n
+  FROM e
+), stat AS (
+  SELECT event_type, k, abs(n * s_k - k * s_n) AS dev FROM pre
+), ranked AS (
+  SELECT event_type, k, dev,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY dev DESC, k) AS rn
+  FROM stat
+)
+SELECT event_type, CAST(k AS BIGINT) AS cp_k, CAST(dev AS BIGINT) AS cusum_dev
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "frequent_triples": q_frequent_triples,
+    "cusum_changepoint": q_cusum_changepoint,
     "ks_statistic": q_ks_statistic,
     "gains_table": q_gains_table,
     "interval_jaccard": q_interval_jaccard,
@@ -9621,6 +9806,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "frequent_triples": Q_FREQUENT_TRIPLES_SQL,
+    "cusum_changepoint": Q_CUSUM_SQL,
     "ks_statistic": Q_KS_STATISTIC_SQL,
     "gains_table": Q_GAINS_TABLE_SQL,
     "interval_jaccard": Q_INTERVAL_JACCARD_SQL,

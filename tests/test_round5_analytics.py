@@ -299,3 +299,56 @@ def test_gains_table_is_exact_ntile(spark, sf_dir):
     # top decile must capture at least its prorated share (the model
     # margin is informative by construction)
     assert df.iloc[0].n_pos * 10 >= df.n_pos.sum()
+
+
+def test_frequent_triples_apriori_consistency(spark, sf_dir):
+    """Downward closure: every sub-pair of a frequent triple must be
+    frequent with support >= the triple's support."""
+    from pygr_spark.queries import _t, q_frequent_triples
+
+    triples = q_frequent_triples(spark, sf_dir).collect()
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("b"), (F.col("l_partkey") % 500).alias("i")
+    ).distinct().toPandas()
+    baskets = li.groupby("b").i.apply(frozenset)
+    from collections import Counter
+
+    pair_sup = Counter()
+    for bs in baskets:
+        if len(bs) > 50:
+            continue
+        items = sorted(bs)
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                pair_sup[(items[x], items[y])] += 1
+    for t in triples:
+        a, b_, c = t.item_a, t.item_b, t.item_c
+        assert a < b_ < c
+        for p in [(a, b_), (a, c), (b_, c)]:
+            assert pair_sup[p] >= t.support >= 3
+        exact = sum(
+            1 for bs in baskets if len(bs) <= 50 and {a, b_, c} <= bs
+        )
+        assert exact == t.support
+
+
+def test_cusum_matches_bruteforce(spark, sf_dir):
+    """The windowed CUSUM argmax must equal a per-type Python scan."""
+    from pygr_spark.queries import q_cusum_changepoint, read_events, cents
+
+    out = {r.event_type: r for r in q_cusum_changepoint(spark, sf_dir).collect()}
+    ev = (
+        read_events(spark, sf_dir)
+        .select("event_type", "event_id", "ts_sec", cents(F.col("value")).alias("c"))
+        .toPandas()
+        .sort_values(["event_type", "ts_sec", "event_id"])
+    )
+    for typ, g in ev.groupby("event_type"):
+        c = g.c.to_numpy()
+        n = len(c)
+        s = c.cumsum()
+        dev = abs(n * s - (1 + __import__("numpy").arange(n)) * s[-1])
+        best_dev = int(dev.max())
+        best_k = int(dev.argmax()) + 1
+        assert out[typ].cusum_dev == best_dev
+        assert out[typ].cp_k == best_k
