@@ -9615,7 +9615,98 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_overlap_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLC-assembly overlap detection (the O of overlap–layout–
+    consensus, the reference's assembly-adjacent use case): find all
+    ordered pairs (a, b) where a SUFFIX of a equals a PREFIX of b of
+    length ≥ 12 (≤ 64), reporting each pair's maximum overlap. The
+    anchor is b's first 12-gram equi-joined against a's last-64-window
+    12-grams (≤ 53 positions per doc — bounded fan-out, one shuffle);
+    the implied overlap length L = len_a − p + 1 is then verified by
+    ONE codegen substring compare (right(a, L) = left(b, L)), and
+    max L wins per pair. No all-pairs compare anywhere: candidate
+    volume is anchor-collision-bound, the seed_homology discipline."""
+    docs = (
+        _spread(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq"),
+        )
+        .filter(F.length("seq") >= 12)
+    )
+    k, max_l = 12, 64
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("seq").alias("seq_a"),
+        F.length("seq").alias("len_a"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.length("seq") - max_l + 1, F.lit(1)),
+                F.length("seq") - k + 1,
+            )
+        ).alias("p"),
+    ).select(
+        "id_a",
+        "seq_a",
+        "len_a",
+        "p",
+        F.expr(f"substring(seq_a, p, {k})").alias("g"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("seq").alias("seq_b"),
+        F.length("seq").alias("len_b"),
+        F.expr(f"substring(seq, 1, {k})").alias("g"),
+    )
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("olap", F.col("len_a") - F.col("p") + 1)
+        .filter(F.col("olap") <= F.col("len_b"))
+        .filter(
+            F.expr("substring(seq_a, p) = substring(seq_b, 1, olap)")
+        )
+    )
+    return (
+        cand.groupBy("id_a", "id_b")
+        .agg(F.max("olap").cast("long").alias("max_overlap"))
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            "max_overlap",
+        )
+    )
+
+
+Q_OVERLAP_LAYOUT_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+  FROM documents
+), ok AS (
+  SELECT doc_id, seq, length(seq) AS n FROM d WHERE length(seq) >= 12
+), a AS (
+  SELECT doc_id AS id_a, seq AS seq_a, n AS len_a,
+    CAST(u.p AS BIGINT) AS p,
+    substr(seq, CAST(u.p AS INT), 12) AS g
+  FROM ok, unnest(range(greatest(n - 63, 1), n - 10)) AS u(p)
+), b AS (
+  SELECT doc_id AS id_b, seq AS seq_b, n AS len_b,
+    substr(seq, 1, 12) AS g
+  FROM ok
+), cand AS (
+  SELECT id_a, id_b, len_a - p + 1 AS olap
+  FROM a JOIN b USING (g)
+  WHERE id_a != id_b AND len_a - p + 1 <= len_b
+    AND substr(seq_a, CAST(p AS INT)) = substr(seq_b, 1, CAST(len_a - p + 1 AS INT))
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+  CAST(max(olap) AS BIGINT) AS max_overlap
+FROM cand GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "overlap_layout": q_overlap_layout,
     "frequent_triples": q_frequent_triples,
     "cusum_changepoint": q_cusum_changepoint,
     "ks_statistic": q_ks_statistic,
@@ -9806,6 +9897,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "overlap_layout": Q_OVERLAP_LAYOUT_SQL,
     "frequent_triples": Q_FREQUENT_TRIPLES_SQL,
     "cusum_changepoint": Q_CUSUM_SQL,
     "ks_statistic": Q_KS_STATISTIC_SQL,
