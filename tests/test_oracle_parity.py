@@ -94,3 +94,25 @@ def test_oracle_parity(spark, sf_dir, name):
         (a, b) for a, b in zip(s_rows, o_rows) if a != b
     ][:5]
     assert not mismatches, f"{name}: first mismatches {mismatches}"
+
+
+def test_catalog_registry_invariants():
+    """Registry hygiene the driver depends on: every oracle key has a
+    query, every query is a callable with the (spark, sf_dir)
+    signature, names are snake_case, and the rows-only set (entries
+    deliberately without an oracle) stays the documented pair — any
+    new oracle-less entry must be an explicit decision, not an
+    oversight."""
+    import inspect
+    import re
+
+    from pygr_spark.queries import ORACLES, QUERIES
+
+    assert set(ORACLES) <= set(QUERIES)
+    assert set(QUERIES) - set(ORACLES) == {"approx_aggs", "media_real_decode"}
+    for name, fn in QUERIES.items():
+        assert re.fullmatch(r"[a-z0-9_]+", name), name
+        assert callable(fn), name
+        assert len(inspect.signature(fn).parameters) == 2, name
+    for name, sql in ORACLES.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
