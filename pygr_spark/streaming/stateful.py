@@ -179,6 +179,7 @@ def cdc_apply_stream(
     spark,
     sf_dir: str,
     n_source_files: int = 4,
+    work_dir: str | None = None,
 ) -> tuple[DataFrame, int]:
     """Streaming CDC apply through a ``foreachBatch`` upsert sink —
     the merge-into pattern (reference analog: sqlgraph.py's
@@ -190,12 +191,16 @@ def cdc_apply_stream(
     ``max(struct(ts, event_id))`` plus a running version count.
 
     The merge is associative and commutative (max + sum), so the
-    drained state is independent of file admission order — that is
-    what makes the sink restart-safe: re-processing a batch after a
-    checkpointed failure re-derives the same aggregates. State
-    versions are written as parquet (v0, v1, …) with a
-    driver-tracked current pointer, the plain-filesystem stand-in
-    for a transactional table format's MERGE.
+    drained state is independent of file admission order. State
+    versions are written as parquet (v<batch_id>) with the current
+    pointer persisted to ``<work>/_current`` — the plain-filesystem
+    stand-in for a transactional table format's MERGE log. The
+    durable pointer plus the streaming checkpoint make the sink
+    RESUMABLE: relaunching with the same ``work_dir`` reads the
+    pointer back, the checkpoint admits only unprocessed files, and
+    already-applied batches are never re-merged (a re-run over a
+    fully drained source is a no-op returning the same state —
+    tested).
 
     Scale shape: each micro-batch shuffles only ITS keys (map-side
     combined) and joins against the state table on the key — at
@@ -208,20 +213,25 @@ def cdc_apply_stream(
 
     from pyspark.sql import functions as F
 
-    work = tempfile.mkdtemp(prefix="pygr_spark_cdc_")
+    work = work_dir or tempfile.mkdtemp(prefix="pygr_spark_cdc_")
+    os.makedirs(work, exist_ok=True)
     src_dir = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
+    pointer = os.path.join(work, "_current")
 
-    # deterministic multi-file split of the single driver parquet
+    # deterministic multi-file split of the single driver parquet —
+    # skipped on resume (the split must stay byte-stable so the
+    # checkpointed file log remains valid)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pygr_spark.streaming.events import normalize_event_ts
 
-    base = normalize_event_ts(
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    )
-    base.repartitionByRange(n_source_files, "event_id").write.mode(
-        "overwrite"
-    ).parquet(src_dir)
+    if not os.path.isdir(src_dir):
+        base = normalize_event_ts(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        )
+        base.repartitionByRange(n_source_files, "event_id").write.mode(
+            "overwrite"
+        ).parquet(src_dir)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src_dir).schema)
@@ -230,6 +240,11 @@ def cdc_apply_stream(
     )
 
     current: dict[str, str | None] = {"path": None, "batches": 0}
+    if os.path.isfile(pointer):
+        with open(pointer) as fh:
+            prior_path, prior_batches = fh.read().split("\n")[:2]
+        current["path"] = prior_path or None
+        current["batches"] = int(prior_batches)
 
     def apply_batch(bdf: DataFrame, bid: int) -> None:
         upd = (
@@ -280,7 +295,11 @@ def cdc_apply_stream(
         old = current["path"]
         current["path"] = vpath
         current["batches"] += 1
-        if old is not None:
+        # durable pointer BEFORE deleting the old version: a crash
+        # between the two leaves a valid pointer either way
+        with open(pointer, "w") as fh:
+            fh.write(f"{vpath}\n{current['batches']}\n")
+        if old is not None and old != vpath:
             shutil.rmtree(old, ignore_errors=True)
 
     q = (

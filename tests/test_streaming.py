@@ -225,3 +225,19 @@ def test_cdc_apply_state_independent_of_batch_split(spark, sf_dir):
     rows_a = sorted(map(tuple, a.collect()))
     rows_b = sorted(map(tuple, b.collect()))
     assert rows_a == rows_b
+
+
+def test_cdc_apply_resume_is_noop(spark, sf_dir, tmp_path):
+    """Relaunching the CDC sink with the same work dir must read the
+    durable pointer + checkpoint, admit zero new files, merge
+    nothing, and return the identical state table."""
+    from pygr_spark.streaming.stateful import cdc_apply_stream
+
+    work = str(tmp_path / "cdc")
+    first, n1 = cdc_apply_stream(spark, sf_dir, n_source_files=3, work_dir=work)
+    rows1 = sorted(map(tuple, first.collect()))
+    assert n1 >= 3
+    second, n2 = cdc_apply_stream(spark, sf_dir, n_source_files=3, work_dir=work)
+    assert n2 == n1  # no batch re-applied on resume
+    rows2 = sorted(map(tuple, second.collect()))
+    assert rows1 == rows2
