@@ -54,3 +54,35 @@ def test_empty_range_propagates(spark):
     docs = spark.createDataFrame([(1, "aaaccc")], ["doc_id", "seq"])
     assert fm_count(docs, "ga").collect()[0].n_occ == 0
     assert fm_count(docs, "ac").collect()[0].n_occ == 1
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ACGT = st.text(alphabet="acgt", min_size=1, max_size=40)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seqs=st.lists(_ACGT, min_size=1, max_size=4),
+    pattern=st.text(alphabet="acgt", min_size=1, max_size=5),
+)
+def test_fm_count_random_property(spark, seqs, pattern):
+    """Backward search equals Python substring counting on arbitrary
+    acgt sequences and patterns (including overlapping occurrences,
+    single chars, and patterns longer than some docs)."""
+    docs = spark.createDataFrame(
+        list(enumerate(seqs)), ["doc_id", "seq"]
+    )
+    got = {r.doc_id: r.n_occ for r in fm_count(docs, pattern).collect()}
+    for i, s in enumerate(seqs):
+        exp = sum(
+            1
+            for k in range(len(s) - len(pattern) + 1)
+            if s[k:k + len(pattern)] == pattern
+        )
+        assert got[i] == exp
