@@ -9705,7 +9705,45 @@ FROM cand GROUP BY 1, 2
 """
 
 
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGE as a gated query — the property that lets a
+    cluster build one distinct-count sketch with map-side partial
+    aggregation and no second pass over data: the lineitem part-key
+    stream is split into two disjoint halves, each half's registers
+    built independently, and the halves merged by register-wise MAX.
+    The oracle builds registers DIRECTLY over the undivided stream —
+    the hash compare passes iff merge(a, b) == direct(a ∪ b) for
+    every register, which is exactly the mergeability law. Output is
+    the ≤64-row register table."""
+    from pygr_spark.operators.sketches import hll_registers
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_linenumber") % 2).alias("half"),
+        F.col("l_partkey").alias("item"),
+    )
+    halves = hll_registers(li, ["half"], m=64)
+    merged = halves.groupBy("register").agg(
+        F.max("m_j").cast("long").alias("m_j")
+    )
+    return merged.select(F.col("register").cast("long").alias("register"), "m_j")
+
+
+Q_HLL_UNION_SQL = """
+WITH it AS (
+  SELECT ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15))::BIGINT AS h
+  FROM lineitem
+), r AS (
+  SELECT h % 64 AS register,
+    CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM it
+)
+SELECT CAST(register AS BIGINT) AS register, CAST(max(rho) AS BIGINT) AS m_j
+FROM r GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hll_union": q_hll_union,
     "overlap_layout": q_overlap_layout,
     "frequent_triples": q_frequent_triples,
     "cusum_changepoint": q_cusum_changepoint,
@@ -9897,6 +9935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "hll_union": Q_HLL_UNION_SQL,
     "overlap_layout": Q_OVERLAP_LAYOUT_SQL,
     "frequent_triples": Q_FREQUENT_TRIPLES_SQL,
     "cusum_changepoint": Q_CUSUM_SQL,
