@@ -118,14 +118,56 @@ def fm_count(
     pattern: str,
     id_col: str = "doc_id",
     seq: str = "seq",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Count occurrences of ``pattern`` in every doc via backward
     search over the DataFrame FM-index. Returns (id, n_occ) for all
-    input docs (zero-occurrence docs included)."""
-    bwt = bwt_table(docs, id_col, seq)
+    input docs (zero-occurrence docs included).
+
+    The index is only defined over the ``acgt`` alphabet ('$' is the
+    sentinel): a character outside it would be present in the BWT but
+    absent from the occ/C tables, silently skewing every count — so
+    the input is VALIDATED in-plan (``assert_true`` fused into the
+    seq projection; an out-of-alphabet char fails the job loudly).
+    Patterns over other chars trivially have zero occurrences.
+
+    With ``checkpoint`` (default), the bwt/occ/C/n tables are eagerly
+    ``localCheckpoint``-ed once, so each of the m backward-search
+    steps is two keyed joins against MATERIALIZED tables rather than
+    a re-derivation of the rotation explode + sort — per-step cost is
+    flat in m (probe in SCALING.md). At 100 TB the same role is
+    played by writing the index tables to bucketed parquet once.
+    """
+    if not set(pattern) <= set("acgt"):
+        # no occurrences possible; skip the index build entirely
+        return docs.select(
+            F.col(id_col), F.lit(0).cast("long").alias("n_occ")
+        )
+    checked = docs.select(
+        F.col(id_col),
+        # when(assert_true(...) is null, seq): forces the validation
+        # into the projection so Catalyst cannot prune it away
+        F.when(
+            F.assert_true(
+                F.col(seq).rlike("^[acgt]*$"),
+                F.concat(
+                    F.lit("fm_count: sequence outside [acgt] alphabet in "),
+                    F.col(id_col).cast("string"),
+                ),
+            ).isNull(),
+            F.col(seq),
+        ).alias(seq),
+    )
+    bwt = bwt_table(checked, id_col, seq)
+    if checkpoint:
+        bwt = bwt.localCheckpoint(eager=True)
     occ = occ_table(bwt, id_col)
     ctab = c_table(bwt, id_col)
     n = bwt.groupBy(id_col).agg(F.max("i").cast("long").alias("n"))
+    if checkpoint:
+        occ = occ.localCheckpoint(eager=True)
+        ctab = ctab.localCheckpoint(eager=True)
+        n = n.localCheckpoint(eager=True)
     # initial range: the whole suffix array [1, n]
     state = n.select(
         id_col, F.lit(1).cast("long").alias("lo"), F.col("n").alias("hi")

@@ -8685,6 +8685,29 @@ def _margin_scored(spark: SparkSession, sf_dir: str):
     )
 
 
+def _det_range_pids(df: DataFrame, key_col: str, n_parts: int = 8) -> DataFrame:
+    """Deterministic range bucketing for the two-pass distributed
+    prefix scan: collect fixed split points ONCE (approxQuantile on
+    the ordering key — one tiny aggregate job), then assign
+    pid = #boundaries strictly below the key, as literal comparisons
+    baked into the plan. Unlike repartitionByRange(...) +
+    spark_partition_id(), the pid is a pure function of the DATA, so
+    the offset-collect job and the final aggregate job can never
+    disagree about which bucket a row lands in even though the plan
+    is evaluated twice (repartitionByRange samples per-execution and
+    its boundaries 'may not be consistent' across jobs — ADVICE r5,
+    high). Buckets respect key order (everything in bucket i sorts
+    before bucket i+1), which is all the prefix-sum stitch needs;
+    mild imbalance from quantile error is irrelevant to correctness.
+    """
+    fracs = [i / n_parts for i in range(1, n_parts)]
+    bounds = sorted(set(df.approxQuantile(key_col, fracs, 0.001)))
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col(key_col) > F.lit(b)).cast("int")
+    return df.withColumn("pid", pid)
+
+
 _MARGIN_SQL = """
   SELECT CASE WHEN CAST(label AS BIGINT) < 5 THEN 1 ELSE 0 END AS pos,
     CAST(0 {terms} AS BIGINT) AS s
@@ -8725,10 +8748,7 @@ def q_auc_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("long").alias("p"),
         F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n"),
     )
-    n_parts = 8
-    parts = by_s.repartitionByRange(n_parts, "s").withColumn(
-        "pid", F.spark_partition_id()
-    )
+    parts = _det_range_pids(by_s, "s")
     # ≤ n_parts rows by construction — the documented small-by-contract
     # collect that turns per-partition totals into prefix offsets
     totals = {
@@ -9266,10 +9286,7 @@ def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("long").alias("p"),
         F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n"),
     )
-    n_parts = 8
-    parts = by_s.repartitionByRange(n_parts, "s").withColumn(
-        "pid", F.spark_partition_id()
-    )
+    parts = _det_range_pids(by_s, "s")
     totals = {
         r.pid: (r.tp, r.tn)
         for r in parts.groupBy("pid")
@@ -9348,10 +9365,10 @@ def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_g = scored.groupBy("s", "pos").agg(
         F.count(F.lit(1)).cast("long").alias("g")
     )
-    n_parts = 8
-    parts = by_g.withColumn("_k", -F.col("s")).repartitionByRange(
-        n_parts, "_k", "pos"
-    ).withColumn("pid", F.spark_partition_id())
+    # bucket on _k alone: pid must be a pure function of the ordering
+    # key, and equal-_k rows (pos 0/1) sharing a bucket keeps the
+    # within-bucket (_k, pos) window a total order
+    parts = _det_range_pids(by_g.withColumn("_k", -F.col("s")), "_k")
     totals = {
         r.pid: r.t
         for r in parts.groupBy("pid")
@@ -9434,15 +9451,32 @@ FROM agg
 
 def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori frequent-itemset mining, step 3 (Agrawal/Srikant):
-    frequent TRIPLES from frequent pairs — candidates are generated
-    by joining frequent pairs sharing a prefix item ((a,b)+(a,c) →
-    (a,b,c), the classic candidate-generation join), pruned by the
-    a-priori property (the third sub-pair (b,c) must itself be
-    frequent) BEFORE any support counting, then verified against the
-    capped baskets with one 3-way membership join. The pruning is
-    the scale lever: candidate count is bounded by frequent-pair
-    fan-out, never by C(items,3). Same basket cap and min-support
-    discipline as copurchase, mirrored in the oracle."""
+    frequent TRIPLES over capped baskets, with TRANSACTION TRIMMING
+    (§2.1.1) as the pre-count prune — baskets shed every item that
+    appears in no frequent pair (broadcast semi-join) before the
+    C(bsz,3) in-basket fan-out, then triples are counted directly
+    and filtered by min support. Anti-monotonicity makes this exact:
+    support(triple) ≥ s implies every sub-pair has support ≥ s, so
+    post-count sub-pair verification is implied and the surviving
+    set equals the candidate-generation form's.
+
+    Regime note (measured at sf0.1): the textbook candidate
+    MATERIALIZATION ((a,b)+(a,c) join, (b,c) prune, then a semi-join
+    of in-basket triples against candidates) was the r5 plan — but at
+    min_sup=3 over 500 category items 124,225 of 124,743 pairs are
+    frequent, the prune degenerates, and the candidate table hits
+    ~15M rows, making the pre-count semi-join the dominant cost
+    (~10s of the 19s total). Count-then-filter with trimming is the
+    right plan whenever L2 selectivity is low; with a selective L2
+    (high min_sup at 100 TB) the SAME trim shrinks baskets to
+    near-empty and the fan-out collapses — trimming is the scale
+    lever in both regimes, candidate materialization only pays in
+    the second. tests/test_round5_analytics.py's brute-force
+    completeness check asserts the equivalence.
+
+    Baskets and frequent pairs are localCheckpoint-ed once: sized is
+    referenced 5× (pair gen ×2, triple gen ×3) and without the
+    lineage cut each reference re-runs the distinct upstream."""
     li = _t(spark, sf_dir, "lineitem")
     # category id stand-in: this testdata has no p_brand/p_type
     # column, so a modulus hash plays the category role — raw part
@@ -9454,7 +9488,7 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     sized = items.withColumn(
         "_bsz", F.count(F.lit(1)).over(Window.partitionBy("b"))
-    ).filter(F.col("_bsz") <= 50).select("b", "i")
+    ).filter(F.col("_bsz") <= 50).select("b", "i").localCheckpoint(eager=True)
     min_sup = 3
     pairs = (
         sized.alias("x")
@@ -9463,34 +9497,27 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("x.i").alias("p"), F.col("y.i").alias("q"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .filter(F.col("n") >= min_sup)
+        .localCheckpoint(eager=True)
     )
-    # candidate generation: (a,b) + (a,c) with b < c → (a,b,c)
-    cand = (
-        pairs.alias("ab")
-        .join(pairs.alias("ac"), F.col("ab.p") == F.col("ac.p"))
-        .filter(F.col("ab.q") < F.col("ac.q"))
-        .select(
-            F.col("ab.p").alias("a"),
-            F.col("ab.q").alias("bb"),
-            F.col("ac.q").alias("c"),
-        )
+    # transaction trimming: an item in no frequent pair cannot occur
+    # in any frequent triple — trim set is ≤ #distinct items, broadcast
+    pair_items = (
+        pairs.select(F.col("p").alias("i"))
+        .unionByName(pairs.select(F.col("q").alias("i")))
+        .distinct()
     )
-    # a-priori prune: (b, c) must be frequent too
-    bc = pairs.select(F.col("p").alias("bb"), F.col("q").alias("c"))
-    cand = cand.join(bc, ["bb", "c"])
-    # support count: generate WITHIN-BASKET triples (bounded by the
-    # basket cap, C(50,3) worst case, ~C(7,3) typical) and semi-join
-    # them against the pruned candidates BEFORE the count shuffle —
-    # the distributed a-priori discipline. Joining candidates to
+    trimmed = sized.join(F.broadcast(pair_items), "i", "left_semi")
+    # in-basket triple generation over TRIMMED baskets (bounded by
+    # the basket cap), then one count shuffle. Joining candidates to
     # baskets item-first instead fans each candidate out to every
     # basket containing its first item (measured: minutes at sf0.1);
     # basket-first generation is linear in baskets times the capped
     # in-basket triple count.
     t3 = (
-        sized.alias("x")
-        .join(sized.alias("y"), "b")
+        trimmed.alias("x")
+        .join(trimmed.alias("y"), "b")
         .filter(F.col("x.i") < F.col("y.i"))
-        .join(sized.alias("z"), "b")
+        .join(trimmed.alias("z"), "b")
         .filter(F.col("y.i") < F.col("z.i"))
         .select(
             F.col("x.i").alias("a"),
@@ -9499,8 +9526,7 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sup = (
-        t3.join(cand, ["a", "bb", "c"], "left_semi")
-        .groupBy("a", "bb", "c")
+        t3.groupBy("a", "bb", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= min_sup)
     )
@@ -9523,19 +9549,21 @@ WITH items AS (
   SELECT x.i AS p, y.i AS q, CAST(count(*) AS BIGINT) AS n
   FROM sized x JOIN sized y ON x.b = y.b AND x.i < y.i
   GROUP BY 1, 2 HAVING count(*) >= 3
-), cand AS (
-  SELECT ab.p AS a, ab.q AS bb, ac.q AS c
-  FROM pairs ab JOIN pairs ac ON ab.p = ac.p AND ab.q < ac.q
-  JOIN pairs bc ON bc.p = ab.q AND bc.q = ac.q
+), pair_items AS (
+  -- transaction trimming: an item in no frequent pair cannot occur
+  -- in any frequent triple — shed it before the in-basket fan-out
+  SELECT p AS i FROM pairs UNION SELECT q FROM pairs
+), trimmed AS (
+  SELECT b, i FROM sized SEMI JOIN pair_items USING (i)
 ), t3 AS (
   SELECT x.i AS a, y.i AS bb, z.i AS c
-  FROM sized x
-  JOIN sized y ON x.b = y.b AND x.i < y.i
-  JOIN sized z ON y.b = z.b AND y.i < z.i
+  FROM trimmed x
+  JOIN trimmed y ON x.b = y.b AND x.i < y.i
+  JOIN trimmed z ON y.b = z.b AND y.i < z.i
 )
-SELECT CAST(t.a AS BIGINT) AS item_a, CAST(t.bb AS BIGINT) AS item_b,
-  CAST(t.c AS BIGINT) AS item_c, CAST(count(*) AS BIGINT) AS support
-FROM t3 t SEMI JOIN cand ON t.a = cand.a AND t.bb = cand.bb AND t.c = cand.c
+SELECT CAST(a AS BIGINT) AS item_a, CAST(bb AS BIGINT) AS item_b,
+  CAST(c AS BIGINT) AS item_c, CAST(count(*) AS BIGINT) AS support
+FROM t3
 GROUP BY 1, 2, 3 HAVING count(*) >= 3
 """
 

@@ -222,16 +222,27 @@ def cdc_apply_stream(
     # deterministic multi-file split of the single driver parquet —
     # skipped on resume (the split must stay byte-stable so the
     # checkpointed file log remains valid)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pygr_spark.streaming.events import normalize_event_ts
 
     if not os.path.isdir(src_dir):
-        base = normalize_event_ts(
-            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        )
-        base.repartitionByRange(n_source_files, "event_id").write.mode(
-            "overwrite"
-        ).parquet(src_dir)
+        # scope the nanos conf to this one read of the driver-written
+        # parquet — leaking it session-wide can change how unrelated
+        # queries in the same session read timestamp columns
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior_conf = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            base = normalize_event_ts(
+                spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            )
+            base.repartitionByRange(n_source_files, "event_id").write.mode(
+                "overwrite"
+            ).parquet(src_dir)
+        finally:
+            if prior_conf is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior_conf)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src_dir).schema)
@@ -239,14 +250,27 @@ def cdc_apply_stream(
         .parquet(src_dir)
     )
 
-    current: dict[str, str | None] = {"path": None, "batches": 0}
+    current: dict = {"path": None, "batches": 0, "last_bid": -1}
     if os.path.isfile(pointer):
         with open(pointer) as fh:
-            prior_path, prior_batches = fh.read().split("\n")[:2]
-        current["path"] = prior_path or None
-        current["batches"] = int(prior_batches)
+            lines = fh.read().split("\n")
+        current["path"] = lines[0] or None
+        current["batches"] = int(lines[1])
+        # third pointer line (added r6): the last batch id durably
+        # applied; older two-line pointers imply bids 0..batches-1
+        # were applied sequentially (maxFilesPerTrigger=1)
+        current["last_bid"] = (
+            int(lines[2]) if len(lines) > 2 and lines[2] else current["batches"] - 1
+        )
 
     def apply_batch(bdf: DataFrame, bid: int) -> None:
+        # exactly-once guard: foreachBatch is at-least-once (a crash
+        # between the pointer write and the checkpoint commit, or a
+        # micro-batch retry, re-delivers the same bid). max() is
+        # idempotent but sum(n_versions) is not, so re-merging would
+        # double-count — skip any bid already durably applied.
+        if bid <= current["last_bid"]:
+            return
         upd = (
             bdf.select(
                 "user_id",
@@ -295,10 +319,12 @@ def cdc_apply_stream(
         old = current["path"]
         current["path"] = vpath
         current["batches"] += 1
+        current["last_bid"] = bid
         # durable pointer BEFORE deleting the old version: a crash
-        # between the two leaves a valid pointer either way
+        # between the two leaves a valid pointer either way; the bid
+        # in the pointer makes a redelivered batch a no-op above
         with open(pointer, "w") as fh:
-            fh.write(f"{vpath}\n{current['batches']}\n")
+            fh.write(f"{vpath}\n{current['batches']}\n{bid}\n")
         if old is not None and old != vpath:
             shutil.rmtree(old, ignore_errors=True)
 

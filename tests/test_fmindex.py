@@ -86,3 +86,22 @@ def test_fm_count_random_property(spark, seqs, pattern):
             if s[k:k + len(pattern)] == pattern
         )
         assert got[i] == exp
+
+
+def test_out_of_alphabet_sequence_fails_loudly(spark):
+    """A sequence char outside [acgt] would skew occ/C silently — the
+    in-plan assert_true must fail the job instead (ADVICE r5)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, "acgt"), (1, "acNgt")], ["doc_id", "seq"]
+    )
+    with pytest.raises(Exception, match="alphabet|ASSERT"):
+        fm_count(docs, "ac").collect()
+
+
+def test_out_of_alphabet_pattern_is_zero(spark):
+    """A pattern with a non-acgt char cannot occur; shortcut returns
+    zero for every doc without building the index."""
+    docs = spark.createDataFrame([(0, "acgt")], ["doc_id", "seq"])
+    assert [tuple(r) for r in fm_count(docs, "aNc").collect()] == [(0, 0)]

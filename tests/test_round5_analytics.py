@@ -330,6 +330,20 @@ def test_frequent_triples_apriori_consistency(spark, sf_dir):
             1 for bs in baskets if len(bs) <= 50 and {a, b_, c} <= bs
         )
         assert exact == t.support
+    # COMPLETENESS: the trimmed count-then-filter plan must find every
+    # frequent triple the brute force finds (the r6 plan change from
+    # candidate materialization relies on anti-monotonicity — this is
+    # the equivalence check the docstring promises)
+    from itertools import combinations
+
+    tri_sup = Counter()
+    for bs in baskets:
+        if len(bs) > 50:
+            continue
+        for t3 in combinations(sorted(bs), 3):
+            tri_sup[t3] += 1
+    expected = {t for t, n in tri_sup.items() if n >= 3}
+    assert {(t.item_a, t.item_b, t.item_c) for t in triples} == expected
 
 
 def test_cusum_matches_bruteforce(spark, sf_dir):

@@ -241,3 +241,26 @@ def test_cdc_apply_resume_is_noop(spark, sf_dir, tmp_path):
     assert n2 == n1  # no batch re-applied on resume
     rows2 = sorted(map(tuple, second.collect()))
     assert rows1 == rows2
+
+
+def test_cdc_apply_redelivery_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a crash between the durable
+    pointer write and the checkpoint commit redelivers already-applied
+    batch ids. Simulate the worst case — wipe the checkpoint so EVERY
+    file is redelivered with its original bid — and assert the durable
+    last-applied bid in the pointer makes each redelivery a no-op
+    (sum(n_versions) would otherwise double)."""
+    import shutil
+
+    from pygr_spark.streaming.stateful import cdc_apply_stream
+
+    work = str(tmp_path / "cdc")
+    first, n1 = cdc_apply_stream(spark, sf_dir, n_source_files=3, work_dir=work)
+    rows1 = sorted(map(tuple, first.collect()))
+    # lose the checkpoint (the commit never landed) but keep the
+    # pointer + state: availableNow redelivers files as bids 0..n-1
+    shutil.rmtree(f"{work}/ckpt")
+    second, n2 = cdc_apply_stream(spark, sf_dir, n_source_files=3, work_dir=work)
+    assert n2 == n1  # every redelivered bid skipped
+    rows2 = sorted(map(tuple, second.collect()))
+    assert rows1 == rows2
