@@ -79,6 +79,41 @@ HEADLINE = [
     "transcript_chain",
 ]
 
+#: Tier 2: the heaviest round-4/5 analytics entries (judge r5 item 1) —
+#: wall-clock-gated with the same interleaved min-of-2 + same-session
+#: DuckDB oracle protocol as tier 1, reported separately so the tier-1
+#: total stays comparable across rounds. Streaming entries are excluded
+#: (micro-batch drains measure trigger latency, not plan cost; they are
+#: scale-probed in SCALING.md instead).
+HEADLINE2 = [
+    "frequent_triples",
+    "fm_count",
+    "target_breadth",
+    "winnow_fingerprints",
+    "quantile_normalize",
+    "auc_metric",
+    "ks_statistic",
+    "gains_table",
+    "eval_metrics",
+    "knn_classify",
+    "tandem_repeats",
+    "pwm_scan",
+    "interval_jaccard",
+    "overlap_layout",
+    "bwt_transform",
+    "bpe_merge",
+    "orf_finder",
+    "equidepth_hist",
+    "weighted_sample",
+    "weighted_median",
+    "cusum_changepoint",
+    "sparse_matmul",
+    "random_projection",
+    "hll_union",
+    "bloom_prune",
+    "char_entropy",
+]
+
 #: timings are min over N full passes of the catalog (observed up to
 #: 10x bursty shared-machine interference on identical plans; two
 #: back-to-back samples land in the same burst, so the passes are
@@ -117,17 +152,23 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     times: dict[str, float] = {}
+    times2: dict[str, float] = {}
     for _ in range(RUNS_PER_QUERY):
         for name in HEADLINE:
             dt = run_query(spark, name, sf_dir)
             times[name] = round(min(times.get(name, dt), dt), 4)
+        for name in HEADLINE2:
+            dt = run_query(spark, name, sf_dir)
+            times2[name] = round(min(times2.get(name, dt), dt), 4)
     total = round(sum(times.values()), 4)
+    total2 = round(sum(times2.values()), 4)
     # Paired same-session DuckDB oracle pass: the Spark-vs-DuckDB
     # ratio is only meaningful when both sides share one load window
     # (this machine shows 10x interference bursts; measuring the two
     # sides hours apart made round-4's ratio an artifact of WHEN each
     # ran). One pass, sequential after the Spark passes.
-    oracle_total = _oracle_pass(sf_dir)
+    oracle_total = _oracle_pass(sf_dir, HEADLINE)
+    oracle_total2 = _oracle_pass(sf_dir, HEADLINE2)
     out = {
         "metric": "catalog_total_runtime",
         "value": total,
@@ -138,13 +179,17 @@ def main() -> None:
     if oracle_total is not None:
         out["oracle_total"] = round(oracle_total, 4)
         out["ratio"] = round(total / oracle_total, 4)
+    out["tier2"] = {"value": total2, "queries": times2}
+    if oracle_total2 is not None:
+        out["tier2"]["oracle_total"] = round(oracle_total2, 4)
+        out["tier2"]["ratio"] = round(total2 / oracle_total2, 4)
     print(json.dumps(out))
 
 
-def _oracle_pass(sf_dir: str) -> float | None:
-    """Single-pass DuckDB timing of every HEADLINE oracle on the same
-    parquet, in-process — the denominator of the judge's same-machine
-    ratio. Returns None if DuckDB is unavailable."""
+def _oracle_pass(sf_dir: str, names: list[str]) -> float | None:
+    """Single-pass DuckDB timing of the given tier's oracles on the
+    same parquet, in-process — the denominator of the judge's
+    same-machine ratio. Returns None if DuckDB is unavailable."""
     try:
         import duckdb
     except ImportError:
@@ -163,7 +208,7 @@ def _oracle_pass(sf_dir: str) -> float | None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
     total = 0.0
-    for name in HEADLINE:
+    for name in names:
         if name not in ORACLES:
             continue
         t0 = time.perf_counter()

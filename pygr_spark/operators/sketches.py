@@ -133,3 +133,53 @@ def hll_registers(
         .groupBy(*group_cols, "register")
         .agg(F.max("_rho").cast("long").alias("m_j"))
     )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge HLL register states produced by :func:`hll_registers`
+    (possibly over different slices of a stream) down to one state per
+    ``group_cols`` key: register-wise MAX, the HLL merge law. Because
+    max is associative, commutative, and idempotent, any partition of
+    the input rows — per-file sketches, per-day sketches, re-merged
+    merges — yields the identical final state; the ``hll_union``
+    catalog entry proves this against a direct single-pass build, and
+    tests/test_sketches.py property-tests k random splits.
+
+    Input must carry (group_cols..., register, m_j). Output has the
+    same shape — a valid input to a further ``hll_merge``. One shuffle
+    on (group, register) with map-side partial max; at most m rows per
+    group regardless of how many sketches merged in.
+    """
+    return registers.groupBy(*group_cols, "register").agg(
+        F.max("m_j").cast("long").alias("m_j")
+    )
+
+
+def hll_estimate_terms(registers: DataFrame, group_cols: list[str], m: int = 64) -> DataFrame:
+    """Reduce a register state to the exact-integer estimate pair
+    (hll_l, hll_num): L = max_j M_j and num = Σ_j 2^(L−M_j), with the
+    m − |hit registers| missing registers contributing 2^L each. The
+    raw HLL estimate is alpha_m·m²·2^L / num — a float; the pair is
+    its integer-exact carrier, so it sits under a value-hash oracle
+    gate (see the ``hll_distinct`` catalog entry for the SQL mirror).
+    """
+    from pyspark.sql import Window
+
+    wL = Window.partitionBy(*group_cols)
+    scaled = registers.withColumn("hll_l", F.max("m_j").over(wL)).withColumn(
+        "_term",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(hll_l - m_j AS INT))"),
+    )
+    agg = scaled.groupBy(*group_cols, "hll_l").agg(
+        F.count(F.lit(1)).alias("_n_regs"),
+        F.sum("_term").cast("long").alias("_hit_num"),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("hll_l").cast("long").alias("hll_l"),
+        (
+            F.col("_hit_num")
+            + (F.lit(m) - F.col("_n_regs"))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(hll_l AS INT))")
+        ).cast("long").alias("hll_num"),
+    )

@@ -28,10 +28,32 @@ DRIVER_TABLES = (
 )
 
 
-def get_spark(app_name: str = "pygr_spark", cpus: int | None = None) -> SparkSession:
-    """Build (or reuse) a SparkSession with scale-appropriate defaults."""
+#: Spark's bundled RocksDB state-store provider — the production
+#: choice for large streaming state (spills to disk, incremental
+#: checkpoint uploads) vs the default in-memory HDFS-backed provider
+#: that holds every key's state on-heap.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def get_spark(
+    app_name: str = "pygr_spark",
+    cpus: int | None = None,
+    rocksdb_state: bool | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    ``rocksdb_state`` (or env ``PYGR_SPARK_ROCKSDB=1``) selects the
+    RocksDB state-store provider for streaming queries — parity with
+    production clusters where stateful-operator state exceeds executor
+    heap. The provider is pinned per-query at first checkpoint, so
+    flipping it only affects queries started afterwards.
+    """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if rocksdb_state is None:
+        rocksdb_state = os.environ.get("PYGR_SPARK_ROCKSDB", "") == "1"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -48,6 +70,10 @@ def get_spark(app_name: str = "pygr_spark", cpus: int | None = None) -> SparkSes
         # rejects by default; read as long (ns since epoch)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if rocksdb_state:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -64,6 +64,71 @@ def test_hll_duplicates_do_not_change_registers(spark):
     assert a == b
 
 
+def test_hll_merge_of_random_splits_equals_direct_build(spark):
+    """The merge law as a library API (hll_merge): partition a stream
+    into k random slices, sketch each slice independently, merge —
+    the merged register state must be bit-identical to the direct
+    single-pass build, for every k and every split. Also re-merging
+    the merge (idempotence) and merging in two stages (associativity)
+    must change nothing."""
+    import random
+
+    from pygr_spark.operators.sketches import hll_merge, hll_registers
+
+    rng = random.Random(42)
+    rows = [(f"doc-{i}", f"g{i % 3}") for i in range(500)]
+    direct = sorted(
+        map(
+            tuple,
+            hll_registers(
+                spark.createDataFrame(rows, ["item", "g"]), ["g"], m=32
+            ).collect(),
+        )
+    )
+    for k in (2, 5):
+        slices = [[] for _ in range(k)]
+        for r in rows:
+            slices[rng.randrange(k)].append(r)
+        sketches = [
+            hll_registers(spark.createDataFrame(s, ["item", "g"]), ["g"], m=32)
+            for s in slices
+            if s
+        ]
+        unioned = sketches[0]
+        for s in sketches[1:]:
+            unioned = unioned.unionByName(s)
+        merged = hll_merge(unioned, ["g"])
+        assert sorted(map(tuple, merged.collect())) == direct, f"k={k}"
+        # idempotent: merging the merged state is a no-op
+        assert sorted(map(tuple, hll_merge(merged, ["g"]).collect())) == direct
+    # associative: ((s0+s1)+s2...) staged merge == flat merge
+    staged = hll_merge(sketches[0].unionByName(sketches[1]), ["g"])
+    for s in sketches[2:]:
+        staged = hll_merge(staged.unionByName(s), ["g"])
+    assert sorted(map(tuple, staged.collect())) == direct
+
+
+def test_hll_estimate_terms_matches_catalog_entry(spark, sf_dir):
+    """hll_estimate_terms (the library reduction) must produce the
+    same (hll_l, hll_num) pairs the gated hll_distinct entry emits."""
+    from pygr_spark.operators.sketches import hll_estimate_terms, hll_registers
+    from pygr_spark.queries import _t, q_hll_distinct
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_partkey").alias("item")
+    )
+    regs = hll_registers(li, ["l_returnflag"], m=64)
+    api = {
+        r.l_returnflag: (r.hll_l, r.hll_num)
+        for r in hll_estimate_terms(regs, ["l_returnflag"], m=64).collect()
+    }
+    entry = {
+        r.l_returnflag: (r.hll_l, r.hll_num)
+        for r in q_hll_distinct(spark, sf_dir).collect()
+    }
+    assert api == entry
+
+
 def test_bloom_prune_no_false_negatives(spark, sf_dir):
     """Every true member must survive the Bloom pruning (the one-sided
     guarantee); false positives are allowed and labeled."""
