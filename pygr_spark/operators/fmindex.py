@@ -214,3 +214,99 @@ def _occ_at(
     return joined.withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(0)).cast("long")
     ).drop("_pos")
+
+
+def suffix_ranks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seq: str = "seq",
+    max_len: int = 512,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Distributed suffix-array construction by prefix doubling
+    (Larsson–Sadakane / the Manber–Myers doubling step) — the
+    log-round algorithm that refines suffix ranks in place instead of
+    sorting suffix strings: round k pairs each suffix's rank with the
+    rank of the suffix 2^k positions later, so after
+    ceil(log2(max_len)) rounds every rank reflects its full extent.
+    No sentinel is needed: an absent lookahead ranks as 0 (< every
+    real rank), which matches plain lexicographic suffix comparison
+    where a proper prefix sorts first.
+
+    Returns (id, pos, sa_rank) — one row per character, sa_rank a
+    permutation of 1..len per doc (suffixes are pairwise distinct).
+
+    Scale shape: rows = total characters. Because positions are
+    contiguous 1..n, the 2^k lookahead is ``lead(rank, 2^k)`` over
+    (id, pos) — a WINDOW, not a self-join — so each round is two
+    same-key window passes and every round after the first reuses the
+    id-hash exchange (sort-only, no shuffle). A convergence probe at
+    each lineage cut stops early once ranks are a full permutation
+    (typical corpora converge at ~log2(longest repeated prefix), far
+    before log2(max_len)). The round count is parameter-sized, not
+    data-sized. At genome scale the doc axis shards exactly like
+    bwt_table's block discipline (the reference pages its NLMSA build
+    the same way, intervaldb.c:101-816).
+    """
+    # seed with 8-char prefix ranks (q=8): string dense_rank on the
+    # q-gram equals 3 doubling rounds' work in ONE window pass, and on
+    # low-repetition text the seed alone is already the full suffix
+    # order — the convergence probe then skips every doubling round.
+    q0 = 8
+    rows = docs.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.length(F.col(seq)))).alias("pos"),
+        F.col(seq).alias("_s"),
+    ).select(
+        id_col,
+        "pos",
+        F.expr(f"substring(_s, CAST(pos AS INT), {q0})").alias("_g"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_g")
+    cur = rows.select(
+        id_col, "pos", F.dense_rank().over(w).cast("long").alias("rank")
+    )
+
+    def _converged(state: DataFrame) -> bool:
+        # once every doc's ranks are a full permutation (max == count),
+        # further doubling rounds are provably no-ops. One tiny
+        # aggregate job against the just-materialized state.
+        return (
+            state.groupBy(id_col)
+            .agg((F.max("rank") == F.count(F.lit(1))).alias("_c"))
+            .filter(~F.col("_c"))
+            .limit(1)
+            .count()
+            == 0
+        )
+
+    if checkpoint:
+        cur = cur.localCheckpoint(eager=True)
+        if _converged(cur):
+            return cur.select(
+                id_col,
+                F.col("pos").cast("long").alias("pos"),
+                F.col("rank").alias("sa_rank"),
+            )
+    wp = Window.partitionBy(id_col).orderBy("pos")
+    off = q0
+    k = 0
+    while off < max_len:
+        paired = cur.withColumn(
+            "_next", F.coalesce(F.lead("rank", off).over(wp), F.lit(0))
+        )
+        w2 = Window.partitionBy(id_col).orderBy("rank", "_next")
+        cur = paired.select(
+            id_col,
+            "pos",
+            F.dense_rank().over(w2).cast("long").alias("rank"),
+        )
+        off *= 2
+        k += 1
+        if checkpoint and (k % 2 == 0 or off >= max_len):
+            cur = cur.localCheckpoint(eager=True)
+            if _converged(cur):
+                break
+    return cur.select(
+        id_col, F.col("pos").cast("long").alias("pos"), F.col("rank").alias("sa_rank")
+    )

@@ -444,3 +444,137 @@ def phrase_search(
             & (nxt["_p"] == out["start_pos"] + i),
         ).select(id_col, "start_pos")
     return out
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    id_col: str = "doc_id",
+    c: int = 60,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of several
+    per-query rankings — the standard way to combine lexical (BM25)
+    and dense (embedding) retrieval without score calibration, since
+    it uses only RANK positions: fused = Σ_r 1/(c + rank_r). Here the
+    term is the integer ``scale DIV (c + rank)`` so the fusion is
+    engine-exact; a doc absent from a ranking contributes 0.
+
+    Each input must carry (query_id, rank, id_col). Scale shape: the
+    union is rankings·k·queries rows — parameter-sized — so the
+    fusion aggregate and final top-k window cost nothing next to the
+    underlying retrievals.
+    """
+    from pyspark.sql import Window
+
+    parts = [
+        r.select(
+            "query_id",
+            id_col,
+            F.expr(f"{scale} DIV ({c} + rank)").cast("long").alias("_term"),
+        )
+        for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    fused = allr.groupBy("query_id", id_col).agg(
+        F.sum("_term").cast("long").alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "rrf_score")
+    )
+
+
+def tf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Raw term-frequency ranking (no idf, no saturation): top-k docs
+    per query by summed tf over query terms — the 'dense-retrieval
+    stand-in' leg for rrf_fuse demonstrations and the baseline any
+    weighting must beat. One broadcast semi-filter + one keyed
+    aggregate, same shape as keyword_search_topk."""
+    from pyspark.sql import Window
+
+    base = df.filter(F.length(F.trim(F.col(text))) > 0)
+    qterms = queries.select("query_id", F.lower(F.col("term")).alias("term"))
+    tok = base.select(
+        F.col(id_col), F.explode(tokens(F.col(text))).alias("term")
+    ).filter(F.length("term") > 0)
+    scored = (
+        tok.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score")
+    )
+
+
+def champion_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    r: int = 50,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Champion-list retrieval (Manning IR §7.1.3): per term, keep
+    only the ``r`` highest-tf docs (ties → lower doc id) as that
+    term's champion list, then evaluate queries ONLY over champion
+    postings — the classic index-pruning strategy that bounds
+    per-term work at query time regardless of corpus size. A doc
+    outside every query term's champion list cannot be returned
+    (the deterministic approximation this trades for the bound).
+
+    Scoring matches keyword_search_topk (integer tf·idf with df from
+    the FULL postings, idf = (N·scale) DIV df) so the only difference
+    vs exact retrieval is the champion restriction. Scale shape: the
+    champion cut is a per-term window over the query-term postings;
+    everything downstream runs on <= r rows per term.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(F.length(F.trim(F.col(text))) > 0)
+    qterms = queries.select("query_id", F.lower(F.col("term")).alias("term"))
+    distinct_terms = F.broadcast(qterms.select("term").distinct())
+    tok = base.select(
+        F.col(id_col), F.explode(tokens(F.col(text))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = (
+        tok.join(distinct_terms, "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = base.agg(F.count_distinct(F.col(id_col)).cast("long").alias("_n"))
+    wch = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col(id_col))
+    champs = tf.withColumn("_r", F.row_number().over(wch)).filter(
+        F.col("_r") <= r
+    )
+    scored = (
+        champs.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", F.expr(f"(_n * {TFIDF_SCALE}) DIV df"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("tf") * F.col("idf")).cast("long").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score")
+    )

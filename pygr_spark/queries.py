@@ -9770,7 +9770,324 @@ FROM r GROUP BY 1
 """
 
 
+def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed suffix-array construction by prefix doubling
+    (Larsson–Sadakane; operators/fmindex.py:suffix_ranks) over the
+    acgt-derived corpus — the log-round keyed-join form of the
+    per-string suffix sort, i.e. the suffix index a CLUSTER builds
+    (each round: one equi-join on (doc, pos) + a per-doc dense_rank
+    over <= 512 rows; ceil(log2(512)) = 9 rounds, parameter-sized).
+    The oracle sorts suffix STRINGS directly — so any doubling bug
+    (offset bookkeeping, absent-lookahead convention, rank collapse)
+    hash-mismatches. Output is one row per character: the rank
+    permutation itself."""
+    from pygr_spark.operators.fmindex import suffix_ranks
+
+    docs = (
+        _spread(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq"),
+        )
+        .filter(F.length("seq").between(4, 512))
+    )
+    out = suffix_ranks(docs, max_len=512)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "pos", "sa_rank"
+    )
+
+
+Q_SUFFIX_ARRAY_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+  FROM documents
+), ok AS (
+  SELECT doc_id, seq FROM d WHERE length(seq) BETWEEN 4 AND 512
+), suf AS (
+  SELECT doc_id, u.i AS pos, substr(seq, CAST(u.i AS INT)) AS s
+  FROM ok, unnest(range(1, length(seq) + 1)) AS u(i)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) AS BIGINT)
+    AS sa_rank
+FROM suf
+"""
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval legs (Cormack 2009 —
+    the standard lexical+dense combiner): BM25 top-10 and raw-tf
+    top-10 per query, fused by rank position only with the integer
+    term 1000000 DIV (60 + rank) so no score calibration or float
+    crosses the gate. Scale shape: both legs are broadcast-filtered
+    keyed aggregates; the fusion itself runs on 2·k·queries rows."""
+    from pygr_spark.operators.textstats import bm25_topk, rrf_fuse, tf_topk
+
+    qrows = [(qid, t) for qid, terms in _SEARCH_QUERIES for t in terms]
+    queries = spark.createDataFrame(qrows, "query_id long, term string")
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    bm25 = bm25_topk(docs, queries, k=10)
+    tfr = tf_topk(docs, queries, k=10)
+    return rrf_fuse([bm25, tfr], k=10)
+
+
+def _rrf_fusion_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _SEARCH_QUERIES for t in terms
+    )
+    return rf"""
+WITH q(query_id, term) AS (
+  VALUES {vals}
+), base AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+    AS term
+  FROM base
+), dl AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS dl
+  FROM base
+), totals AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), bm25_scored AS (
+  SELECT q.query_id, t.doc_id,
+    CAST(sum(((totals.n * 1000000) // d.df) *
+      ((22000 * totals.total * t.tf) //
+       (10 * totals.total * t.tf + 3 * totals.total + 9 * dl.dl * totals.n)))
+      AS BIGINT) AS score
+  FROM tf t JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN totals JOIN q ON q.term = t.term
+  GROUP BY q.query_id, t.doc_id
+), bm25_rank AS (
+  SELECT query_id, doc_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+      AS rank
+  FROM bm25_scored
+), tf_scored AS (
+  SELECT q.query_id, t.doc_id, CAST(sum(t.tf) AS BIGINT) AS score
+  FROM tf t JOIN q ON q.term = t.term
+  GROUP BY q.query_id, t.doc_id
+), tf_rank AS (
+  SELECT query_id, doc_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+      AS rank
+  FROM tf_scored
+), legs AS (
+  SELECT query_id, doc_id, 1000000 // (60 + rank) AS term
+  FROM bm25_rank WHERE rank <= 10
+  UNION ALL
+  SELECT query_id, doc_id, 1000000 // (60 + rank) AS term
+  FROM tf_rank WHERE rank <= 10
+), fused AS (
+  SELECT query_id, doc_id, CAST(sum(term) AS BIGINT) AS rrf_score
+  FROM legs GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+    AS rank,
+  CAST(doc_id AS BIGINT) AS doc_id, rrf_score
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
+def q_champion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion-list retrieval (Manning IR §7.1.3): per query term,
+    only the 50 highest-tf docs survive as that term's champion list;
+    queries score tf·idf over champion postings only — the classic
+    pruning that bounds per-term query work independent of corpus
+    size. The oracle applies the identical cut, so the gate pins the
+    exact champion sets and the deterministic (tf desc, doc_id) tie
+    rule."""
+    from pygr_spark.operators.textstats import champion_topk
+
+    qrows = [(qid, t) for qid, terms in _SEARCH_QUERIES for t in terms]
+    queries = spark.createDataFrame(qrows, "query_id long, term string")
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return champion_topk(docs, queries, k=10, r=50)
+
+
+def _champion_topk_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _SEARCH_QUERIES for t in terms
+    )
+    return rf"""
+WITH q(query_id, term) AS (
+  VALUES {vals}
+), base AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+    AS term
+  FROM base
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM base
+), champs AS (
+  SELECT doc_id, term, tf,
+    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS r
+  FROM tf QUALIFY r <= 50
+), scored AS (
+  SELECT q.query_id, c.doc_id,
+    CAST(sum(c.tf * ((nd.n * 1000000) // d.df)) AS BIGINT) AS score
+  FROM champs c JOIN dfreq d USING (term) CROSS JOIN nd
+       JOIN q ON q.term = c.term
+  GROUP BY q.query_id, c.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+  CAST(doc_id AS BIGINT) AS doc_id, score
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+def q_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 10,000-doc
+    sampling budget across corpus sources — the exact integer answer
+    to 'how many docs does each source contribute to the training
+    mix': base quota (N·c) DIV C per source, then the leftover seats
+    go to the largest remainders (ties → source name). Σalloc = N by
+    construction. Scale shape: one count-per-source aggregate; the
+    apportionment runs on the <= |sources| row summary (the window
+    is over sources, not docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_budget = 10_000
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    total = counts.agg(F.sum("n_docs").cast("long").alias("_c"))
+    quoted = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        F.expr(f"CAST(({n_budget} * n_docs) DIV _c AS BIGINT)").alias("base"),
+        F.expr(f"CAST(({n_budget} * n_docs) % _c AS BIGINT)").alias("rem"),
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    wsum = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = quoted.withColumn("_r", F.row_number().over(w)).withColumn(
+        "_left", F.lit(n_budget) - F.sum("base").over(wsum)
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        (
+            F.col("base")
+            + F.when(F.col("_r") <= F.col("_left"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("alloc"),
+    )
+
+
+Q_MIX_ALLOCATION_SQL = """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS c FROM counts
+), quota AS (
+  SELECT source, n_docs,
+    CAST((10000 * n_docs) // tot.c AS BIGINT) AS base,
+    CAST((10000 * n_docs) % tot.c AS BIGINT) AS rem
+  FROM counts CROSS JOIN tot
+), ranked AS (
+  SELECT source, n_docs, base, rem,
+    row_number() OVER (ORDER BY rem DESC, source) AS r,
+    10000 - sum(base) OVER () AS leftover
+  FROM quota
+)
+SELECT source, n_docs,
+  CAST(base + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked
+"""
+
+
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of daily event value (is error volume
+    growing?): regress daily cents totals on the day index and emit
+    the slope as the EXACT integer pair (slope_num = n·Σxy − Σx·Σy,
+    slope_den = n·Σxx − (Σx)²) plus n — closed-form least squares
+    from five integer moments, no float near the gate (same carrier
+    discipline as lag_correlation / spend_gini). Scale shape: the
+    event→day rollup is one map-side-combinable keyed aggregate; the
+    regression runs over the tiny (type, day) table, and x is
+    re-based to days-since-first so the moments stay far from 2^63
+    at any corpus size."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("CAST(ts_sec DIV 86400 AS BIGINT)").alias("day"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("long").alias("y")
+    )
+    base = daily.agg(F.min("day").alias("_d0"))
+    xy = daily.crossJoin(F.broadcast(base)).select(
+        "event_type", (F.col("day") - F.col("_d0")).alias("x"), "y"
+    )
+    m = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long").alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long").alias("slope_den"),
+    )
+
+
+Q_OLS_TREND_SQL = """
+WITH ev AS (
+  SELECT event_type,
+    CAST((epoch_ns(ts) // 1000000000) // 86400 AS BIGINT) AS day,
+    CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS y
+  FROM ev GROUP BY 1, 2
+), d0 AS (
+  SELECT min(day) AS d0 FROM daily
+), xy AS (
+  SELECT event_type, day - d0.d0 AS x, y FROM daily CROSS JOIN d0
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT event_type, n,
+  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "suffix_array": q_suffix_array,
+    "rrf_fusion": q_rrf_fusion,
+    "champion_topk": q_champion_topk,
+    "mix_allocation": q_mix_allocation,
+    "ols_trend": q_ols_trend,
     "hll_union": q_hll_union,
     "overlap_layout": q_overlap_layout,
     "frequent_triples": q_frequent_triples,
@@ -9963,6 +10280,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "suffix_array": Q_SUFFIX_ARRAY_SQL,
+    "rrf_fusion": _rrf_fusion_sql(),
+    "champion_topk": _champion_topk_sql(),
+    "mix_allocation": Q_MIX_ALLOCATION_SQL,
+    "ols_trend": Q_OLS_TREND_SQL,
     "hll_union": Q_HLL_UNION_SQL,
     "overlap_layout": Q_OVERLAP_LAYOUT_SQL,
     "frequent_triples": Q_FREQUENT_TRIPLES_SQL,

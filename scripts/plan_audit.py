@@ -66,6 +66,21 @@ EXEMPT: dict[str, dict[str, str]] = {
     "bm25_search": {
         "bnlj": "cross with the 1-row corpus stats (N, avgdl) aggregate"
     },
+    "rrf_fusion": {
+        "bnlj": "cross with the 1-row corpus stats aggregate (bm25 leg)"
+    },
+    "champion_topk": {
+        "bnlj": "cross with the 1-row doc-count aggregate (idf)"
+    },
+    "ols_trend": {
+        "bnlj": "cross with the 1-row min-day aggregate (x re-basing)"
+    },
+    "mix_allocation": {
+        "bnlj": "cross with the 1-row corpus-total aggregate",
+        "global_window": "apportionment window runs over the per-SOURCE "
+                         "summary (<= |sources| rows by construction), "
+                         "not over docs",
+    },
     "event_funnel": {
         "bnlj": "cross with 1-row earliest-step aggregates"
     },
