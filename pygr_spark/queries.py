@@ -10082,7 +10082,297 @@ FROM m
 """
 
 
+def q_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split scoring — the per-node computation of
+    distributed tree learning (XGBoost/LightGBM histogram method):
+    bucket the feature (order price, $1000 bins), accumulate
+    cumulative (count, positives) per candidate threshold with one
+    window over the SMALL bucket summary, and emit each threshold's
+    weighted Gini impurity as the EXACT integer pair
+    num = n_r·(n_l² − pos_l² − neg_l²) + n_l·(n_r² − pos_r² − neg_r²),
+    den = n·n_l·n_r — impurity = num/den, no float near the gate.
+    Degenerate splits (empty side) are excluded. Scale shape: one
+    map-side-combinable bucket aggregate over orders, then windows
+    over <= |buckets| rows; the histogram-not-sort discipline is
+    exactly how GBDT nodes scale to 100 TB."""
+    orders = _t(spark, sf_dir, "orders")
+    feat = orders.select(
+        F.expr("CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) DIV 100000 AS BIGINT)").alias("bucket"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("pos"),
+    )
+    hist = feat.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("pos").cast("long").alias("pos_b"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        hist.withColumn("n_l", F.sum("n_b").over(w))
+        .withColumn("pos_l", F.sum("pos_b").over(w))
+        .withColumn("n", F.sum("n_b").over(wall))
+        .withColumn("pos", F.sum("pos_b").over(wall))
+    )
+    sided = cum.select(
+        F.col("bucket").alias("threshold"),
+        "n_l",
+        "pos_l",
+        (F.col("n") - F.col("n_l")).alias("n_r"),
+        (F.col("pos") - F.col("pos_l")).alias("pos_r"),
+        "n",
+    ).filter((F.col("n_l") > 0) & (F.col("n_r") > 0))
+    neg_l = F.col("n_l") - F.col("pos_l")
+    neg_r = F.col("n_r") - F.col("pos_r")
+    return sided.select(
+        "threshold",
+        "n_l",
+        "pos_l",
+        (
+            F.col("n_r")
+            * (F.col("n_l") * F.col("n_l") - F.col("pos_l") * F.col("pos_l") - neg_l * neg_l)
+            + F.col("n_l")
+            * (F.col("n_r") * F.col("n_r") - F.col("pos_r") * F.col("pos_r") - neg_r * neg_r)
+        ).cast("long").alias("gini_num"),
+        (F.col("n") * F.col("n_l") * F.col("n_r")).cast("long").alias("gini_den"),
+    )
+
+
+Q_GINI_SPLIT_SQL = """
+WITH feat AS (
+  SELECT CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) // 100000
+              AS BIGINT) AS bucket,
+    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+  FROM orders
+), hist AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+    CAST(sum(pos) AS BIGINT) AS pos_b
+  FROM feat GROUP BY bucket
+), cum AS (
+  SELECT bucket,
+    CAST(sum(n_b) OVER (ORDER BY bucket) AS BIGINT) AS n_l,
+    CAST(sum(pos_b) OVER (ORDER BY bucket) AS BIGINT) AS pos_l,
+    CAST(sum(n_b) OVER () AS BIGINT) AS n,
+    CAST(sum(pos_b) OVER () AS BIGINT) AS pos
+  FROM hist
+), sided AS (
+  SELECT bucket AS threshold, n_l, pos_l, n - n_l AS n_r,
+    pos - pos_l AS pos_r, n
+  FROM cum WHERE n_l > 0 AND n - n_l > 0
+)
+SELECT threshold, n_l, pos_l,
+  CAST(n_r * (n_l*n_l - pos_l*pos_l - (n_l-pos_l)*(n_l-pos_l))
+     + n_l * (n_r*n_r - pos_r*pos_r - (n_r-pos_r)*(n_r-pos_r))
+     AS BIGINT) AS gini_num,
+  CAST(n * n_l * n_r AS BIGINT) AS gini_den
+FROM sided
+"""
+
+
+def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle (4-cycle) participation counts in the order–part
+    bipartite graph: parts p, p' co-occurring in c shared orders
+    close C(c,2) rectangles; per part, rect = Σ_partners C(c,2) —
+    the bipartite clustering signal one step past the triangle
+    counts of clustering_coeff. The pair join caps baskets at 50
+    (TPC-H baskets are <= 7; the cap is the 100 TB skew guard,
+    applied identically in the oracle). Only parts closing >= 1
+    rectangle are emitted. Scale shape: capped in-basket self-join
+    -> pair counts (one shuffle) -> per-part sum (map-side
+    combinable); no all-pairs stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("p")
+    ).distinct()
+    sized = items.withColumn(
+        "_bsz", F.count(F.lit(1)).over(Window.partitionBy("b"))
+    ).filter(F.col("_bsz") <= 50)
+    a = sized.select("b", F.col("p").alias("p1"))
+    bb = sized.select("b", F.col("p").alias("p2"))
+    pairs = (
+        a.join(bb, "b")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    rect = (F.col("c") * (F.col("c") - 1) / 2).cast("long")
+    both = pairs.select(F.col("p1").alias("part"), rect.alias("r")).unionByName(
+        pairs.select(F.col("p2").alias("part"), rect.alias("r"))
+    )
+    return (
+        both.groupBy("part")
+        .agg(F.sum("r").cast("long").alias("rectangles"))
+        .filter(F.col("rectangles") > 0)
+        .select(F.col("part").cast("long").alias("part"), "rectangles")
+    )
+
+
+Q_FOUR_CYCLES_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS p FROM lineitem
+), sized AS (
+  SELECT b, p FROM (
+    SELECT b, p, count(*) OVER (PARTITION BY b) AS bsz FROM items
+  ) WHERE bsz <= 50
+), pairs AS (
+  SELECT a.p AS p1, c.p AS p2, CAST(count(*) AS BIGINT) AS c
+  FROM sized a JOIN sized c ON a.b = c.b AND a.p < c.p
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), sides AS (
+  SELECT p1 AS part, c * (c - 1) // 2 AS r FROM pairs
+  UNION ALL
+  SELECT p2 AS part, c * (c - 1) // 2 AS r FROM pairs
+)
+SELECT CAST(part AS BIGINT) AS part, CAST(sum(r) AS BIGINT) AS rectangles
+FROM sides GROUP BY part HAVING sum(r) > 0
+"""
+
+
+def q_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct-user sketches via the library HLL aggregate
+    (sketches.hll_merge): per-DAY register states roll up to weeks by
+    register-wise max — the two-level partial aggregation a cluster
+    uses so re-sketching never rescans events — and reduce to the
+    exact dyadic estimate pair via hll_estimate_terms. The oracle
+    builds each week's registers DIRECTLY from events, so the gate
+    re-proves the merge law on every window. Output: one row per
+    week with (hll_l, hll_num) and the register count."""
+    from pygr_spark.operators.sketches import (
+        hll_estimate_terms,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = read_events(spark, sf_dir).select(
+        F.expr("CAST(ts_sec DIV 86400 AS BIGINT)").alias("day"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    daily = hll_registers(ev, ["day"], m=64)
+    weekly_regs = hll_merge(
+        daily.withColumn("week", F.expr("CAST(day DIV 7 AS BIGINT)")).drop("day"),
+        ["week"],
+    )
+    est = hll_estimate_terms(weekly_regs, ["week"], m=64)
+    n_regs = weekly_regs.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs")
+    )
+    return est.join(n_regs, "week").select(
+        F.col("week").cast("long").alias("week"), "n_regs", "hll_l", "hll_num"
+    )
+
+
+Q_HLL_WINDOWS_SQL = """
+WITH ev AS (
+  SELECT CAST(((epoch_ns(ts) // 1000000000) // 86400) // 7 AS BIGINT)
+      AS week,
+    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT week, h % 64 AS register,
+    CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM ev
+), regs AS (
+  SELECT week, register, CAST(max(rho) AS BIGINT) AS m_j
+  FROM r GROUP BY 1, 2
+), lmax AS (
+  SELECT week, m_j, max(m_j) OVER (PARTITION BY week) AS hll_l
+  FROM regs
+), agg AS (
+  SELECT week, hll_l, CAST(count(*) AS BIGINT) AS n_regs,
+    CAST(sum(CAST(1 AS BIGINT) << CAST(hll_l - m_j AS INT)) AS BIGINT)
+      AS present
+  FROM lmax GROUP BY 1, 2
+)
+SELECT CAST(week AS BIGINT) AS week, n_regs,
+  CAST(hll_l AS BIGINT) AS hll_l,
+  CAST(present + (64 - n_regs) * (CAST(1 AS BIGINT) << CAST(hll_l AS INT))
+       AS BIGINT) AS hll_num
+FROM agg
+"""
+
+
+def q_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes training counts — the integer
+    sufficient statistics of the classic distributed text classifier
+    (class = document lang): for the 20 globally most frequent terms
+    (ties → term), emit per (lang, term) token counts plus each
+    class's total token and doc counts, i.e. everything Laplace-
+    smoothed log-likelihoods are computed from. No probability (a
+    float) ever crosses the gate. Scale shape: token explode → two
+    keyed count aggregates (map-side combinable) + one broadcast of
+    the 20-term vocabulary; training IS these counts, so the
+    'model fit' is one pass."""
+    from pygr_spark.operators.textstats import tokens
+
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    # distributed top-k (TakeOrderedAndProject) — never a global
+    # window over the data-sized vocabulary (same discipline as
+    # token_topk)
+    top = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(20)
+        .select("term")
+    )
+    cls = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("class_tokens")
+    )
+    ndocs = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("class_docs")
+    )
+    tc = (
+        tok.join(F.broadcast(top), "term")
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("term_count"))
+    )
+    return (
+        tc.join(cls, "lang")
+        .join(ndocs, "lang")
+        .select("lang", "term", "term_count", "class_tokens", "class_docs")
+    )
+
+
+Q_NB_TRAIN_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, text FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+    AS term
+  FROM base
+), top AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS n,
+      row_number() OVER (ORDER BY count(*) DESC, term) AS r
+    FROM tok GROUP BY term
+  ) WHERE r <= 20
+), cls AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS class_tokens
+  FROM tok GROUP BY lang
+), nd AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS class_docs
+  FROM base GROUP BY lang
+), tc AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS term_count
+  FROM tok WHERE term IN (SELECT term FROM top)
+  GROUP BY lang, term
+)
+SELECT t.lang, t.term, t.term_count, c.class_tokens, n.class_docs
+FROM tc t JOIN cls c USING (lang) JOIN nd n USING (lang)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "gini_split": q_gini_split,
+    "four_cycles": q_four_cycles,
+    "hll_windows": q_hll_windows,
+    "nb_train": q_nb_train,
     "suffix_array": q_suffix_array,
     "rrf_fusion": q_rrf_fusion,
     "champion_topk": q_champion_topk,
@@ -10280,6 +10570,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "gini_split": Q_GINI_SPLIT_SQL,
+    "four_cycles": Q_FOUR_CYCLES_SQL,
+    "hll_windows": Q_HLL_WINDOWS_SQL,
+    "nb_train": Q_NB_TRAIN_SQL,
     "suffix_array": Q_SUFFIX_ARRAY_SQL,
     "rrf_fusion": _rrf_fusion_sql(),
     "champion_topk": _champion_topk_sql(),

@@ -81,6 +81,12 @@ EXEMPT: dict[str, dict[str, str]] = {
                          "summary (<= |sources| rows by construction), "
                          "not over docs",
     },
+    "gini_split": {
+        "global_window": "cumulative split stats run over the $1000 "
+                         "price-bucket HISTOGRAM (<= price_range/1000 "
+                         "rows by construction — the GBDT histogram "
+                         "discipline), never over orders",
+    },
     "event_funnel": {
         "bnlj": "cross with 1-row earliest-step aggregates"
     },

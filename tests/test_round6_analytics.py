@@ -103,3 +103,156 @@ def test_ols_trend_matches_numpy_lstsq(spark, sf_dir):
         g = ev[ev.event_type == r.event_type]
         slope = np.polyfit(g.day - d0, g.y, 1)[0]
         assert abs(r.slope_num / r.slope_den - slope) < 1e-6 * max(1, abs(slope))
+
+
+def test_gini_split_matches_bruteforce(spark, sf_dir):
+    from pygr_spark.queries import q_gini_split
+
+    out = {r.threshold: r for r in q_gini_split(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    cents = (orders.o_totalprice * 100).round(0).astype("int64")
+    buckets = cents // 100000
+    pos = (orders.o_orderpriority == "1-URGENT").astype("int64")
+    n, p = len(orders), int(pos.sum())
+    hist = (
+        pos.groupby(buckets)
+        .agg(["count", "sum"])
+        .rename(columns={"count": "n_b", "sum": "pos_b"})
+        .sort_index()
+    )
+    n_l = p_l = 0
+    checked = 0
+    for bucket, row in hist.iterrows():
+        n_l += int(row.n_b)
+        p_l += int(row.pos_b)
+        n_r, p_r = n - n_l, p - p_l
+        if n_l == 0 or n_r == 0:
+            assert bucket not in out
+            continue
+        # weighted impurity (n_l/n)*gini_l + (n_r/n)*gini_r
+        gini_l = 1 - (p_l / n_l) ** 2 - ((n_l - p_l) / n_l) ** 2
+        gini_r = 1 - (p_r / n_r) ** 2 - ((n_r - p_r) / n_r) ** 2
+        want = (n_l / n) * gini_l + (n_r / n) * gini_r
+        r = out[bucket]
+        assert r.n_l == n_l and r.pos_l == p_l
+        assert abs(r.gini_num / r.gini_den - want) < 1e-12
+        checked += 1
+    assert checked == len(out) > 0
+
+
+def test_four_cycles_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+    from itertools import combinations
+
+    from pygr_spark.queries import q_four_cycles
+
+    out = {r.part: r.rectangles for r in q_four_cycles(spark, sf_dir).collect()}
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    pair_c = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp.l_partkey))
+        if len(parts) > 50:
+            continue
+        pair_c.update(combinations(parts, 2))
+    want = Counter()
+    for (p1, p2), c in pair_c.items():
+        r = c * (c - 1) // 2
+        if r:
+            want[p1] += r
+            want[p2] += r
+    assert out == dict(want)
+    assert len(out) > 0
+
+
+def test_hll_windows_merge_equals_direct_build(spark, sf_dir):
+    """Daily registers merged to weeks must equal registers built
+    directly from week-grouped events (the HLL merge law, at the
+    catalog entry's exact parameters)."""
+    from pygr_spark.operators.sketches import hll_estimate_terms, hll_registers
+    from pygr_spark.queries import q_hll_windows, read_events
+
+    got = sorted(
+        (r.week, r.hll_l, r.hll_num)
+        for r in q_hll_windows(spark, sf_dir).collect()
+    )
+    ev = read_events(spark, sf_dir).select(
+        F.expr("CAST(ts_sec DIV 86400 DIV 7 AS BIGINT)").alias("week"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    direct = hll_estimate_terms(hll_registers(ev, ["week"], m=64), ["week"], m=64)
+    want = sorted((r.week, r.hll_l, r.hll_num) for r in direct.collect())
+    assert got == want
+
+
+def test_hll_windows_estimate_near_exact(spark, sf_dir):
+    """The (n_regs, hll_l, hll_num) triple must decode to an estimate
+    within HLL's error envelope. Decoding applies the standard
+    small-range correction (Flajolet et al. 2007 §4): when the raw
+    estimate E = alpha_m·m²·2^L/num is <= 2.5m and some registers are
+    empty, use linear counting m·ln(m/V) on the V = m − n_regs empty
+    registers — exactly why the entry emits n_regs."""
+    import math
+
+    from pygr_spark.queries import q_hll_windows, read_events
+
+    alpha_m = 0.709  # alpha_64 from Flajolet et al. 2007
+    m = 64
+    est = {}
+    for r in q_hll_windows(spark, sf_dir).collect():
+        e = alpha_m * m * m * (2.0 ** r.hll_l) / r.hll_num
+        if e <= 2.5 * m and r.n_regs < m:
+            e = m * math.log(m / (m - r.n_regs))
+        est[r.week] = e
+    exact = {
+        r.week: r.n
+        for r in read_events(spark, sf_dir)
+        .select(
+            F.expr("CAST(ts_sec DIV 86400 DIV 7 AS BIGINT)").alias("week"),
+            "user_id",
+        )
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for week, n in exact.items():
+        assert abs(est[week] - n) <= 0.40 * n, (week, est[week], n)
+
+
+def test_nb_train_matches_counter(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from pygr_spark.queries import q_nb_train
+
+    rows = q_nb_train(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    docs = docs[docs.text.str.strip().str.len() > 0]
+    tok = re.compile(r"[a-z0-9]+")
+    vocab = Counter()
+    per_class = {}
+    class_tokens = Counter()
+    class_docs = Counter()
+    for _, d in docs.iterrows():
+        terms = tok.findall(d.text.lower())
+        vocab.update(terms)
+        per_class.setdefault(d.lang, Counter()).update(terms)
+        class_tokens[d.lang] += len(terms)
+        class_docs[d.lang] += 1
+    top = {t for t, _ in sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:20]}
+    want = {
+        (lang, t): c
+        for lang, ctr in per_class.items()
+        for t, c in ctr.items()
+        if t in top
+    }
+    got = {(r.lang, r.term): r.term_count for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.class_tokens == class_tokens[r.lang]
+        assert r.class_docs == class_docs[r.lang]
