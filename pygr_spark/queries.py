@@ -10368,7 +10368,377 @@ FROM tc t JOIN cls c USING (lang) JOIN nd n USING (lang)
 """
 
 
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature-selection statistics per (lang, term) for
+    the 30 globally most document-frequent terms: the full 2x2
+    document-level contingency margins (n_lt = docs in class
+    containing term, n_class, n_term, n_docs) plus the signed
+    cross-product difference assoc = n_lt*n_docs - n_class*n_term
+    (algebraically ad - bc of the table), whose sign is the
+    association direction and whose square over the margin product is
+    the chi-square statistic. All integers — the statistic's one
+    float division stays with the consumer, as in nb_train. Scale
+    shape: per-doc DISTINCT terms (explode + dropDuplicates keyed by
+    doc), two map-side-combinable counts, one broadcast 30-term
+    vocabulary; assoc <= n_docs^2 so BIGINT holds to ~3e9 docs
+    (beyond that the design note says promote to DECIMAL(38,0))."""
+    from pygr_spark.operators.textstats import tokens
+
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.length(F.trim("text")) > 0
+    )
+    # full-key distinct, not dropDuplicates(["doc_id","term"]): lang is
+    # functionally dependent on doc_id, and the subset form compiles to
+    # first(lang) which falls back to SortAggregate
+    doc_terms = (
+        docs.select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    top = (
+        doc_terms.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(30)
+    )
+    hits = doc_terms.join(F.broadcast(top.select("term")), "term")
+    n_lt = hits.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lt")
+    )
+    n_class = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_class")
+    )
+    n_term = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_term")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        n_lt.join(n_class, "lang")
+        .join(F.broadcast(n_term), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "term",
+            "n_lt",
+            "n_class",
+            "n_term",
+            "n_docs",
+            (F.col("n_lt") * F.col("n_docs") - F.col("n_class") * F.col("n_term"))
+            .cast("long")
+            .alias("assoc"),
+        )
+    )
+
+
+Q_CHI2_TERMS_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, text FROM documents WHERE length(trim(text)) > 0
+), dt AS (
+  SELECT DISTINCT doc_id, lang, term FROM (
+    SELECT doc_id, lang,
+      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM base
+  )
+), top AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS df,
+      row_number() OVER (ORDER BY count(*) DESC, term) AS r
+    FROM dt GROUP BY term
+  ) WHERE r <= 30
+), hits AS (
+  SELECT doc_id, lang, term FROM dt WHERE term IN (SELECT term FROM top)
+), nlt AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS n_lt
+  FROM hits GROUP BY 1, 2
+), ncl AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_class FROM base GROUP BY 1
+), ntm AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_term FROM hits GROUP BY 1
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base)
+SELECT l.lang, l.term, l.n_lt, c.n_class, t.n_term, nd.n_docs,
+  CAST(l.n_lt * nd.n_docs - c.n_class * t.n_term AS BIGINT) AS assoc
+FROM nlt l JOIN ncl c USING (lang) JOIN ntm t USING (term) CROSS JOIN nd
+"""
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the orders-derived graph:
+    per node u, the top-3 NON-neighbOUR candidates w by shared-
+    neighbour count (ties -> w), each with the exact Jaccard carrier
+    (common, deg_u, deg_w) — score = common/(deg_u+deg_w-common),
+    kept rational. The node space is sized FROM THE DATA
+    (|orders| DIV 30, floor 499, via a 1-row broadcast aggregate) so
+    average degree stays ~constant as data grows: wedge volume is
+    sum(deg^2) ~ 60^2 per node = LINEAR in data, never |V|^2 and
+    never the densifying fixed-mod trap. Output is 3 rows per node
+    by construction; the rank window partitions by u over u's own
+    ~deg^2 candidates."""
+    orders = _t(spark, sf_dir, "orders")
+    nmod = orders.agg(
+        F.greatest(
+            F.lit(499), (F.count(F.lit(1)) / 30).cast("long")
+        ).alias("nmod")
+    )
+    raw = (
+        orders.crossJoin(F.broadcast(nmod))
+        .select(
+            (F.col("o_custkey") % F.col("nmod")).cast("long").alias("a"),
+            (F.col("o_orderkey") % F.col("nmod")).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = (
+        raw.select("a", "b")
+        .unionByName(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    wedges = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .join(
+            und.select(F.col("a").alias("v"), F.col("b").alias("w")), "v"
+        )
+        .filter(F.col("u") != F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    cand = wedges.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    wr = Window.partitionBy("u").orderBy(F.col("common").desc(), F.col("w"))
+    top = cand.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") <= 3
+    )
+    return (
+        top.join(deg.select(F.col("a").alias("u"), F.col("deg").alias("deg_u")), "u")
+        .join(deg.select(F.col("a").alias("w"), F.col("deg").alias("deg_w")), "w")
+        .select("u", F.col("rnk").cast("long").alias("rnk"), "w", "common",
+                "deg_u", "deg_w")
+    )
+
+
+Q_LINK_PREDICTION_SQL = """
+WITH nm AS (
+  SELECT greatest(499, CAST(count(*) // 30 AS BIGINT)) AS nmod FROM orders
+), raw AS (
+  SELECT CAST(o_custkey % nmod AS BIGINT) AS a,
+         CAST(o_orderkey % nmod AS BIGINT) AS b
+  FROM orders CROSS JOIN nm
+  WHERE o_custkey % nmod <> o_orderkey % nmod
+), und AS (
+  SELECT a, b FROM raw UNION SELECT b, a FROM raw
+), deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a
+), wedges AS (
+  SELECT e1.a AS u, e2.b AS w, CAST(count(*) AS BIGINT) AS common
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+  WHERE e1.a <> e2.b
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), cand AS (
+  SELECT u, w, common FROM wedges
+  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = wedges.u
+                    AND und.b = wedges.w)
+), ranked AS (
+  SELECT u, w, common,
+    row_number() OVER (PARTITION BY u ORDER BY common DESC, w) AS rnk
+  FROM cand
+)
+SELECT c.u, CAST(c.rnk AS BIGINT) AS rnk, c.w, c.common,
+  du.deg AS deg_u, dw.deg AS deg_w
+FROM ranked c JOIN deg du ON du.a = c.u JOIN deg dw ON dw.a = c.w
+WHERE c.rnk <= 3
+"""
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: adjacent
+    bigrams with relative support >= 1/5000 of the token stream,
+    emitted with the exact PMI carrier pair (pmi_num = c12*total,
+    pmi_den = c1*c2) — PMI = log(num/den), monotone in the rational,
+    so ranking needs no float. Bigrams come from the zip-slice
+    projection (no self-join, no positional explode — the bigram_lm
+    discipline); marginals are one unigram count joined back, the
+    head side broadcast-sized by the support cut."""
+    from pygr_spark.operators.textstats import word_tokens
+
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.length(F.trim("text")) > 0
+    )
+    ws = docs.select(word_tokens("text").alias("_ws"))
+    tail_len = F.greatest(F.size("_ws") - 1, F.lit(0))
+    bigrams = ws.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_ws"), 1, tail_len).alias("w1"),
+                F.slice(F.col("_ws"), 2, tail_len).alias("w2"),
+            )
+        ).alias("_z")
+    ).select(F.col("_z.w1").alias("w1"), F.col("_z.w2").alias("w2"))
+    uni = ws.select(F.explode("_ws").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    total = uni.agg(F.sum("c").cast("long").alias("total"))
+    c12 = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    supported = (
+        c12.crossJoin(F.broadcast(total))
+        .filter(F.col("c12") * 5000 >= F.col("total"))
+    )
+    return (
+        supported.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            "total",
+            (F.col("c12") * F.col("total")).cast("long").alias("pmi_num"),
+            (F.col("c1") * F.col("c2")).cast("long").alias("pmi_den"),
+        )
+    )
+
+
+Q_PMI_COLLOCATIONS_SQL = r"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+), bg AS (
+  SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM t
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni),
+c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bg GROUP BY 1, 2
+)
+SELECT p.w1, p.w2, p.c12, u1.c AS c1, u2.c AS c2, tot.total,
+  CAST(p.c12 * tot.total AS BIGINT) AS pmi_num,
+  CAST(u1.c * u2.c AS BIGINT) AS pmi_den
+FROM c12 p CROSS JOIN tot
+JOIN uni u1 ON u1.w = p.w1 JOIN uni u2 ON u2.w = p.w2
+WHERE p.c12 * 5000 >= tot.total
+"""
+
+
+def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT
+    (Broder 1997): pairs where the smaller 5-gram set is >= 80%
+    contained in the other — catches quotes/subsumption that the
+    symmetric Jaccard gate of ngram_jaccard misses when sizes differ.
+    Same one-shuffle shared-shingle equi-join as jaccard_join; the
+    predicate 10*inter >= 8*least(size_a, size_b) is exact-integer.
+    Cites the reference's all-pairs NLMSA coverage filters
+    (nlmsa_test.py) as the semantics model at interval level."""
+    from pygr_spark.operators.dedup import shingle_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, "doc_id", "text", 5).localCheckpoint(eager=False)
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "_s")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("_sz"))
+    out = pairs.join(
+        F.broadcast(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("size_a"))),
+        "id_a",
+    ).join(
+        F.broadcast(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("size_b"))),
+        "id_b",
+    )
+    return out.filter(
+        F.col("inter") * 10 >= F.least("size_a", "size_b") * 8
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "inter",
+        "size_a",
+        "size_b",
+    )
+
+
+Q_CONTAINMENT_DUPS_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(t)-3),
+                  i -> array_to_string(list_slice(t, i, i+4), ' '))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents)
+  WHERE len(t) >= 5
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sz FROM sh)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, inter,
+       a.sz AS size_a, b.sz AS size_b
+FROM pairs JOIN sz a ON id_a = a.doc_id JOIN sz b ON id_b = b.doc_id
+WHERE inter * 10 >= least(a.sz, b.sz) * 8
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity privacy audit over quasi-identifiers — the check a
+    PII-aware training pipeline runs before release: group customers
+    by (nation, market segment, $1000 account-balance bucket) and
+    emit every equivalence class smaller than k=5 (re-identifiable
+    rows). One map-side-combinable hash aggregate; the at-risk set is
+    output-bound by construction. Complements pii_scrub (content
+    redaction) with the structural-disclosure side."""
+    cust = _t(spark, sf_dir, "customer")
+    bucket = F.expr(
+        "CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT) DIV 100000 AS BIGINT)"
+    )
+    return (
+        cust.select(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            bucket.alias("bal_bucket"),
+        )
+        .groupBy("nation", "segment", "bal_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") < 5)
+    )
+
+
+Q_K_ANONYMITY_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nation,
+  c_mktsegment AS segment,
+  CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT) // 100000 AS BIGINT)
+    AS bal_bucket,
+  CAST(count(*) AS BIGINT) AS n
+FROM customer
+GROUP BY 1, 2, 3 HAVING count(*) < 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "chi2_terms": q_chi2_terms,
+    "link_prediction": q_link_prediction,
+    "pmi_collocations": q_pmi_collocations,
+    "containment_dups": q_containment_dups,
+    "k_anonymity": q_k_anonymity,
     "gini_split": q_gini_split,
     "four_cycles": q_four_cycles,
     "hll_windows": q_hll_windows,
@@ -10570,6 +10940,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "chi2_terms": Q_CHI2_TERMS_SQL,
+    "link_prediction": Q_LINK_PREDICTION_SQL,
+    "pmi_collocations": Q_PMI_COLLOCATIONS_SQL,
+    "containment_dups": Q_CONTAINMENT_DUPS_SQL,
+    "k_anonymity": Q_K_ANONYMITY_SQL,
     "gini_split": Q_GINI_SPLIT_SQL,
     "four_cycles": Q_FOUR_CYCLES_SQL,
     "hll_windows": Q_HLL_WINDOWS_SQL,

@@ -81,6 +81,16 @@ EXEMPT: dict[str, dict[str, str]] = {
                          "summary (<= |sources| rows by construction), "
                          "not over docs",
     },
+    "chi2_terms": {
+        "bnlj": "cross with the 1-row corpus doc-count aggregate"
+    },
+    "pmi_collocations": {
+        "bnlj": "cross with the 1-row total-token aggregate"
+    },
+    "link_prediction": {
+        "bnlj": "cross with the 1-row node-space-size aggregate "
+                "(|orders| DIV 30) that keeps average degree constant"
+    },
     "gini_split": {
         "global_window": "cumulative split stats run over the $1000 "
                          "price-bucket HISTOGRAM (<= price_range/1000 "

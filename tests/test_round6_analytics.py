@@ -256,3 +256,167 @@ def test_nb_train_matches_counter(spark, sf_dir):
     for r in rows:
         assert r.class_tokens == class_tokens[r.lang]
         assert r.class_docs == class_docs[r.lang]
+
+
+def test_chi2_terms_matches_counter(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from pygr_spark.queries import q_chi2_terms
+
+    rows = q_chi2_terms(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    docs = docs[docs.text.str.strip().str.len() > 0]
+    tok = re.compile(r"[a-z0-9]+")
+    df_c = Counter()
+    n_lt = Counter()
+    n_class = Counter()
+    for _, d in docs.iterrows():
+        terms = set(tok.findall(d.text.lower()))
+        df_c.update(terms)
+        n_class[d.lang] += 1
+        for t in terms:
+            n_lt[(d.lang, t)] += 1
+    top = {t for t, _ in sorted(df_c.items(), key=lambda kv: (-kv[1], kv[0]))[:30]}
+    n = len(docs)
+    want = {
+        (lang, t): c for (lang, t), c in n_lt.items() if t in top
+    }
+    got = {(r.lang, r.term): r.n_lt for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.n_class == n_class[r.lang]
+        assert r.n_term == df_c[r.term]
+        assert r.n_docs == n
+        assert r.assoc == r.n_lt * n - r.n_class * r.n_term
+
+
+def test_link_prediction_matches_bruteforce(spark, sf_dir):
+    from collections import defaultdict
+
+    from pygr_spark.queries import q_link_prediction
+
+    out = [
+        (r.u, r.rnk, r.w, r.common, r.deg_u, r.deg_w)
+        for r in q_link_prediction(spark, sf_dir).collect()
+    ]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    nmod = max(499, len(orders) // 30)
+    adj = defaultdict(set)
+    for _, o in orders.iterrows():
+        a, b = int(o.o_custkey) % nmod, int(o.o_orderkey) % nmod
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    want = []
+    for u in adj:
+        cands = defaultdict(int)
+        for v in adj[u]:
+            for w in adj[v]:
+                if w != u and w not in adj[u]:
+                    cands[w] += 1
+        ranked = sorted(
+            ((c, w) for w, c in cands.items() if c >= 2),
+            key=lambda cw: (-cw[0], cw[1]),
+        )[:3]
+        for rnk, (c, w) in enumerate(ranked, start=1):
+            want.append((u, rnk, w, c, len(adj[u]), len(adj[w])))
+    assert sorted(out) == sorted(want)
+    assert len(out) > 0
+
+
+def test_pmi_collocations_matches_counter(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from pygr_spark.queries import q_pmi_collocations
+
+    rows = q_pmi_collocations(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    docs = docs[docs.text.str.strip().str.len() > 0]
+    tok = re.compile(r"[a-z0-9]+")
+    uni = Counter()
+    bi = Counter()
+    for _, d in docs.iterrows():
+        ws = tok.findall(d.text.lower())
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    total = sum(uni.values())
+    want = {
+        (w1, w2): c for (w1, w2), c in bi.items() if c * 5000 >= total
+    }
+    got = {(r.w1, r.w2): r.c12 for r in rows}
+    assert got == want and len(got) > 0
+    for r in rows:
+        assert r.c1 == uni[r.w1] and r.c2 == uni[r.w2] and r.total == total
+        assert r.pmi_num == r.c12 * total and r.pmi_den == r.c1 * r.c2
+
+
+def test_containment_dups_matches_bruteforce(spark, sf_dir):
+    import re
+
+    from pygr_spark.queries import q_containment_dups
+
+    rows = {
+        (r.id_a, r.id_b): (r.inter, r.size_a, r.size_b)
+        for r in q_containment_dups(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    sets = {}
+    for _, d in docs.iterrows():
+        ws = re.split(r"\s+", d.text.strip().lower())
+        if len(ws) >= 5:
+            sets[d.doc_id] = {
+                " ".join(ws[i : i + 5]) for i in range(len(ws) - 4)
+            }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter * 10 >= 8 * min(len(sets[a]), len(sets[b])):
+                want[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    assert rows == want and len(rows) > 0
+
+
+def test_containment_catches_subsumed_doc(spark):
+    """A doc wholly contained in a longer one must be flagged even
+    when its Jaccard vs the container is far below any symmetric
+    threshold."""
+    from pygr_spark.queries import Q_CONTAINMENT_DUPS_SQL  # noqa: F401 (gate exists)
+    from pygr_spark.operators.dedup import shingle_rows
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, short), (2, long)], ["doc_id", "text"])
+    sh = shingle_rows(docs, "doc_id", "text", 5)
+    a = {r._s for r in sh.filter("_id = 1").collect()}
+    b = {r._s for r in sh.filter("_id = 2").collect()}
+    inter = len(a & b)
+    assert inter * 10 >= 8 * min(len(a), len(b))        # containment fires
+    assert inter < 0.2 * (len(a) + len(b) - inter)      # jaccard would not
+
+
+def test_k_anonymity_matches_pandas(spark, sf_dir):
+    from pygr_spark.queries import q_k_anonymity
+
+    got = {
+        (r.nation, r.segment, r.bal_bucket): r.n
+        for r in q_k_anonymity(spark, sf_dir).collect()
+    }
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    cents = (cust.c_acctbal * 100).round(0).astype("int64")
+    # Spark DIV and DuckDB // truncate toward zero; Python // floors —
+    # acctbal is negative for some customers, so mirror the truncation
+    cust["bal_bucket"] = (cents.abs() // 100000) * cents.apply(
+        lambda v: -1 if v < 0 else 1
+    )
+    sizes = cust.groupby(
+        ["c_nationkey", "c_mktsegment", "bal_bucket"]
+    ).size()
+    want = {
+        (int(k[0]), k[1], int(k[2])): int(v)
+        for k, v in sizes.items()
+        if v < 5
+    }
+    assert got == want and len(got) > 0
