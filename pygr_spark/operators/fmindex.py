@@ -76,20 +76,23 @@ def occ_table(bwt: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .orderBy("i")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    parts = []
-    for c in ALPHABET[1:]:
-        parts.append(
-            bwt.withColumn(
-                "occ",
-                F.sum((F.col("ch") == c).cast("long")).over(w),
-            ).select(
-                id_col, F.lit(c).alias("c"), "i", F.col("occ").cast("long")
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ONE window pass computing all four cumulative counts (one
+    # exchange + one sort), then stack() to the tall (c, i, occ) form
+    # — the unioned per-char variant sorted the BWT four times
+    cum = bwt.select(
+        id_col,
+        "i",
+        *[
+            F.sum((F.col("ch") == c).cast("long")).over(w).alias(f"_o_{c}")
+            for c in ALPHABET[1:]
+        ],
+    )
+    names = ", ".join(f"'{c}', _o_{c}" for c in ALPHABET[1:])
+    return cum.select(
+        id_col,
+        F.expr(f"stack({len(ALPHABET) - 1}, {names}) AS (c, occ)"),
+        "i",
+    ).select(id_col, "c", "i", F.col("occ").cast("long"))
 
 
 def c_table(bwt: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -163,11 +166,14 @@ def fm_count(
         bwt = bwt.localCheckpoint(eager=True)
     occ = occ_table(bwt, id_col)
     ctab = c_table(bwt, id_col)
-    n = bwt.groupBy(id_col).agg(F.max("i").cast("long").alias("n"))
+    # n = |seq + '$'| directly from the input — a trivial scan, not a
+    # groupBy over the BWT (equal to max(i) by construction)
+    n = checked.select(
+        id_col, (F.length(seq) + 1).cast("long").alias("n")
+    )
     if checkpoint:
         occ = occ.localCheckpoint(eager=True)
         ctab = ctab.localCheckpoint(eager=True)
-        n = n.localCheckpoint(eager=True)
     # initial range: the whole suffix array [1, n]
     state = n.select(
         id_col, F.lit(1).cast("long").alias("lo"), F.col("n").alias("hi")

@@ -8744,10 +8744,14 @@ def q_auc_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     by partition id — the two-pass prefix-scan every 100 TB ranking
     pipeline uses. plan_audit stays clean: no empty PARTITION BY."""
     scored = _margin_scored(spark, sf_dir)
+    # eager checkpoint: the per-score table feeds THREE downstream jobs
+    # (quantile bounds, offset collect, final aggregate) — without it
+    # the full margin-scoring pipeline re-runs per job (3x wall cost;
+    # determinism itself is already guaranteed by _det_range_pids)
     by_s = scored.groupBy("s").agg(
         F.sum("pos").cast("long").alias("p"),
         F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n"),
-    )
+    ).localCheckpoint()
     parts = _det_range_pids(by_s, "s")
     # ≤ n_parts rows by construction — the documented small-by-contract
     # collect that turns per-partition totals into prefix offsets
@@ -8815,7 +8819,8 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp/support never cross the gate as floats. Two keyed aggregates
     over the knn_classify output full-outer-joined on the label —
     evaluation is O(predictions), a rounding error next to scoring."""
-    knn = q_knn_classify(spark, sf_dir)
+    # eager checkpoint: the kNN scoring pipeline feeds BOTH margins
+    knn = q_knn_classify(spark, sf_dir).localCheckpoint()
     truth = knn.groupBy(F.col("true_label").alias("label")).agg(
         F.count(F.lit(1)).cast("long").alias("support"),
         F.sum(
@@ -9170,16 +9175,19 @@ def q_interval_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection runs the binned overlap join over the two merged
     sets and sums clipped lengths — merged sets are disjoint within
     id, so no double counting. One summary row per id."""
+    # eager checkpoints: each merged set feeds TWO consumers (its
+    # length aggregate and the overlap join) — without them the window
+    # pipeline of gap_merge runs twice per side
     a = gap_merge(
         _order_ivals(spark, sf_dir).select("id", "start", "stop"),
         ["id"],
         maxgap=0,
-    ).select("id", "start", "stop")
+    ).select("id", "start", "stop").localCheckpoint()
     b = gap_merge(
         _spread(_lineitem_ivals(spark, sf_dir)).select("id", "start", "stop"),
         ["id"],
         maxgap=0,
-    ).select("id", "start", "stop")
+    ).select("id", "start", "stop").localCheckpoint()
     la = a.groupBy("id").agg(
         F.sum(F.col("stop") - F.col("start")).cast("long").alias("len_a")
     )
@@ -9282,10 +9290,11 @@ def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the distributed two-pass prefix scan in auc_metric is the 100 TB
     form and this entry's plan would adopt it identically)."""
     scored = _margin_scored(spark, sf_dir)
+    # eager checkpoint — same 3-consumer fan-out rationale as auc_metric
     by_s = scored.groupBy("s").agg(
         F.sum("pos").cast("long").alias("p"),
         F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n"),
-    )
+    ).localCheckpoint()
     parts = _det_range_pids(by_s, "s")
     totals = {
         r.pid: (r.tp, r.tn)
@@ -9362,9 +9371,10 @@ def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     capture is a clip against [1, end_d] — no ntile, no sort, no
     window over data-sized input anywhere in the plan."""
     scored = _margin_scored(spark, sf_dir)
+    # eager checkpoint — same 3-consumer fan-out rationale as auc_metric
     by_g = scored.groupBy("s", "pos").agg(
         F.count(F.lit(1)).cast("long").alias("g")
-    )
+    ).localCheckpoint()
     # bucket on _k alone: pid must be a pure function of the ordering
     # key, and equal-_k rows (pos 0/1) sharing a bucket keeps the
     # within-bucket (_k, pos) window a total order
@@ -10469,16 +10479,17 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbour count (ties -> w), each with the exact Jaccard carrier
     (common, deg_u, deg_w) — score = common/(deg_u+deg_w-common),
     kept rational. The node space is sized FROM THE DATA
-    (|orders| DIV 30, floor 499, via a 1-row broadcast aggregate) so
-    average degree stays ~constant as data grows: wedge volume is
-    sum(deg^2) ~ 60^2 per node = LINEAR in data, never |V|^2 and
+    (|orders| DIV 6, floor 499, via a 1-row broadcast aggregate) so
+    average degree stays ~constant (~12, realistic sparsity) as data
+    grows: wedge volume is sum(deg^2) ~ 12^2 per node = LINEAR in
+    data, never |V|^2 and
     never the densifying fixed-mod trap. Output is 3 rows per node
     by construction; the rank window partitions by u over u's own
     ~deg^2 candidates."""
     orders = _t(spark, sf_dir, "orders")
     nmod = orders.agg(
         F.greatest(
-            F.lit(499), (F.count(F.lit(1)) / 30).cast("long")
+            F.lit(499), (F.count(F.lit(1)) / 6).cast("long")
         ).alias("nmod")
     )
     raw = (
@@ -10525,7 +10536,7 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_LINK_PREDICTION_SQL = """
 WITH nm AS (
-  SELECT greatest(499, CAST(count(*) // 30 AS BIGINT)) AS nmod FROM orders
+  SELECT greatest(499, CAST(count(*) // 6 AS BIGINT)) AS nmod FROM orders
 ), raw AS (
   SELECT CAST(o_custkey % nmod AS BIGINT) AS a,
          CAST(o_orderkey % nmod AS BIGINT) AS b

@@ -89,7 +89,7 @@ EXEMPT: dict[str, dict[str, str]] = {
     },
     "link_prediction": {
         "bnlj": "cross with the 1-row node-space-size aggregate "
-                "(|orders| DIV 30) that keeps average degree constant"
+                "(|orders| DIV 6) that keeps average degree constant"
     },
     "gini_split": {
         "global_window": "cumulative split stats run over the $1000 "

@@ -301,7 +301,7 @@ def test_link_prediction_matches_bruteforce(spark, sf_dir):
         for r in q_link_prediction(spark, sf_dir).collect()
     ]
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
-    nmod = max(499, len(orders) // 30)
+    nmod = max(499, len(orders) // 6)
     adj = defaultdict(set)
     for _, o in orders.iterrows():
         a, b = int(o.o_custkey) % nmod, int(o.o_orderkey) % nmod
