@@ -49,21 +49,27 @@ def bwt_table(docs: DataFrame, id_col: str = "doc_id", seq: str = "seq") -> Data
     s = docs.select(
         F.col(id_col), F.concat(F.col(seq), F.lit("$")).alias("s")
     )
+    # rotation order over s+'$' EQUALS suffix order: the sentinel is
+    # unique and smallest, so two rotations always differ at or before
+    # it — sorting by the suffix alone halves the shuffled key bytes
+    # (avg n/2 vs n chars) and drops the wrap-around concat entirely.
+    # The BWT char is the one BEFORE the suffix start ('$' for r=1).
     rots = s.select(
         id_col,
         F.explode(F.sequence(F.lit(1), F.length("s"))).alias("r"),
         "s",
     ).select(
         id_col,
-        F.expr("concat(substring(s, r), substring(s, 1, r - 1))").alias(
-            "rot"
-        ),
+        F.expr("substring(s, r)").alias("sfx"),
+        F.expr(
+            "CASE WHEN r = 1 THEN '$' ELSE substring(s, r - 1, 1) END"
+        ).alias("ch"),
     )
-    w = Window.partitionBy(id_col).orderBy("rot")
+    w = Window.partitionBy(id_col).orderBy("sfx")
     return rots.select(
         id_col,
         F.row_number().over(w).cast("long").alias("i"),
-        F.expr("right(rot, 1)").alias("ch"),
+        "ch",
     )
 
 
@@ -164,35 +170,57 @@ def fm_count(
     bwt = bwt_table(checked, id_col, seq)
     if checkpoint:
         bwt = bwt.localCheckpoint(eager=True)
-    occ = occ_table(bwt, id_col)
-    ctab = c_table(bwt, id_col)
-    # n = |seq + '$'| directly from the input — a trivial scan, not a
-    # groupBy over the BWT (equal to max(i) by construction)
-    n = checked.select(
-        id_col, (F.length(seq) + 1).cast("long").alias("n")
+    # WIDE Occ: one window pass, all four cumulative counts as
+    # columns (id, i, _o_a.._o_t) — the search picks its char's
+    # column, so each LF step joins a 1×-size table instead of
+    # filtering the 4×-tall stacked form
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    occw = bwt.select(
+        id_col,
+        "i",
+        *[
+            F.sum((F.col("ch") == c).cast("long")).over(w).alias(f"_o_{c}")
+            for c in ALPHABET[1:]
+        ],
     )
     if checkpoint:
-        occ = occ.localCheckpoint(eager=True)
-        ctab = ctab.localCheckpoint(eager=True)
+        occw = occw.localCheckpoint(eager=True)
+    # C[c] and n as PURE PROJECTIONS of the input (length/replace
+    # counts): zero joins, zero shuffles — C[c] = 1 + Σ counts of
+    # smaller chars ('$' contributes the leading 1)
+    cnt = {
+        c: F.length(seq) - F.length(F.regexp_replace(seq, c, ""))
+        for c in ALPHABET[1:]
+    }
+    cl_cols = []
+    acc = F.lit(1)
+    for c in ALPHABET[1:]:
+        cl_cols.append(acc.cast("long").alias(f"_cl_{c}"))
+        acc = acc + cnt[c]
     # initial range: the whole suffix array [1, n]
-    state = n.select(
-        id_col, F.lit(1).cast("long").alias("lo"), F.col("n").alias("hi")
+    state = checked.select(
+        F.col(id_col),
+        F.lit(1).cast("long").alias("lo"),
+        (F.length(seq) + 1).cast("long").alias("hi"),
+        *cl_cols,
     )
+    cl_names = [f"_cl_{c}" for c in ALPHABET[1:]]
     for ch in reversed(pattern):
-        occ_c = occ.filter(F.col("c") == ch)
-        cc = ctab.filter(F.col("c") == ch).select(id_col, "c_less")
-        state = _occ_at(state, occ_c, F.col("lo") - 1, "occ_lo", id_col)
-        state = _occ_at(state, occ_c, F.col("hi"), "occ_hi", id_col)
-        # a doc with no ch at all has no c_table row: C defaults to 0
-        # and occ reads 0, so the range goes empty — correct
-        state = (
-            state.join(cc, id_col, "left")
-            .withColumn("_c", F.coalesce(F.col("c_less"), F.lit(0)))
-            .select(
-                id_col,
-                (F.col("_c") + F.col("occ_lo") + 1).alias("lo"),
-                (F.col("_c") + F.col("occ_hi")).alias("hi"),
-            )
+        state = _occ_wide_at(
+            state, occw, F.col("lo") - 1, "occ_lo", ch, id_col
+        )
+        state = _occ_wide_at(state, occw, F.col("hi"), "occ_hi", ch, id_col)
+        # a doc with no ch at all still has the true C[ch]; occ reads
+        # 0 at both probes, so the range goes empty — correct
+        state = state.select(
+            id_col,
+            (F.col(f"_cl_{ch}") + F.col("occ_lo") + 1).alias("lo"),
+            (F.col(f"_cl_{ch}") + F.col("occ_hi")).alias("hi"),
+            *cl_names,
         )
     return state.select(
         id_col,
@@ -202,17 +230,19 @@ def fm_count(
     )
 
 
-def _occ_at(
+def _occ_wide_at(
     state: DataFrame,
-    occ_c: DataFrame,
+    occw: DataFrame,
     pos_col,
     out_col: str,
+    ch: str,
     id_col: str,
 ) -> DataFrame:
-    """Left-join Occ(c, ·) at one exact position per doc; position 0
-    (or any position with no row) reads as 0."""
-    probe = occ_c.select(
-        id_col, F.col("i").alias("_pos"), F.col("occ").alias(out_col)
+    """Left-join the wide Occ table at one exact position per doc and
+    read char ``ch``'s cumulative count; position 0 (or any position
+    with no row) reads as 0."""
+    probe = occw.select(
+        id_col, F.col("i").alias("_pos"), F.col(f"_o_{ch}").alias(out_col)
     )
     joined = state.withColumn("_pos", pos_col).join(
         probe, [id_col, "_pos"], "left"

@@ -7718,7 +7718,9 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
-    r1 = pair_counts(docs, "text")
+    # eager checkpoint: r1 feeds the argmax collect AND the final
+    # union — without it the character fan-out scans the corpus twice
+    r1 = pair_counts(docs, "text").localCheckpoint()
     top = r1.orderBy(F.col("cnt").desc(), "pair").first()  # 1 row
     # \Q...\E quoting keeps regexp_replace literal (the oracle uses
     # plain replace()), whatever characters the corpus pair contains
@@ -7788,6 +7790,8 @@ def q_sparse_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygr_spark.operators.dedup import md5_hash60
 
     docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    # eager checkpoint: A feeds the term-universe distinct (B's input)
+    # AND the product join — one corpus fan-out, not two
     a = (
         docs.select(
             "doc_id", F.explode(F.split("text", " ", -1)).alias("term")
@@ -7795,6 +7799,7 @@ def q_sparse_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
     terms = a.select("term").distinct()
     # integer DIV, not `/`: float division of a 60-bit hash loses
@@ -9477,16 +9482,21 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent, the prune degenerates, and the candidate table hits
     ~15M rows, making the pre-count semi-join the dominant cost
     (~10s of the 19s total). Count-then-filter with trimming is the
-    right plan whenever L2 selectivity is low; with a selective L2
-    (high min_sup at 100 TB) the SAME trim shrinks baskets to
-    near-empty and the fan-out collapses — trimming is the scale
-    lever in both regimes, candidate materialization only pays in
-    the second. tests/test_round5_analytics.py's brute-force
-    completeness check asserts the equivalence.
+    right plan whenever L2 selectivity is low. The trim set itself is
+    graded the same way: L2-based trimming (items in a frequent PAIR)
+    is the stronger prune, but computing L2 costs the in-basket pair
+    self-join (~1.7s of ~5s total here) while pruning 1/500 items at
+    this min_sup — so the trim uses L1 item support (downward closure
+    on singletons: an item below min_sup cannot occur in any frequent
+    triple), a 500-row aggregate with the identical surviving-triple
+    set. At a selective min_sup (the 100 TB regime) escalate the trim
+    back to L2/candidates — each level pays for itself exactly when
+    its selectivity bites. tests/test_round5_analytics.py's
+    brute-force completeness check asserts output equivalence.
 
-    Baskets and frequent pairs are localCheckpoint-ed once: sized is
-    referenced 5× (pair gen ×2, triple gen ×3) and without the
-    lineage cut each reference re-runs the distinct upstream."""
+    Baskets are localCheckpoint-ed once: sized is referenced by the
+    support count and the triple gen ×3, and without the lineage cut
+    each reference re-runs the distinct upstream."""
     li = _t(spark, sf_dir, "lineitem")
     # category id stand-in: this testdata has no p_brand/p_type
     # column, so a modulus hash plays the category role — raw part
@@ -9500,23 +9510,16 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_bsz", F.count(F.lit(1)).over(Window.partitionBy("b"))
     ).filter(F.col("_bsz") <= 50).select("b", "i").localCheckpoint(eager=True)
     min_sup = 3
-    pairs = (
-        sized.alias("x")
-        .join(sized.alias("y"), "b")
-        .filter(F.col("x.i") < F.col("y.i"))
-        .groupBy(F.col("x.i").alias("p"), F.col("y.i").alias("q"))
+    # transaction trimming via L1 item support (downward closure on
+    # singletons): an item in fewer than min_sup baskets cannot occur
+    # in any frequent triple — trim set is ≤ #distinct items, broadcast
+    freq_items = (
+        sized.groupBy("i")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .filter(F.col("n") >= min_sup)
-        .localCheckpoint(eager=True)
+        .select("i")
     )
-    # transaction trimming: an item in no frequent pair cannot occur
-    # in any frequent triple — trim set is ≤ #distinct items, broadcast
-    pair_items = (
-        pairs.select(F.col("p").alias("i"))
-        .unionByName(pairs.select(F.col("q").alias("i")))
-        .distinct()
-    )
-    trimmed = sized.join(F.broadcast(pair_items), "i", "left_semi")
+    trimmed = sized.join(F.broadcast(freq_items), "i", "left_semi")
     # in-basket triple generation over TRIMMED baskets (bounded by
     # the basket cap), then one count shuffle. Joining candidates to
     # baskets item-first instead fans each candidate out to every
@@ -9555,16 +9558,13 @@ WITH items AS (
   SELECT b, i FROM (
     SELECT b, i, count(*) OVER (PARTITION BY b) AS bsz FROM items
   ) WHERE bsz <= 50
-), pairs AS (
-  SELECT x.i AS p, y.i AS q, CAST(count(*) AS BIGINT) AS n
-  FROM sized x JOIN sized y ON x.b = y.b AND x.i < y.i
-  GROUP BY 1, 2 HAVING count(*) >= 3
-), pair_items AS (
-  -- transaction trimming: an item in no frequent pair cannot occur
-  -- in any frequent triple — shed it before the in-basket fan-out
-  SELECT p AS i FROM pairs UNION SELECT q FROM pairs
+), freq_items AS (
+  -- transaction trimming (L1 downward closure): an item below
+  -- min_sup cannot occur in any frequent triple — shed it before
+  -- the in-basket fan-out
+  SELECT i FROM sized GROUP BY i HAVING count(*) >= 3
 ), trimmed AS (
-  SELECT b, i FROM sized SEMI JOIN pair_items USING (i)
+  SELECT b, i FROM sized SEMI JOIN freq_items USING (i)
 ), t3 AS (
   SELECT x.i AS a, y.i AS bb, z.i AS c
   FROM trimmed x
