@@ -10744,7 +10744,319 @@ GROUP BY 1, 2, 3 HAVING count(*) < 5
 """
 
 
+#: binary-climb steps for LCP over <= 512-char suffixes
+_LCP_STEPS = [256, 128, 64, 32, 16, 8, 4, 2, 1]
+
+
+def q_lcp_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCP array over the suffix_array corpus — the companion table
+    that upgrades a suffix array to suffix-tree power (Manber 1990;
+    longest repeated substring, distinct-substring counting and
+    matching statistics all read off it): per doc, for each suffix in
+    rank order, the longest-common-prefix length with its rank
+    predecessor (LCP at rank 1 = 0 by convention). Ranks come from
+    the prefix-doubling suffix_ranks; the LCP itself is a BINARY
+    CLIMB folded over a 9-element step array with aggregate() —
+    prefix equality is monotone in length, so greedily extending by
+    256,128,...,1 whenever the next `step` chars agree is exact, and
+    the lambda runs 9 times per row (two substring compares each),
+    never per character. Suffixes within a doc are pairwise distinct,
+    so the climb cannot overshoot past the shorter suffix. The
+    oracle sorts suffix strings and walks the same climb in chained
+    CTEs — any rank or climb bug hash-mismatches."""
+    from pygr_spark.operators.fmindex import suffix_ranks
+
+    docs = (
+        _spread(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq"),
+        )
+        .filter(F.length("seq").between(4, 512))
+    )
+    ranks = suffix_ranks(docs, max_len=512)
+    w = Window.partitionBy("doc_id").orderBy("sa_rank")
+    steps = ", ".join(str(s) for s in _LCP_STEPS)
+    climb = (
+        f"aggregate(array({steps}), 0, (k, step) -> k + "
+        "IF(substring(_a, k + 1, step) = substring(_b, k + 1, step) "
+        "AND substring(_a, k + 1, step) <> '', step, 0))"
+    )
+    return (
+        ranks.withColumn("ppos", F.lag("pos").over(w))
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "sa_rank",
+            "pos",
+            F.expr("substring(seq, ppos)").alias("_a"),
+            F.expr("substring(seq, pos)").alias("_b"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("sa_rank").cast("long").alias("sa_rank"),
+            F.col("pos").cast("long").alias("pos"),
+            F.when(F.col("_a").isNull(), F.lit(0))
+            .otherwise(F.expr(climb))
+            .cast("long")
+            .alias("lcp"),
+        )
+    )
+
+
+def _lcp_sql() -> str:
+    layers = []
+    prev = "k0"
+    for i, s in enumerate(_LCP_STEPS, start=1):
+        layers.append(
+            f"c{i} AS (SELECT doc_id, sa_rank, pos, a, b, "
+            f"{prev} + CASE WHEN substr(a, {prev} + 1, {s}) = "
+            f"substr(b, {prev} + 1, {s}) AND "
+            f"substr(a, {prev} + 1, {s}) <> '' THEN {s} ELSE 0 END "
+            f"AS k{i} FROM c{i - 1})"
+        )
+        prev = f"k{i}"
+    chain = ",\n".join(layers)
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+  FROM documents
+), ok AS (
+  SELECT doc_id, seq FROM d WHERE length(seq) BETWEEN 4 AND 512
+), suf AS (
+  SELECT doc_id, u.i AS pos, substr(seq, CAST(u.i AS INT)) AS s
+  FROM ok, unnest(range(1, length(seq) + 1)) AS u(i)
+), ranked AS (
+  SELECT doc_id, pos, s,
+    row_number() OVER (PARTITION BY doc_id ORDER BY s) AS sa_rank,
+    lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev_s
+  FROM suf
+), c0 AS (
+  SELECT doc_id, sa_rank, pos, prev_s AS a, s AS b, 0 AS k0 FROM ranked
+),
+{chain}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(sa_rank AS BIGINT) AS sa_rank, CAST(pos AS BIGINT) AS pos,
+  CAST(CASE WHEN a IS NULL THEN 0 ELSE {prev} END AS BIGINT) AS lcp
+FROM c{len(_LCP_STEPS)}
+"""
+
+
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty profiling — the corpus-curation signal
+    for incremental ingestion (what fraction of a document's content
+    is NEW to the corpus?): over distinct character 8-grams, each
+    gram's first introduction is min(doc_id); a doc's novelty is the
+    exact pair (n_first = grams it introduces, n_grams = its distinct
+    grams). Two keyed aggregates — gram explode + per-gram min, then
+    per-doc counts; the gram table is linear in corpus chars and the
+    same shape fingerprint_chars/winnow already carry."""
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.lower("text").alias("s")
+    ).filter(F.length("s") >= 8)
+    # eager checkpoint: the gram table feeds BOTH aggregates
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("s") - 7)).alias("p"),
+            "s",
+        )
+        .select("doc_id", F.expr("substring(s, p, 8)").alias("g"))
+        .distinct()
+        .localCheckpoint()
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    firsts = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_first"))
+    )
+    return (
+        per_doc.join(firsts, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_grams",
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+        )
+    )
+
+
+Q_NOVELTY_SCORES_SQL = """
+WITH d AS (
+  SELECT doc_id, lower(text) AS s FROM documents WHERE length(text) >= 8
+), g AS (
+  SELECT DISTINCT doc_id, substr(s, CAST(u.p AS INT), 8) AS g
+  FROM d, unnest(range(1, length(s) - 6)) AS u(p)
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1
+), firsts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_first FROM (
+    SELECT g, min(doc_id) AS doc_id FROM g GROUP BY g
+  ) GROUP BY 1
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.n_grams,
+  CAST(coalesce(f.n_first, 0) AS BIGINT) AS n_first
+FROM per_doc p LEFT JOIN firsts f USING (doc_id)
+"""
+
+
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional proximity retrieval — terms co-occurring within
+    window w = 3 (the NEAR/w operator of classic IR, one step past
+    phrase_search's exact adjacency): for the corpus's two most
+    frequent terms (ties -> term), count per doc the position pairs
+    with |p1 - p2| <= 3. The range predicate is BANDED into an
+    equi-join (p DIV 4 bands, each left position exploded to its 3
+    adjacent bands) — the overlap_join discipline, never an
+    inequality-only join. Exact integer output (doc_id,
+    n_prox_pairs)."""
+    from pygr_spark.operators.textstats import tokens
+
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.length(F.trim("text")) > 0
+    )
+    # eager checkpoint: the positional index feeds the term-frequency
+    # collect AND both posting legs
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "term")
+    ).filter(F.length("term") > 0).localCheckpoint()
+    # 2-row small-by-contract collect (the bpe_merge argmax shape):
+    # the two query terms become broadcast literals in the plan
+    top2 = (
+        pos.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(2)
+        .collect()
+    )
+    t1, t2 = top2[0]["term"], top2[1]["term"]
+    p1 = pos.filter(F.col("term") == t1).select(
+        "doc_id", F.col("p").alias("p1")
+    )
+    p2 = pos.filter(F.col("term") == t2).select(
+        "doc_id", F.col("p").alias("p2")
+    )
+    banded = p1.select(
+        "doc_id",
+        "p1",
+        F.explode(
+            F.array(
+                F.expr("p1 DIV 4 - 1"), F.expr("p1 DIV 4"), F.expr("p1 DIV 4 + 1")
+            )
+        ).alias("band"),
+    )
+    hits = (
+        banded.join(
+            p2.withColumn("band", F.expr("p2 DIV 4")), ["doc_id", "band"]
+        )
+        .filter(F.abs(F.col("p1") - F.col("p2")) <= 3)
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prox_pairs")
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "n_prox_pairs")
+
+
+Q_PROXIMITY_SEARCH_SQL = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+), pos AS (
+  SELECT doc_id, CAST(u.p AS BIGINT) AS p, ts[CAST(u.p AS INT)] AS term
+  FROM (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+    FROM base
+  ), unnest(range(1, len(ts) + 1)) AS u(p)
+), top2 AS (
+  SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+  FROM pos GROUP BY term
+  ORDER BY count(*) DESC, term LIMIT 2
+), p1 AS (
+  SELECT doc_id, p AS p1 FROM pos
+  WHERE term = (SELECT term FROM top2 WHERE rn = 1)
+), p2 AS (
+  SELECT doc_id, p AS p2 FROM pos
+  WHERE term = (SELECT term FROM top2 WHERE rn = 2)
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_prox_pairs
+FROM p1 a JOIN p2 b ON a.doc_id = b.doc_id AND abs(a.p1 - b.p2) <= 3
+GROUP BY 1
+"""
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): content words clump,
+    function words spread — measured by the variance-to-mean ratio of
+    per-document counts. For the 20 most frequent terms the exact
+    integer moments are emitted (df = docs containing, n_total = Σx,
+    sum_sq = Σx², n_docs) so VMR = (E[x²] − E[x]²)/E[x] over ALL
+    docs (zeros included) never crosses the gate as a float. One
+    token count + one keyed moment aggregate + a broadcast 20-term
+    vocabulary."""
+    from pygr_spark.operators.textstats import tokens
+
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    per_doc = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    top = (
+        per_doc.groupBy("term")
+        .agg(F.sum("x").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(20)
+        .select("term")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        per_doc.join(F.broadcast(top), "term")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("x").cast("long").alias("n_total"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_sq"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+    )
+
+
+Q_TERM_BURSTINESS_SQL = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+    AS term
+  FROM base
+), per_doc AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS x
+  FROM tok GROUP BY 1, 2
+), top AS (
+  SELECT term FROM (
+    SELECT term, sum(x) AS n,
+      row_number() OVER (ORDER BY sum(x) DESC, term) AS r
+    FROM per_doc GROUP BY term
+  ) WHERE r <= 20
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base)
+SELECT p.term, CAST(count(*) AS BIGINT) AS df,
+  CAST(sum(p.x) AS BIGINT) AS n_total,
+  CAST(sum(p.x * p.x) AS BIGINT) AS sum_sq, nd.n_docs
+FROM per_doc p CROSS JOIN nd
+WHERE p.term IN (SELECT term FROM top)
+GROUP BY p.term, nd.n_docs
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lcp_array": q_lcp_array,
+    "novelty_scores": q_novelty_scores,
+    "proximity_search": q_proximity_search,
+    "term_burstiness": q_term_burstiness,
     "chi2_terms": q_chi2_terms,
     "link_prediction": q_link_prediction,
     "pmi_collocations": q_pmi_collocations,
@@ -10951,6 +11263,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "lcp_array": _lcp_sql(),
+    "novelty_scores": Q_NOVELTY_SCORES_SQL,
+    "proximity_search": Q_PROXIMITY_SEARCH_SQL,
+    "term_burstiness": Q_TERM_BURSTINESS_SQL,
     "chi2_terms": Q_CHI2_TERMS_SQL,
     "link_prediction": Q_LINK_PREDICTION_SQL,
     "pmi_collocations": Q_PMI_COLLOCATIONS_SQL,

@@ -84,6 +84,9 @@ EXEMPT: dict[str, dict[str, str]] = {
     "chi2_terms": {
         "bnlj": "cross with the 1-row corpus doc-count aggregate"
     },
+    "term_burstiness": {
+        "bnlj": "cross with the 1-row corpus doc-count aggregate"
+    },
     "pmi_collocations": {
         "bnlj": "cross with the 1-row total-token aggregate"
     },

@@ -420,3 +420,160 @@ def test_k_anonymity_matches_pandas(spark, sf_dir):
         if v < 5
     }
     assert got == want and len(got) > 0
+
+
+def test_lcp_array_matches_bruteforce(spark, sf_dir):
+    import re
+
+    from pygr_spark.queries import q_lcp_array
+
+    got = {
+        (r.doc_id, r.sa_rank): (r.pos, r.lcp)
+        for r in q_lcp_array(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    want = {}
+    for _, d in docs.iterrows():
+        seq = re.sub(r"[^acgt]", "", d.text.lower())
+        if not 4 <= len(seq) <= 512:
+            continue
+        order = sorted(range(1, len(seq) + 1), key=lambda i: seq[i - 1:])
+        prev = None
+        for rank, pos in enumerate(order, start=1):
+            s = seq[pos - 1:]
+            lcp = 0
+            if prev is not None:
+                while lcp < min(len(prev), len(s)) and prev[lcp] == s[lcp]:
+                    lcp += 1
+            want[(d.doc_id, rank)] = (pos, lcp)
+            prev = s
+    assert got == want and len(got) > 0
+
+
+def test_lcp_climb_on_repetitive_strings(spark):
+    """The binary climb must be exact on adversarial inputs: long
+    runs (every LCP near maximal) and period-2 repeats (climb steps
+    land mid-period), including at non-power-of-two lengths."""
+    from pygr_spark.operators.fmindex import suffix_ranks
+    from pygr_spark.queries import _LCP_STEPS, q_lcp_array  # noqa: F401
+
+    cases = {1: "a" * 100, 2: "acacacacacac", 3: "aacaacaacaat", 4: "acgt" * 31}
+    df = [(i, s) for i, s in cases.items()]
+    docs = __import__("pyspark").sql.SparkSession.getActiveSession().createDataFrame(
+        df, ["doc_id", "seq"]
+    )
+    ranks = suffix_ranks(docs, max_len=512)
+    w = __import__("pyspark").sql.Window.partitionBy("doc_id").orderBy("sa_rank")
+    steps = ", ".join(str(s) for s in _LCP_STEPS)
+    climb = (
+        f"aggregate(array({steps}), 0, (k, step) -> k + "
+        "IF(substring(_a, k + 1, step) = substring(_b, k + 1, step) "
+        "AND substring(_a, k + 1, step) <> '', step, 0))"
+    )
+    out = (
+        ranks.withColumn("ppos", F.lag("pos").over(w))
+        .join(docs, "doc_id")
+        .selectExpr(
+            "doc_id",
+            "sa_rank",
+            "substring(seq, ppos) AS _a",
+            "substring(seq, pos) AS _b",
+        )
+        .selectExpr("doc_id", "sa_rank", f"IF(_a IS NULL, 0, {climb}) AS lcp")
+        .collect()
+    )
+    got = {(r.doc_id, r.sa_rank): r.lcp for r in out}
+    for i, s in cases.items():
+        order = sorted(range(1, len(s) + 1), key=lambda p: s[p - 1:])
+        prev = None
+        for rank, pos in enumerate(order, start=1):
+            suf = s[pos - 1:]
+            lcp = 0
+            if prev is not None:
+                while lcp < min(len(prev), len(suf)) and prev[lcp] == suf[lcp]:
+                    lcp += 1
+            assert got[(i, rank)] == lcp, (i, rank, suf, lcp, got[(i, rank)])
+            prev = suf
+
+
+def test_novelty_scores_matches_bruteforce(spark, sf_dir):
+    from pygr_spark.queries import q_novelty_scores
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_first)
+        for r in q_novelty_scores(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    sets = {}
+    for _, d in docs.sort_values("doc_id").iterrows():
+        s = d.text.lower()
+        if len(s) >= 8:
+            sets[d.doc_id] = {s[i : i + 8] for i in range(len(s) - 7)}
+    seen = {}
+    for doc in sorted(sets):
+        for g in sets[doc]:
+            seen.setdefault(g, doc)
+    want = {
+        doc: (len(gs), sum(1 for g in gs if seen[g] == doc))
+        for doc, gs in sets.items()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_proximity_search_matches_bruteforce(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from pygr_spark.queries import q_proximity_search
+
+    got = {
+        r.doc_id: r.n_prox_pairs
+        for r in q_proximity_search(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    docs = docs[docs.text.str.strip().str.len() > 0]
+    tok = re.compile(r"[a-z0-9]+")
+    freq = Counter()
+    toks = {}
+    for _, d in docs.iterrows():
+        ws = tok.findall(d.text.lower())
+        toks[d.doc_id] = ws
+        freq.update(ws)
+    (t1, _), (t2, _) = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    want = {}
+    for doc, ws in toks.items():
+        n = sum(
+            1
+            for i, a in enumerate(ws)
+            for j, b in enumerate(ws)
+            if a == t1 and b == t2 and abs(i - j) <= 3
+        )
+        if n:
+            want[doc] = n
+    assert got == want and len(got) > 0
+
+
+def test_term_burstiness_matches_counter(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from pygr_spark.queries import q_term_burstiness
+
+    rows = q_term_burstiness(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    docs = docs[docs.text.str.strip().str.len() > 0]
+    tok = re.compile(r"[a-z0-9]+")
+    per_doc = []
+    total = Counter()
+    for _, d in docs.iterrows():
+        c = Counter(tok.findall(d.text.lower()))
+        per_doc.append(c)
+        total.update(c)
+    top = {t for t, _ in sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:20]}
+    assert {r.term for r in rows} == top
+    for r in rows:
+        xs = [c[r.term] for c in per_doc if r.term in c]
+        assert r.df == len(xs)
+        assert r.n_total == sum(xs)
+        assert r.sum_sq == sum(x * x for x in xs)
+        assert r.n_docs == len(per_doc)
