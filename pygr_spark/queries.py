@@ -11052,7 +11052,84 @@ GROUP BY p.term, nd.n_docs
 """
 
 
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog — distinct-user sketches maintained BY
+    THE STREAM ENGINE: per (1-hour tumbling window, register) the
+    running max of rho is a natively streaming-safe aggregate (max is
+    associative/idempotent, so micro-batch merge IS the HLL merge
+    law), state is bounded at 64 rows per window regardless of event
+    volume, and no custom stateful operator is needed — the sketch's
+    mergeability is exactly what makes it streamable. The drained
+    register table reduces to the exact dyadic estimate pair
+    (hll_l, hll_num) per window in batch; the oracle builds each
+    window's registers directly over the undivided events table, so
+    the gate re-proves stream==batch on every register."""
+    from pygr_spark.operators.dedup import md5_hash60
+    from pygr_spark.operators.sketches import hll_estimate_terms
+    from pygr_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    h = md5_hash60(F.col("user_id").cast("string"))
+    w = F.shiftright(h, 6)
+    rho = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+    regs_stream = (
+        ev.withWatermark("event_time", "2 hours")
+        .select(
+            F.window("event_time", "1 hour").alias("window"),
+            F.pmod(h, F.lit(64)).cast("long").alias("register"),
+            rho.cast("long").alias("_rho"),
+        )
+        .groupBy("window", "register")
+        .agg(F.max("_rho").cast("long").alias("m_j"))
+    )
+    regs = run_stream_to_table(regs_stream, spark).select(
+        F.unix_seconds(F.col("window.start")).cast("long").alias("win_start"),
+        "register",
+        "m_j",
+    )
+    est = hll_estimate_terms(regs, ["win_start"], m=64)
+    n_regs = regs.groupBy("win_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs")
+    )
+    return est.join(n_regs, "win_start").select(
+        "win_start", "n_regs", "hll_l", "hll_num"
+    )
+
+
+Q_STREAM_HLL_SQL = """
+WITH ev AS (
+  SELECT CAST((epoch_ns(ts) // 1000000000) // 3600 * 3600 AS BIGINT)
+      AS win_start,
+    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT win_start, h % 64 AS register,
+    CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM ev
+), regs AS (
+  SELECT win_start, register, CAST(max(rho) AS BIGINT) AS m_j
+  FROM r GROUP BY 1, 2
+), lmax AS (
+  SELECT win_start, m_j, max(m_j) OVER (PARTITION BY win_start) AS hll_l
+  FROM regs
+), agg AS (
+  SELECT win_start, hll_l, CAST(count(*) AS BIGINT) AS n_regs,
+    CAST(sum(CAST(1 AS BIGINT) << CAST(hll_l - m_j AS INT)) AS BIGINT)
+      AS present
+  FROM lmax GROUP BY 1, 2
+)
+SELECT win_start, n_regs, CAST(hll_l AS BIGINT) AS hll_l,
+  CAST(present + (64 - n_regs) * (CAST(1 AS BIGINT) << CAST(hll_l AS INT))
+       AS BIGINT) AS hll_num
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_hll": q_stream_hll,
     "lcp_array": q_lcp_array,
     "novelty_scores": q_novelty_scores,
     "proximity_search": q_proximity_search,
@@ -11263,6 +11340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "stream_hll": Q_STREAM_HLL_SQL,
     "lcp_array": _lcp_sql(),
     "novelty_scores": Q_NOVELTY_SCORES_SQL,
     "proximity_search": Q_PROXIMITY_SEARCH_SQL,

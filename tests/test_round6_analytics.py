@@ -577,3 +577,26 @@ def test_term_burstiness_matches_counter(spark, sf_dir):
         assert r.n_total == sum(xs)
         assert r.sum_sq == sum(x * x for x in xs)
         assert r.n_docs == len(per_doc)
+
+
+def test_stream_hll_equals_batch_registers(spark, sf_dir):
+    """The streamed (window, register) max-state must equal a batch
+    build over the same events — the HLL merge law applied by the
+    micro-batch engine itself — and carry at most m=64 rows per
+    window (the bounded-state property)."""
+    from pygr_spark.operators.sketches import hll_estimate_terms, hll_registers
+    from pygr_spark.queries import q_stream_hll, read_events
+
+    out = q_stream_hll(spark, sf_dir).collect()
+    got = sorted((r.win_start, r.hll_l, r.hll_num) for r in out)
+    ev = read_events(spark, sf_dir).select(
+        F.expr("CAST(ts_sec DIV 3600 * 3600 AS BIGINT)").alias("win_start"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    direct = hll_estimate_terms(
+        hll_registers(ev, ["win_start"], m=64), ["win_start"], m=64
+    )
+    want = sorted((r.win_start, r.hll_l, r.hll_num) for r in direct.collect())
+    assert got == want
+    for r in out:
+        assert r.n_regs <= 64
