@@ -124,9 +124,12 @@ def tfidf_top_terms(
     tok = base.select(
         F.col(id_col), F.explode(tokens(F.col(text))).alias("term")
     ).filter(F.length("term") > 0)
+    # dual-consumed (dfreq + scoring): checkpoint so the corpus
+    # explode runs once, not once per consumer (Catalyst shares no
+    # common subtrees across joins)
     tf = tok.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     # corpus size as a broadcast 1-row side: keeps the whole op one
     # lazy plan (no driver action) — the scalar arrives at executors
@@ -217,15 +220,9 @@ def keyword_search_topk(
     """
     base = df.filter(F.length(F.trim(F.col(text))) > 0)
     qterms = queries.select("query_id", F.lower(F.col("term")).alias("term"))
-    distinct_terms = F.broadcast(qterms.select("term").distinct())
-    tok = (
-        base.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("term"))
-        .filter(F.length("term") > 0)
-        .join(distinct_terms, "term")  # broadcast semi-filter, pre-agg
-    )
-    tf = tok.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    # dual-consumed (dfreq + scoring): checkpoint so the corpus
+    # explode runs once, not once per consumer
+    tf = query_tf(df, queries, id_col, text).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = base.agg(F.count_distinct(F.col(id_col)).cast("long").alias("_n"))
     scored = (
@@ -263,12 +260,40 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
     )
 
 
+def query_tf(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Shared retrieval base: (id_col, term, tf) over ONLY the query
+    terms — the exploded token stream broadcast-semi-filtered before
+    aggregation, so the full-corpus explode happens exactly once and
+    everything downstream runs on docs x query-terms rows. Callers
+    that feed several consumers (df-counts + scoring, or several
+    retrieval legs as in rrf fusion) should pass this through ONE
+    ``localCheckpoint(eager=False)``: Catalyst does not share common
+    subtrees across joins, so each extra consumer would otherwise
+    re-run the corpus explode."""
+    base = df.filter(F.length(F.trim(F.col(text))) > 0)
+    qterms = queries.select(F.lower(F.col("term")).alias("term"))
+    tok = base.select(
+        F.col(id_col), F.explode(tokens(F.col(text))).alias("term")
+    ).filter(F.length("term") > 0)
+    return (
+        tok.join(F.broadcast(qterms.distinct()), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "doc_id",
     text: str = "text",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 retrieval: top-k documents per query, scored with the
     standard Okapi weighting at k1=1.2, b=0.75 — expressed entirely in
@@ -290,31 +315,32 @@ def bm25_topk(
     full-corpus pass (groupBy doc — one shuffle), the tf/df work runs
     only on the broadcast-filtered query-term stream, and the final
     per-query top-k is a window over (query, score). No all-pairs.
+
+    ``tf`` accepts a precomputed (and typically lazily checkpointed)
+    :func:`query_tf` table so multi-leg retrievals (rrf fusion) share
+    one corpus explode instead of paying it per leg.
     """
     from pyspark.sql import Window
 
     base = df.filter(F.length(F.trim(F.col(text))) > 0)
     qterms = queries.select("query_id", F.lower(F.col("term")).alias("term"))
-    distinct_terms = F.broadcast(qterms.select("term").distinct())
-    tok = base.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("term")).filter(
-        F.length("term") > 0
-    )
     # doc length is the token-array size — a projection, NOT an
     # explode+groupBy (split of trimmed non-empty text on \s+ yields
     # no empty tokens, so this equals count(*) over the token stream);
-    # saves one full-corpus shuffle
+    # saves one full-corpus shuffle. Lazily checkpointed: it feeds
+    # both the totals aggregate and the per-doc score join, and each
+    # consumer would otherwise re-tokenize the corpus.
     dl = base.select(
         F.col(id_col), F.size(tokens(F.col(text))).cast("long").alias("dl")
-    )
+    ).localCheckpoint(eager=False)
     totals = dl.agg(
         F.sum("dl").cast("long").alias("_total"),
         F.count(F.lit(1)).cast("long").alias("_n"),
     )
-    tf = (
-        tok.join(distinct_terms, "term")  # broadcast semi-filter, pre-agg
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
+    if tf is None:
+        # dual-consumed (dfreq + scoring): checkpoint so the corpus
+        # explode runs once, not once per consumer
+        tf = query_tf(df, queries, id_col, text).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
@@ -497,23 +523,25 @@ def tf_topk(
     k: int = 10,
     id_col: str = "doc_id",
     text: str = "text",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Raw term-frequency ranking (no idf, no saturation): top-k docs
     per query by summed tf over query terms — the 'dense-retrieval
     stand-in' leg for rrf_fuse demonstrations and the baseline any
     weighting must beat. One broadcast semi-filter + one keyed
-    aggregate, same shape as keyword_search_topk."""
+    aggregate, same shape as keyword_search_topk. ``tf`` accepts a
+    precomputed :func:`query_tf` table (summed per (query, doc) —
+    identical to counting the filtered token stream) so fusion legs
+    share one corpus explode."""
     from pyspark.sql import Window
 
-    base = df.filter(F.length(F.trim(F.col(text))) > 0)
     qterms = queries.select("query_id", F.lower(F.col("term")).alias("term"))
-    tok = base.select(
-        F.col(id_col), F.explode(tokens(F.col(text))).alias("term")
-    ).filter(F.length("term") > 0)
+    if tf is None:
+        tf = query_tf(df, queries, id_col, text)
     scored = (
-        tok.join(F.broadcast(qterms), "term")
+        tf.join(F.broadcast(qterms), "term")
         .groupBy("query_id", id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("score"))
+        .agg(F.sum("tf").cast("long").alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
     return (
@@ -549,15 +577,9 @@ def champion_topk(
 
     base = df.filter(F.length(F.trim(F.col(text))) > 0)
     qterms = queries.select("query_id", F.lower(F.col("term")).alias("term"))
-    distinct_terms = F.broadcast(qterms.select("term").distinct())
-    tok = base.select(
-        F.col(id_col), F.explode(tokens(F.col(text))).alias("term")
-    ).filter(F.length("term") > 0)
-    tf = (
-        tok.join(distinct_terms, "term")
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
+    # dual-consumed (dfreq + champion window): checkpoint so the
+    # corpus explode runs once, not once per consumer
+    tf = query_tf(df, queries, id_col, text).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = base.agg(F.count_distinct(F.col(id_col)).cast("long").alias("_n"))
     wch = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col(id_col))

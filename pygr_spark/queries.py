@@ -8821,34 +8821,40 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class precision/recall material for the kNN classifier —
     the confusion-matrix margins (support, n_pred, tp, fp, fn) as
     exact integers per label, so precision = tp/n_pred and recall =
-    tp/support never cross the gate as floats. Two keyed aggregates
-    over the knn_classify output full-outer-joined on the label —
-    evaluation is O(predictions), a rounding error next to scoring."""
-    # eager checkpoint: the kNN scoring pipeline feeds BOTH margins
-    knn = q_knn_classify(spark, sf_dir).localCheckpoint()
-    truth = knn.groupBy(F.col("true_label").alias("label")).agg(
-        F.count(F.lit(1)).cast("long").alias("support"),
-        F.sum(
-            (F.col("true_label") == F.col("pred_label")).cast("long")
-        ).cast("long").alias("tp_t"),
-    )
-    pred = knn.groupBy(F.col("pred_label").alias("label")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_pred"),
-        F.sum(
-            (F.col("true_label") == F.col("pred_label")).cast("long")
-        ).cast("long").alias("tp_p"),
+    tp/support never cross the gate as floats. Single pass over the
+    knn_classify output: each prediction stacks into a truth-margin
+    row and a pred-margin row, ONE groupBy computes both margins
+    (tp needs no second counter — a hit has true = pred = label, so
+    the truth- and pred-side hit counts per label are the same
+    number), and the scoring pipeline runs exactly once with no
+    checkpoint and no full-outer join. Evaluation is
+    O(predictions), a rounding error next to scoring."""
+    knn = q_knn_classify(spark, sf_dir)
+    ev = knn.select(
+        F.expr(
+            "stack(2,"
+            " true_label, CAST(1 AS BIGINT), CAST(0 AS BIGINT),"
+            " pred_label, CAST(0 AS BIGINT), CAST(1 AS BIGINT))"
+            " AS (label, is_t, is_p)"
+        ),
+        (F.col("true_label") == F.col("pred_label"))
+        .cast("long").alias("hit"),
     )
     return (
-        truth.join(pred, "label", "full")
+        ev.groupBy("label")
+        .agg(
+            F.sum("is_t").cast("long").alias("support"),
+            F.sum("is_p").cast("long").alias("n_pred"),
+            F.sum(F.col("is_t") * F.col("hit")).cast("long").alias("tp"),
+            F.sum(F.col("is_p") * F.col("hit")).cast("long").alias("tp_p"),
+        )
         .select(
             F.col("label").cast("long").alias("label"),
-            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
-            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
-            F.coalesce("tp_t", F.lit(0)).cast("long").alias("tp"),
-            (F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp_p", F.lit(0)))
-            .cast("long").alias("fp"),
-            (F.coalesce("support", F.lit(0)) - F.coalesce("tp_t", F.lit(0)))
-            .cast("long").alias("fn"),
+            "support",
+            "n_pred",
+            "tp",
+            (F.col("n_pred") - F.col("tp_p")).cast("long").alias("fp"),
+            (F.col("support") - F.col("tp")).cast("long").alias("fn"),
         )
     )
 
@@ -9848,14 +9854,22 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 per query, fused by rank position only with the integer
     term 1000000 DIV (60 + rank) so no score calibration or float
     crosses the gate. Scale shape: both legs are broadcast-filtered
-    keyed aggregates; the fusion itself runs on 2·k·queries rows."""
-    from pygr_spark.operators.textstats import bm25_topk, rrf_fuse, tf_topk
+    keyed aggregates sharing ONE checkpointed query_tf table — the
+    corpus explode runs once, not once per leg; the fusion itself
+    runs on 2·k·queries rows."""
+    from pygr_spark.operators.textstats import (
+        bm25_topk,
+        query_tf,
+        rrf_fuse,
+        tf_topk,
+    )
 
     qrows = [(qid, t) for qid, terms in _SEARCH_QUERIES for t in terms]
     queries = spark.createDataFrame(qrows, "query_id long, term string")
     docs = _spread(_t(spark, sf_dir, "documents"))
-    bm25 = bm25_topk(docs, queries, k=10)
-    tfr = tf_topk(docs, queries, k=10)
+    tf = query_tf(docs, queries).localCheckpoint(eager=False)
+    bm25 = bm25_topk(docs, queries, k=10, tf=tf)
+    tfr = tf_topk(docs, queries, k=10, tf=tf)
     return rrf_fuse([bm25, tfr], k=10)
 
 
