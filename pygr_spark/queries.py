@@ -9636,11 +9636,14 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dev"),
     )
     # dev reaches ~n·|S_n| (≈2e13 at sf0.1) so the packed-long argmax
-    # trick would overflow; argmax = plain max + equi-join-back +
-    # min-k instead — two hash aggregates, no SortAggregate, no risk
-    best = stat.groupBy("event_type").agg(F.max("dev").alias("dev"))
+    # trick would overflow; argmax = per-type max WINDOW + filter +
+    # min-k — one pass over stat (an agg + join-back would recompute
+    # the whole upstream window pipeline for the second consumer), no
+    # SortAggregate, no overflow
+    wmax = Window.partitionBy("event_type")
     return (
-        stat.join(best, ["event_type", "dev"])
+        stat.withColumn("_mx", F.max("dev").over(wmax))
+        .filter(F.col("dev") == F.col("_mx"))
         .groupBy("event_type")
         .agg(
             F.min("k").cast("long").alias("cp_k"),
@@ -10221,14 +10224,23 @@ def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied identically in the oracle). Only parts closing >= 1
     rectangle are emitted. Scale shape: capped in-basket self-join
     -> pair counts (one shuffle) -> per-part sum (map-side
-    combinable); no all-pairs stage."""
+    combinable); no all-pairs stage. The basket-sizing pipeline is
+    lazily checkpointed (the self-join consumes it twice and
+    Catalyst shares no subtrees), and each pair fans out to its two
+    endpoint rows via ONE stack generator, not a double-consuming
+    union."""
     li = _t(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("p")
     ).distinct()
-    sized = items.withColumn(
-        "_bsz", F.count(F.lit(1)).over(Window.partitionBy("b"))
-    ).filter(F.col("_bsz") <= 50)
+    sized = (
+        items.withColumn(
+            "_bsz", F.count(F.lit(1)).over(Window.partitionBy("b"))
+        )
+        .filter(F.col("_bsz") <= 50)
+        .select("b", "p")
+        .localCheckpoint(eager=False)
+    )
     a = sized.select("b", F.col("p").alias("p1"))
     bb = sized.select("b", F.col("p").alias("p2"))
     pairs = (
@@ -10238,9 +10250,9 @@ def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .filter(F.col("c") >= 2)
     )
-    rect = (F.col("c") * (F.col("c") - 1) / 2).cast("long")
-    both = pairs.select(F.col("p1").alias("part"), rect.alias("r")).unionByName(
-        pairs.select(F.col("p2").alias("part"), rect.alias("r"))
+    both = pairs.select(
+        F.expr("stack(2, p1, p2)").alias("part"),
+        (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("r"),
     )
     return (
         both.groupBy("part")
@@ -10880,13 +10892,15 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     is NEW to the corpus?): over distinct character 8-grams, each
     gram's first introduction is min(doc_id); a doc's novelty is the
     exact pair (n_first = grams it introduces, n_grams = its distinct
-    grams). Two keyed aggregates — gram explode + per-gram min, then
-    per-doc counts; the gram table is linear in corpus chars and the
-    same shape fingerprint_chars/winnow already carry."""
+    grams). Single-pass shape: the distinct gram table flows through
+    ONE per-gram min window (is_first = doc_id equals the gram's
+    min) straight into the per-doc aggregate — no checkpoint, no
+    join, and the gram table is consumed exactly once; it stays
+    linear in corpus chars, the same shape fingerprint_chars/winnow
+    already carry."""
     docs = _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.lower("text").alias("s")
     ).filter(F.length("s") >= 8)
-    # eager checkpoint: the gram table feeds BOTH aggregates
     grams = (
         docs.select(
             "doc_id",
@@ -10895,24 +10909,19 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.expr("substring(s, p, 8)").alias("g"))
         .distinct()
-        .localCheckpoint()
     )
-    per_doc = grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
+    wg = Window.partitionBy("g")
+    flagged = grams.withColumn(
+        "is_first",
+        (F.col("doc_id") == F.min("doc_id").over(wg)).cast("long"),
     )
-    firsts = (
-        grams.groupBy("g")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_first"))
-    )
-    return (
-        per_doc.join(firsts, "doc_id", "left")
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            "n_grams",
-            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
-        )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("is_first").cast("long").alias("n_first"),
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_grams",
+        "n_first",
     )
 
 
