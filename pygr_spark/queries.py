@@ -10529,7 +10529,17 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     data, never |V|^2 and
     never the densifying fixed-mod trap. Output is 3 rows per node
     by construction; the rank window partitions by u over u's own
-    ~deg^2 candidates."""
+    ~deg^2 candidates.
+
+    Wedge enumeration is the adjacency-list generator form, not an
+    edge self-join: per hub v, the sorted neighbor array emits only
+    its C(deg,2) UNORDERED pairs (u < w) via a nested-transform
+    flatten — half the self-join's wedge volume through the count
+    shuffle and one groupBy instead of a join; the symmetric
+    (u,w)/(w,u) expansion is a stack over the >= 2-filtered pair
+    counts (a far smaller table). Per-hub work stays C(deg,2), the
+    same bound as the join form, concentrated in a generator
+    instead of a shuffle."""
     orders = _t(spark, sf_dir, "orders")
     nmod = orders.agg(
         F.greatest(
@@ -10551,16 +10561,25 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    wedges = (
-        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .join(
-            und.select(F.col("a").alias("v"), F.col("b").alias("w")), "v"
-        )
-        .filter(F.col("u") != F.col("w"))
-        .groupBy("u", "w")
+    adj = und.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("ns"))
+    upairs = adj.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (x, i) -> "
+                "transform(slice(ns, i + 2, size(ns)), "
+                "y -> struct(x AS u, y AS w))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.w")
+    ucom = (
+        upairs.groupBy("u", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("common"))
         .filter(F.col("common") >= 2)
     )
+    # und is symmetric, so the unordered pair membership test and the
+    # per-endpoint ranking both see each surviving pair from both
+    # sides via the stack expansion
+    wedges = ucom.select(F.expr("stack(2, u, w, w, u) AS (u, w)"), "common")
     cand = wedges.join(
         und.select(F.col("a").alias("u"), F.col("b").alias("w")),
         ["u", "w"],
