@@ -11188,7 +11188,1028 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# round-6 continuation: experiment / survival / forecasting analytics
+# ---------------------------------------------------------------------------
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic per event_type vs the pooled rest
+    (the A/B-test primitive): one map-side-combinable groupBy builds
+    the per-group moments (n, Σc, Σc²) in exact integer cents, the
+    complement group's moments come from ONE broadcast 1-row total
+    (no second scan), and t is a fixed double expression over those
+    bigint carriers, rounded to 6 — `sqrt` and `/` are IEEE
+    correctly-rounded, so both engines agree bit-for-bit. The exact
+    mean-difference rational (md_num/md_den) rides along so the gate
+    has an integer carrier too. Scale shape: one partial-agg shuffle
+    of 5 groups regardless of row count."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q1"),
+    )
+    tot = g.agg(
+        F.sum("n1").cast("long").alias("nt"),
+        F.sum("s1").cast("long").alias("st"),
+        F.sum("q1").cast("long").alias("qt"),
+    )
+    j = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n1",
+        "s1",
+        "q1",
+        (F.col("nt") - F.col("n1")).cast("long").alias("n2"),
+        (F.col("st") - F.col("s1")).cast("long").alias("s2"),
+        (F.col("qt") - F.col("q1")).cast("long").alias("q2"),
+    )
+    return j.select(
+        "event_type",
+        "n1",
+        "n2",
+        (F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1"))
+        .cast("long").alias("md_num"),
+        (F.col("n1") * F.col("n2")).cast("long").alias("md_den"),
+        F.expr(
+            "round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+            " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+            " / sqrt("
+            "   ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)"
+            "     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+            "    / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))"
+            "   / CAST(n1 AS DOUBLE)"
+            " + ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)"
+            "     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+            "    / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))"
+            "   / CAST(n2 AS DOUBLE)), 6)"
+        ).alias("t_stat"),
+    )
+
+
+Q_WELCH_TTEST_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n1,
+    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS q1
+  FROM ev GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS nt, CAST(sum(s1) AS BIGINT) AS st,
+    CAST(sum(q1) AS BIGINT) AS qt
+  FROM g
+), j AS (
+  SELECT event_type, n1, s1, q1,
+    CAST(nt - n1 AS BIGINT) AS n2, CAST(st - s1 AS BIGINT) AS s2,
+    CAST(qt - q1 AS BIGINT) AS q2
+  FROM g CROSS JOIN tot
+)
+SELECT event_type, n1, n2,
+  CAST(s1 * n2 - s2 * n1 AS BIGINT) AS md_num,
+  CAST(n1 * n2 AS BIGINT) AS md_den,
+  round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        / sqrt(
+          ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+          / CAST(n1 AS DOUBLE)
+        + ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+            - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+           / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
+          / CAST(n2 AS DOUBLE)), 6) AS t_stat
+FROM j
+"""
+
+
+# Benford expected leading-digit shares, parts-per-million:
+# round(log10(1 + 1/d) * 1e6) — precomputed literals so neither engine
+# evaluates log10 at query time (libm is not cross-engine deterministic).
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals (fraud/synthetic-data
+    screening): leading digit of the exact cents amount, observed
+    share in parts-per-million via integer division, and the signed
+    deviation from the Benford expectation (precomputed ppm
+    literals — no runtime log10). Scale shape: one 9-group partial
+    agg; the total is a broadcast 1-row cross."""
+    ben = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+    ) + " END"
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    g = o.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = g.agg(F.sum("n").cast("long").alias("nt"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("CAST(n * 1000000 DIV nt AS BIGINT)").alias("obs_ppm"),
+            F.expr(
+                f"CAST(n * 1000000 DIV nt - ({ben}) AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+def _benford_sql() -> str:
+    ben = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+    ) + " END"
+    return f"""
+WITH o AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), g AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+SELECT digit, n,
+  CAST(n * 1000000 // nt AS BIGINT) AS obs_ppm,
+  CAST(n * 1000000 // nt - ({ben}) AS BIGINT) AS dev_ppm
+FROM g CROSS JOIN tot
+"""
+
+
+Q_BENFORD_DIGITS_SQL = _benford_sql()
+
+
+def q_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk table per acquisition cohort (user-churn
+    survival analysis): each user's lifetime is last-event day minus
+    first-event day; users whose last event falls within 7 days of
+    the corpus end are right-censored; the cohort is the user's FIRST
+    event type (total order: ts, then event_id). Emits, per cohort
+    and lifetime t: the at-risk count (users with lifetime ≥ t),
+    events d, censored c, and cumulative events — the exact integer
+    sufficient statistics of the KM product-limit curve (S(t) itself
+    is Π(1−d/n), derivable; kept off the gate because cross-engine
+    libm exp/ln is not bit-deterministic). Scale shape: one per-user
+    agg shuffle, then windows over the tiny (cohort, t) table."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.expr("CAST(ts_sec DIV 86400 AS BIGINT)").alias("day"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    per_user = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.min("day").cast("long").alias("first_day"),
+            F.max("day").cast("long").alias("last_day"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+                "cohort"
+            ),
+        )
+    )
+    gmax = per_user.agg(F.max("last_day").cast("long").alias("gday"))
+    u = per_user.crossJoin(F.broadcast(gmax)).select(
+        "cohort",
+        (F.col("last_day") - F.col("first_day")).cast("long").alias("t"),
+        F.when(F.col("last_day") <= F.col("gday") - 7, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("churn"),
+    )
+    per_t = u.groupBy("cohort", "t").agg(
+        F.sum("churn").cast("long").alias("d_events"),
+        F.sum(1 - F.col("churn")).cast("long").alias("c_censored"),
+        F.count(F.lit(1)).cast("long").alias("u_cnt"),
+    )
+    w_risk = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_t.select(
+        "cohort",
+        "t",
+        F.sum("u_cnt").over(w_risk).cast("long").alias("n_risk"),
+        "d_events",
+        "c_censored",
+        F.sum("d_events").over(w_cum).cast("long").alias("cum_events"),
+    )
+
+
+Q_SURVIVAL_TABLE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn,
+    CAST((epoch_ns(ts) // 1000000000) // 86400 AS BIGINT) AS day
+  FROM events
+), ranked AS (
+  SELECT user_id, event_type, day,
+    row_number() OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS rn
+  FROM ev
+), per_user AS (
+  SELECT user_id, CAST(min(day) AS BIGINT) AS first_day,
+    CAST(max(day) AS BIGINT) AS last_day,
+    max(CASE WHEN rn = 1 THEN event_type END) AS cohort
+  FROM ranked GROUP BY 1
+), gmax AS (SELECT CAST(max(last_day) AS BIGINT) AS gday FROM per_user),
+u AS (
+  SELECT cohort, CAST(last_day - first_day AS BIGINT) AS t,
+    CAST(CASE WHEN last_day <= gday - 7 THEN 1 ELSE 0 END AS BIGINT)
+      AS churn
+  FROM per_user CROSS JOIN gmax
+), per_t AS (
+  SELECT cohort, t, CAST(sum(churn) AS BIGINT) AS d_events,
+    CAST(sum(1 - churn) AS BIGINT) AS c_censored,
+    CAST(count(*) AS BIGINT) AS u_cnt
+  FROM u GROUP BY 1, 2
+)
+SELECT cohort, t,
+  CAST(sum(u_cnt) OVER (PARTITION BY cohort ORDER BY t
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk,
+  d_events, c_censored,
+  CAST(sum(d_events) OVER (PARTITION BY cohort ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_events
+FROM per_t
+"""
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer EWMA over each user's event-value stream
+    (forecast smoothing / anomaly baselines): half-life decay α=1/2
+    truncated at span 16 makes every weight a power of two, so the
+    smoothed value is the exact rational ewma_num/ewma_den with
+    ewma_num = Σᵢ cₜ₋ᵢ·2^(15−i) — no float anywhere. The den varies
+    at the head of each series (missing lags contribute nothing).
+    Scale shape: ONE window pass per user (16 lag expressions share
+    one sort), partitioned by user_id — no global ordering."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w).alias("rn")
+    num = None
+    den = None
+    for i in range(16):
+        wt = 1 << (15 - i)
+        lagged = F.lag("c", i).over(w)
+        term = F.coalesce(lagged, F.lit(0)) * F.lit(wt)
+        dterm = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return ev.select(
+        "user_id",
+        rn,
+        "c",
+        num.cast("long").alias("ewma_num"),
+        den.cast("long").alias("ewma_den"),
+    )
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"coalesce(lag(c, {i}) OVER w, 0) * {1 << (15 - i)}"
+        for i in range(16)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(c, {i}) OVER w IS NOT NULL"
+        f" THEN {1 << (15 - i)} ELSE 0 END"
+        for i in range(16)
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+    CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+)
+SELECT user_id,
+  CAST(row_number() OVER w AS BIGINT) AS rn, c,
+  CAST({num} AS BIGINT) AS ewma_num,
+  CAST({den} AS BIGINT) AS ewma_den
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+"""
+
+
+Q_EWMA_SMOOTH_SQL = _ewma_sql()
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the bipartite customer→supplier
+    purchase graph (3 unnormalized power iterations — exact integer
+    path counts, so no per-iteration float normalization to disagree
+    on): auth₁ = indegree, hubᵢ = Σ auth over a customer's suppliers,
+    authᵢ₊₁ = Σ hub over a supplier's customers. Emits the top-20
+    authorities with their iteration-1 and iteration-3 scores. Scale
+    shape: each iteration is one keyed equi-join + partial agg on the
+    distinct edge table; at production scale normalize per iteration
+    (divide by max) to bound magnitude — here 3 iterations stay far
+    under 2^63 (documented bound: deg_s³·deg_c² ≈ 4e10 at sf0.1)."""
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    a1 = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("a1"))
+    h1 = (
+        edges.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum("a1").cast("long").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum("h1").cast("long").alias("a2"))
+    )
+    h2 = (
+        edges.join(a2, "s")
+        .groupBy("c")
+        .agg(F.sum("a2").cast("long").alias("h2"))
+    )
+    a3 = (
+        edges.join(h2, "c")
+        .groupBy("s")
+        .agg(F.sum("h2").cast("long").alias("a3"))
+    )
+    ranked = a3.join(a1, "s").withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("a3").desc(), F.col("s"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= 20).select(
+        F.col("s").cast("long").alias("suppkey"),
+        "rank",
+        "a1",
+        "a3",
+    )
+
+
+Q_HITS_SCORES_SQL = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), a1 AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS a1 FROM edges GROUP BY 1
+), h1 AS (
+  SELECT c, CAST(sum(a1) AS BIGINT) AS h1
+  FROM edges JOIN a1 USING (s) GROUP BY 1
+), a2 AS (
+  SELECT s, CAST(sum(h1) AS BIGINT) AS a2
+  FROM edges JOIN h1 USING (c) GROUP BY 1
+), h2 AS (
+  SELECT c, CAST(sum(a2) AS BIGINT) AS h2
+  FROM edges JOIN a2 USING (s) GROUP BY 1
+), a3 AS (
+  SELECT s, CAST(sum(h2) AS BIGINT) AS a3
+  FROM edges JOIN h2 USING (c) GROUP BY 1
+), ranked AS (
+  SELECT s, a3, a1,
+    row_number() OVER (ORDER BY a3 DESC, s) AS rank
+  FROM a3 JOIN a1 USING (s)
+)
+SELECT CAST(s AS BIGINT) AS suppkey, CAST(rank AS BIGINT) AS rank, a1, a3
+FROM ranked WHERE rank <= 20
+"""
+
+
+def q_reciprocal_best_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best hits — the classic orthology-inference join
+    (pygr's BLAST use case, blast.py's bidirectional-best idiom) on
+    the embedding table: split vectors into A (vec_id % 10 == 0) and
+    B (the rest), take each side's cosine best hit in the other, and
+    keep only mutual pairs. Cosine uses the catalog's quantized
+    exact-integer dot products (SCALE=1e6) so ranking is
+    cross-engine deterministic; ties break by id. Scale shape: both
+    argmax passes are Arrow-batched matmuls against the SMALL side
+    (A collects by contract), so cost is |B|·|A| with |A| ~ 10% —
+    the IVF/LSH entries are the sublinear path when both sides are
+    large."""
+    from pygr_spark.operators.similarity import cosine_topk_vectorized
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    a = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    b = emb.filter(F.col("vec_id") % 10 != 0)
+    # best hit of each A in B (Arrow matmul streams over B, collects A)
+    ab = cosine_topk_vectorized(b, a, k=1).select(
+        F.col("query_id").alias("a_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("cos_sim").alias("sim"),
+    )
+    # best hit of each B in A: same kernel, roles swapped — still
+    # collects only the small A side
+    a_corpus = emb.filter(F.col("vec_id") % 10 == 0)
+    b_q = b.select(F.col("vec_id").alias("query_id"), "embedding")
+    ba = cosine_topk_vectorized(a_corpus, b_q, k=1).select(
+        F.col("vec_id").alias("a_id2"),
+        F.col("query_id").alias("b_id2"),
+    )
+    return (
+        ab.join(
+            ba,
+            (F.col("a_id") == F.col("a_id2"))
+            & (F.col("b_id") == F.col("b_id2")),
+        )
+        .select(
+            F.col("a_id").cast("long").alias("a_id"),
+            F.col("b_id").cast("long").alias("b_id"),
+            F.round("sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+Q_RECIPROCAL_BEST_HITS_SQL = """
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+), n AS (
+  SELECT vec_id, q,
+    list_reduce(list_transform(range(1, len(q)+1), i -> q[i]*q[i]),
+      (x, y) -> x + y) AS nn
+  FROM v
+), a AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+b AS (SELECT * FROM n WHERE vec_id % 10 != 0),
+scored AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    list_reduce(list_transform(range(1, len(a.q)+1),
+      i -> a.q[i]*b.q[i]), (x, y) -> x + y)
+    / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) AS sim
+  FROM a CROSS JOIN b
+), ab AS (
+  SELECT a_id, b_id, sim FROM (
+    SELECT a_id, b_id, sim,
+      row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rk
+    FROM scored) WHERE rk = 1
+), ba AS (
+  SELECT a_id, b_id FROM (
+    SELECT a_id, b_id,
+      row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rk
+    FROM scored) WHERE rk = 1
+)
+SELECT CAST(ab.a_id AS BIGINT) AS a_id, CAST(ab.b_id AS BIGINT) AS b_id,
+  round(ab.sim, 6) AS cos_sim
+FROM ab JOIN ba ON ab.a_id = ba.a_id AND ab.b_id = ba.b_id
+"""
+
+
+def q_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between each language's unigram
+    distribution and English (corpus drift / contamination monitor):
+    TV = ½ Σ_t |p(t) − q(t)| carried as the EXACT integer pair
+    tv_num = Σ |c_en·n_lang − c_lang·n_en|, tv_den = 2·n_en·n_lang
+    (common-denominator form — no float division near the gate; KL
+    needs ln and is deliberately avoided). The union grid of
+    (lang, token) covers tokens missing from either side. Scale
+    shape: one explode + (lang, token) partial agg; the en-side
+    counts join by token; corpus totals are a broadcast 1-row
+    cross."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "lang",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+    )
+    counts = toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = counts.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    en = counts.filter(F.col("lang") == "en").select(
+        "token", F.col("c").alias("c_en")
+    )
+    n_en = totals.filter(F.col("lang") == "en").select(
+        F.col("n").alias("n_en")
+    )
+    oth = counts.filter(F.col("lang") != "en")
+    langs = oth.select("lang").distinct()
+    grid = (
+        langs.crossJoin(en.select("token"))
+        .select("lang", "token")
+        .union(oth.select("lang", "token"))
+        .distinct()
+    )
+    j = (
+        grid.join(en, "token", "left")
+        .join(oth.withColumnRenamed("c", "c_lang"), ["lang", "token"], "left")
+        .join(F.broadcast(totals.withColumnRenamed("n", "n_lang")), "lang")
+        .crossJoin(F.broadcast(n_en))
+    )
+    term = F.abs(
+        F.coalesce(F.col("c_en"), F.lit(0)) * F.col("n_lang")
+        - F.coalesce(F.col("c_lang"), F.lit(0)) * F.col("n_en")
+    )
+    return j.groupBy("lang").agg(
+        F.max("n_lang").cast("long").alias("n_lang"),
+        F.max("n_en").cast("long").alias("n_en"),
+        F.sum(term).cast("long").alias("tv_num"),
+        (F.lit(2) * F.max("n_en") * F.max("n_lang"))
+        .cast("long")
+        .alias("tv_den"),
+    )
+
+
+Q_LANG_DIVERGENCE_SQL = r"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      AS token
+  FROM documents WHERE length(trim(text)) > 0
+), counts AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+), totals AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1
+), en AS (
+  SELECT token, c AS c_en FROM counts WHERE lang = 'en'
+), n_en AS (SELECT n AS n_en FROM totals WHERE lang = 'en'),
+oth AS (SELECT lang, token, c AS c_lang FROM counts WHERE lang != 'en'),
+grid AS (
+  SELECT l.lang, e.token
+  FROM (SELECT DISTINCT lang FROM oth) l CROSS JOIN en e
+  UNION
+  SELECT lang, token FROM oth
+), j AS (
+  SELECT g.lang, g.token,
+    coalesce(en.c_en, 0) AS c_en, coalesce(oth.c_lang, 0) AS c_lang,
+    t.n AS n_lang, n_en.n_en AS n_en
+  FROM grid g
+  LEFT JOIN en ON g.token = en.token
+  LEFT JOIN oth ON g.lang = oth.lang AND g.token = oth.token
+  JOIN totals t ON g.lang = t.lang
+  CROSS JOIN n_en
+)
+SELECT lang,
+  CAST(max(n_lang) AS BIGINT) AS n_lang,
+  CAST(max(n_en) AS BIGINT) AS n_en,
+  CAST(sum(abs(c_en * n_lang - c_lang * n_en)) AS BIGINT) AS tv_num,
+  CAST(2 * max(n_en) * max(n_lang) AS BIGINT) AS tv_den
+FROM j GROUP BY 1
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized Zipf fit per language: token frequencies ranked
+    (freq desc, token asc), top 1000 ranks, then an exact-integer OLS
+    of floor(log2 freq) on floor(log2 rank) — `length(bin(x)) - 1` is
+    the cross-engine-deterministic integer log (libm log is not).
+    Emits the slope as the exact pair (slope_num = n·Σxy − Σx·Σy,
+    slope_den = n·Σxx − (Σx)²); a healthy natural corpus sits near
+    slope ≈ −1. Scale shape: one explode + partial agg; ranking
+    windows run per-lang over ≤1000-row summaries."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "lang",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+    )
+    freqs = toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("freq").desc(), F.col("token")
+    )
+    ranked = freqs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 1000
+    )
+    xy = ranked.select(
+        "lang",
+        F.expr("CAST(length(bin(rank)) - 1 AS BIGINT)").alias("x"),
+        F.expr("CAST(length(bin(freq)) - 1 AS BIGINT)").alias("y"),
+    )
+    m = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return m.select(
+        "lang",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("slope_den"),
+    )
+
+
+Q_ZIPF_FIT_SQL = r"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      AS token
+  FROM documents WHERE length(trim(text)) > 0
+), freqs AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS freq
+  FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, freq,
+    row_number() OVER (PARTITION BY lang ORDER BY freq DESC, token)
+      AS rank
+  FROM freqs
+), xy AS (
+  SELECT lang,
+    CAST(length(bin(rank)) - 1 AS BIGINT) AS x,
+    CAST(length(bin(freq)) - 1 AS BIGINT) AS y
+  FROM ranked WHERE rank <= 1000
+), m AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT lang, n,
+  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM m
+"""
+
+
+def q_spatial_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed nearest-neighbor spatial join: every supplier
+    and customer gets a deterministic 2-D point (md5-derived, so both
+    engines agree bit-for-bit), and each supplier finds its nearest
+    customer within L∞ radius g=2000 by exact squared euclidean
+    distance (tie: custkey). The Spark side never goes quadratic: a
+    supplier probes only the 3×3 neighboring grid cells via a packed
+    cell-key equi-join — the standard spatial-bucketing shape that
+    holds at any scale (cell size bounds candidates per probe); the
+    oracle is the direct quadratic within-radius argmin. The L∞ ≤ g
+    bound is what makes 3×3 coverage EXACT, not approximate."""
+    g = 2000
+    m = 100000
+
+    def pt(df: DataFrame, key: str, out: str) -> DataFrame:
+        return df.select(
+            F.col(key).cast("long").alias(out),
+            F.expr(
+                f"CAST(conv(substr(md5('x:' || CAST({key} AS STRING)), 1, 15),"
+                f" 16, 10) AS BIGINT) % {m}"
+            ).alias("x"),
+            F.expr(
+                f"CAST(conv(substr(md5('y:' || CAST({key} AS STRING)), 1, 15),"
+                f" 16, 10) AS BIGINT) % {m}"
+            ).alias("y"),
+        )
+
+    cust = pt(_t(spark, sf_dir, "customer"), "c_custkey", "custkey")
+    supp = pt(_t(spark, sf_dir, "supplier"), "s_suppkey", "suppkey")
+    cust_cells = cust.select(
+        "custkey",
+        F.col("x").alias("cx_pt"),
+        F.col("y").alias("cy_pt"),
+        (F.expr(f"x DIV {g}") * 1024 + F.expr(f"y DIV {g}")).alias("cell"),
+    )
+    # supplier side fans out to its 9 neighboring cells (3×3 cover of
+    # the L∞ ≤ g ball), then one packed-key equi-join
+    neigh = F.array(
+        *[
+            F.expr(f"(x DIV {g} + {dx}) * 1024 + (y DIV {g} + {dy})")
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = supp.select(
+        "suppkey",
+        F.col("x").alias("sx"),
+        F.col("y").alias("sy"),
+        F.explode(neigh).alias("cell"),
+    )
+    cand = (
+        probes.join(cust_cells, "cell")
+        .filter(
+            (F.abs(F.col("sx") - F.col("cx_pt")) <= g)
+            & (F.abs(F.col("sy") - F.col("cy_pt")) <= g)
+        )
+        .select(
+            "suppkey",
+            "custkey",
+            (
+                (F.col("sx") - F.col("cx_pt"))
+                * (F.col("sx") - F.col("cx_pt"))
+                + (F.col("sy") - F.col("cy_pt"))
+                * (F.col("sy") - F.col("cy_pt"))
+            )
+            .cast("long")
+            .alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("suppkey").orderBy("dist2", "custkey")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("suppkey", "custkey", "dist2")
+    )
+
+
+Q_SPATIAL_GRID_KNN_SQL = """
+WITH cust AS (
+  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+    ('0x' || substr(md5('x:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+      % 100000 AS x,
+    ('0x' || substr(md5('y:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+      % 100000 AS y
+  FROM customer
+), supp AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS suppkey,
+    ('0x' || substr(md5('x:' || CAST(s_suppkey AS VARCHAR)), 1, 15))::BIGINT
+      % 100000 AS x,
+    ('0x' || substr(md5('y:' || CAST(s_suppkey AS VARCHAR)), 1, 15))::BIGINT
+      % 100000 AS y
+  FROM supplier
+), cand AS (
+  SELECT s.suppkey, c.custkey,
+    CAST((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y) AS BIGINT)
+      AS dist2
+  FROM supp s CROSS JOIN cust c
+  WHERE abs(s.x - c.x) <= 2000 AND abs(s.y - c.y) <= 2000
+), ranked AS (
+  SELECT suppkey, custkey, dist2,
+    row_number() OVER (PARTITION BY suppkey ORDER BY dist2, custkey) AS rk
+  FROM cand
+)
+SELECT suppkey, custkey, dist2 FROM ranked WHERE rk = 1
+"""
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+
+def q_kcore_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=2) of the part co-purchase graph: nodes are
+    parts, edges are part pairs co-occurring in ≥2 order baskets
+    (basket cap 50 — same skew guard as `copurchase`), and R=8
+    synchronized peel rounds repeatedly drop nodes with degree < k.
+    Both sides run IDENTICAL bounded rounds so the result is
+    well-defined even pre-fixpoint; the pytest asserts the fixpoint
+    is actually reached by round R at test scale. Emits surviving
+    nodes with their in-core degree. Scale shape: each round is one
+    semi-join + partial-agg degree count on the shrinking edge set —
+    the Spark loop localCheckpoints every other round to cut
+    lineage."""
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
+    ).distinct()
+    sized = basket.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("bk"))
+    ).filter(F.col("bsz") <= 50)
+    a = sized.select("bk", F.col("item").alias("u"))
+    b = sized.select("bk", F.col("item").alias("v"))
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .filter(F.col("pc") >= 2)
+        .select("u", "v")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    for r in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        # early exit when a round removes nothing: the remaining
+        # rounds are no-ops, so the result is IDENTICAL to the full
+        # R-round unroll the oracle runs — this just skips their
+        # fixed job overhead (rounds don't shrink with data size)
+        if deg.filter(F.col("d") < _KCORE_K).isEmpty():
+            break
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("u")
+        edges = (
+            edges.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("u").cast("long").alias("part"), "core_degree")
+    )
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    prev = "edges"
+    for r in range(_KCORE_ROUNDS):
+        # MATERIALIZED is load-bearing: each round references the
+        # previous one 3×, so un-materialized CTE inlining would
+        # re-expand the chain 3^R times (DuckDB then dies on fds)
+        rounds.append(
+            f"k{r} AS MATERIALIZED (SELECT u FROM {prev} GROUP BY u"
+            f" HAVING count(*) >= {_KCORE_K}),\n"
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e"
+            f" JOIN k{r} a ON e.u = a.u JOIN k{r} b ON e.v = b.u)"
+        )
+        prev = f"e{r}"
+    return f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+), sized AS (
+  SELECT bk, item FROM (
+    SELECT bk, item, count(*) OVER (PARTITION BY bk) AS bsz FROM basket)
+  WHERE bsz <= 50
+), pairs AS (
+  SELECT a.item AS u, b.item AS v
+  FROM sized a JOIN sized b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), edges AS MATERIALIZED (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+),
+{", ".join(rounds)}
+SELECT CAST(u AS BIGINT) AS part,
+  CAST(count(*) AS BIGINT) AS core_degree
+FROM {prev} GROUP BY 1
+"""
+
+
+Q_KCORE_DECOMP_SQL = _kcore_sql()
+
+
+def q_multi_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature OLS — quadratic trend of daily order revenue:
+    regress daily dollars on [1, t, t²] (t = days since 1995-01-01)
+    by solving the 3×3 normal equations with Cramer's rule. The five
+    x-moments and three xy-moments are EXACT bigints (bounded:
+    Σt⁴ ≈ 8e16 at sf0.1 — documented headroom); the determinants are
+    fixed double expressions over those integers (only ·, +, − — all
+    IEEE-deterministic, no libm), and the coefficients are rounded
+    to 6. Scale shape: one map-side-combinable day rollup, then a
+    1-row aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')"
+            " AS BIGINT)"
+        ).alias("t"),
+        F.expr("CAST(round(o_totalprice, 0) AS BIGINT)").alias("usd"),
+    )
+    daily = o.groupBy("t").agg(F.sum("usd").cast("long").alias("y"))
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("s1"),
+        F.sum(F.expr("t * t")).cast("long").alias("s2"),
+        F.sum(F.expr("t * t * t")).cast("long").alias("s3"),
+        F.sum(F.expr("t * t * t * t")).cast("long").alias("s4"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("t * y")).cast("long").alias("sty"),
+        F.sum(F.expr("t * t * y")).cast("long").alias("stty"),
+    )
+    # Cramer over the symmetric normal matrix [[n,s1,s2],[s1,s2,s3],
+    # [s2,s3,s4]] · [a,b,c]ᵀ = [sy,sty,stty]ᵀ, all in double
+    d = (
+        "(CAST(n AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    da = (
+        "(CAST(sy AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(sty AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(stty AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(sty AS DOUBLE) * CAST(s3 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(stty AS DOUBLE)))"
+    )
+    db = (
+        "(CAST(n AS DOUBLE) * (CAST(sty AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(stty AS DOUBLE))"
+        " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(stty AS DOUBLE)"
+        " - CAST(sty AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    dc = (
+        "(CAST(n AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(stty AS DOUBLE)"
+        " - CAST(sty AS DOUBLE) * CAST(s3 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(stty AS DOUBLE)"
+        " - CAST(sty AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    return m.select(
+        "n",
+        F.expr(f"round({da} / {d}, 6)").alias("coef_a"),
+        F.expr(f"round({db} / {d}, 6)").alias("coef_b"),
+        F.expr(f"round({dc} / {d}, 6)").alias("coef_c"),
+    )
+
+
+def _multi_ols_sql() -> str:
+    d = (
+        "(CAST(n AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    da = (
+        "(CAST(sy AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(sty AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(stty AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(sty AS DOUBLE) * CAST(s3 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(stty AS DOUBLE)))"
+    )
+    db = (
+        "(CAST(n AS DOUBLE) * (CAST(sty AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(stty AS DOUBLE))"
+        " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(stty AS DOUBLE)"
+        " - CAST(sty AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    dc = (
+        "(CAST(n AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(stty AS DOUBLE)"
+        " - CAST(sty AS DOUBLE) * CAST(s3 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(stty AS DOUBLE)"
+        " - CAST(sty AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    return f"""
+WITH o AS (
+  SELECT CAST(date_diff('day', DATE '1995-01-01',
+      CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+    CAST(round(o_totalprice, 0) AS BIGINT) AS usd
+  FROM orders
+), daily AS (
+  SELECT t, CAST(sum(usd) AS BIGINT) AS y FROM o GROUP BY 1
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(t) AS BIGINT) AS s1, CAST(sum(t * t) AS BIGINT) AS s2,
+    CAST(sum(t * t * t) AS BIGINT) AS s3,
+    CAST(sum(t * t * t * t) AS BIGINT) AS s4,
+    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(t * y) AS BIGINT) AS sty,
+    CAST(sum(t * t * y) AS BIGINT) AS stty
+  FROM daily
+)
+SELECT n,
+  round({da} / {d}, 6) AS coef_a,
+  round({db} / {d}, 6) AS coef_b,
+  round({dc} / {d}, 6) AS coef_c
+FROM m
+"""
+
+
+Q_MULTI_OLS_SQL = _multi_ols_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "welch_ttest": q_welch_ttest,
+    "benford_digits": q_benford_digits,
+    "survival_table": q_survival_table,
+    "ewma_smooth": q_ewma_smooth,
+    "hits_scores": q_hits_scores,
+    "reciprocal_best_hits": q_reciprocal_best_hits,
+    "lang_divergence": q_lang_divergence,
+    "zipf_fit": q_zipf_fit,
+    "spatial_grid_knn": q_spatial_grid_knn,
+    "kcore_decomp": q_kcore_decomp,
+    "multi_ols": q_multi_ols,
     "stream_hll": q_stream_hll,
     "lcp_array": q_lcp_array,
     "novelty_scores": q_novelty_scores,
@@ -11400,6 +12421,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "welch_ttest": Q_WELCH_TTEST_SQL,
+    "benford_digits": Q_BENFORD_DIGITS_SQL,
+    "survival_table": Q_SURVIVAL_TABLE_SQL,
+    "ewma_smooth": Q_EWMA_SMOOTH_SQL,
+    "hits_scores": Q_HITS_SCORES_SQL,
+    "reciprocal_best_hits": Q_RECIPROCAL_BEST_HITS_SQL,
+    "lang_divergence": Q_LANG_DIVERGENCE_SQL,
+    "zipf_fit": Q_ZIPF_FIT_SQL,
+    "spatial_grid_knn": Q_SPATIAL_GRID_KNN_SQL,
+    "kcore_decomp": Q_KCORE_DECOMP_SQL,
+    "multi_ols": Q_MULTI_OLS_SQL,
     "stream_hll": Q_STREAM_HLL_SQL,
     "lcp_array": _lcp_sql(),
     "novelty_scores": Q_NOVELTY_SCORES_SQL,

@@ -1,0 +1,309 @@
+"""Round-6 continuation entries: Welch t-test, Benford audit,
+Kaplan-Meier risk table, exact integer EWMA, HITS, reciprocal best
+hits, total-variation language divergence, quantized Zipf fit,
+grid-bucketed spatial kNN, k-core peeling, multi-feature OLS.
+
+Each test recomputes the statistic brute-force in Python/NumPy from
+the raw parquet and compares against the catalog entry — the DuckDB
+oracle parity is covered separately by scripts/sweep.py."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _events_pdf(spark, sf_dir):
+    from pygr_spark.queries import read_events
+
+    return (
+        read_events(spark, sf_dir)
+        .select("user_id", "event_id", "event_type", "ts", "value")
+        .toPandas()
+    )
+
+
+def test_welch_ttest_matches_numpy(spark, sf_dir):
+    from pygr_spark.queries import q_welch_ttest
+
+    out = {r.event_type: r for r in q_welch_ttest(spark, sf_dir).collect()}
+    ev = _events_pdf(spark, sf_dir)
+    ev["c"] = np.round(ev.value * 100).astype("int64")
+    for et, r in out.items():
+        a = ev.loc[ev.event_type == et, "c"].to_numpy(dtype=np.float64)
+        b = ev.loc[ev.event_type != et, "c"].to_numpy(dtype=np.float64)
+        t = (a.mean() - b.mean()) / np.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        )
+        assert abs(r.t_stat - t) < 1e-4, (et, r.t_stat, t)
+        assert r.n1 == len(a) and r.n2 == len(b)
+        # exact rational mean-difference carrier
+        assert r.md_num / r.md_den == (
+            pytest_approx := a.mean() - b.mean()
+        ) or abs(r.md_num / r.md_den - pytest_approx) < 1e-9
+
+
+def test_benford_shares_sum_and_match_counts(spark, sf_dir):
+    from pygr_spark.queries import q_benford_digits
+
+    rows = q_benford_digits(spark, sf_dir).collect()
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.expr("CAST(round(o_totalprice*100,0) AS BIGINT)").alias("c"))
+        .toPandas()
+    )
+    digits = o.c.astype(str).str[0].astype(int)
+    counts = digits.value_counts().to_dict()
+    total = len(digits)
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    for r in rows:
+        assert r.n == counts[r.digit]
+        assert r.obs_ppm == r.n * 1_000_000 // total
+    # ppm shares sum to ~1e6 (integer floor slack < 9)
+    s = sum(r.obs_ppm for r in rows)
+    assert 1_000_000 - 9 <= s <= 1_000_000
+
+
+def test_survival_table_brute_force(spark, sf_dir):
+    from pygr_spark.queries import q_survival_table
+
+    got = {
+        (r.cohort, r.t): (r.n_risk, r.d_events, r.c_censored, r.cum_events)
+        for r in q_survival_table(spark, sf_dir).collect()
+    }
+    ev = _events_pdf(spark, sf_dir)
+    ev["day"] = ev.ts // (86400 * 10**9)
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    per = ev.groupby("user_id").agg(
+        first_day=("day", "min"),
+        last_day=("day", "max"),
+        cohort=("event_type", "first"),
+    )
+    gmax = per.last_day.max()
+    per["t"] = per.last_day - per.first_day
+    per["churn"] = (per.last_day <= gmax - 7).astype(int)
+    for (cohort, t), (n_risk, d, c, cum) in got.items():
+        grp = per[per.cohort == cohort]
+        assert n_risk == int((grp.t >= t).sum())
+        assert d == int(grp[grp.t == t].churn.sum())
+        assert c == int((grp.t == t).sum() - d)
+        assert cum == int(grp[grp.t <= t].churn.sum())
+    # every (cohort, t) with users present is emitted
+    assert set(got) == set(map(tuple, per.groupby(["cohort", "t"]).size().index))
+
+
+def test_ewma_exact_rational_single_user(spark, sf_dir):
+    from pygr_spark.queries import q_ewma_smooth
+
+    out = q_ewma_smooth(spark, sf_dir)
+    uid = out.select("user_id").first().user_id
+    rows = sorted(
+        out.filter(F.col("user_id") == uid).collect(), key=lambda r: r.rn
+    )
+    cs = [r.c for r in rows]
+    for idx, r in enumerate(rows):
+        num = den = 0
+        for i in range(16):
+            if idx - i < 0:
+                break
+            w = 1 << (15 - i)
+            num += cs[idx - i] * w
+            den += w
+        assert (r.ewma_num, r.ewma_den) == (num, den), r.rn
+
+
+def test_hits_matches_numpy_power_iteration(spark, sf_dir):
+    from pygr_spark.queries import q_hits_scores
+
+    rows = q_hits_scores(spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    e = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")[
+            ["o_custkey", "l_suppkey"]
+        ]
+        .drop_duplicates()
+    )
+    cs = sorted(e.o_custkey.unique())
+    ss = sorted(e.l_suppkey.unique())
+    ci = {c: i for i, c in enumerate(cs)}
+    si = {s: i for i, s in enumerate(ss)}
+    m = np.zeros((len(cs), len(ss)), dtype=np.int64)
+    for c, s in e.itertuples(index=False):
+        m[ci[c], si[s]] = 1
+    hub = np.ones(len(cs), dtype=np.int64)
+    for _ in range(3):
+        auth = m.T @ hub
+        hub = m @ auth
+    a1 = m.sum(axis=0)
+    order = sorted(range(len(ss)), key=lambda i: (-auth[i], ss[i]))[:20]
+    expect = [(ss[i], int(a1[i]), int(auth[i])) for i in order]
+    got = [(r.suppkey, r.a1, r.a3) for r in sorted(rows, key=lambda r: r.rank)]
+    assert got == expect
+
+
+def test_reciprocal_best_hits_mutual_and_correct(spark, sf_dir):
+    from pygr_spark.queries import q_reciprocal_best_hits
+
+    rows = q_reciprocal_best_hits(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    q = np.round(
+        np.stack(emb.embedding.map(np.asarray)).astype(np.float64) * 1e6
+    ).astype(np.int64)
+    ids = emb.vec_id.to_numpy()
+    a_mask = ids % 10 == 0
+    sims = (q[a_mask] @ q[~a_mask].T) / (
+        np.linalg.norm(q[a_mask], axis=1)[:, None]
+        * np.linalg.norm(q[~a_mask], axis=1)[None, :]
+    )
+    a_ids, b_ids = ids[a_mask], ids[~a_mask]
+    # tie-break by id: argmax on (-sim, id) lexsort
+    best_ab = {
+        a_ids[i]: b_ids[np.lexsort((b_ids, -sims[i]))[0]]
+        for i in range(len(a_ids))
+    }
+    best_ba = {
+        b_ids[j]: a_ids[np.lexsort((a_ids, -sims[:, j]))[0]]
+        for j in range(len(b_ids))
+    }
+    expect = {
+        (a, b)
+        for a, b in best_ab.items()
+        if best_ba[b] == a
+    }
+    assert {(r.a_id, r.b_id) for r in rows} == expect
+    assert len(rows) > 0
+
+
+def test_lang_divergence_brute_force(spark, sf_dir):
+    from collections import Counter
+
+    from pygr_spark.queries import q_lang_divergence
+
+    rows = {r.lang: r for r in q_lang_divergence(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    docs = docs[docs.text.str.strip().str.len() > 0]
+    counters = {}
+    for lang, grp in docs.groupby("lang"):
+        c = Counter()
+        for t in grp.text:
+            c.update(t.strip().lower().split())
+        counters[lang] = c
+    en = counters["en"]
+    n_en = sum(en.values())
+    for lang, r in rows.items():
+        cq = counters[lang]
+        n_q = sum(cq.values())
+        tv_num = sum(
+            abs(en.get(t, 0) * n_q - cq.get(t, 0) * n_en)
+            for t in set(en) | set(cq)
+        )
+        assert (r.tv_num, r.tv_den) == (tv_num, 2 * n_en * n_q)
+        assert 0 <= r.tv_num / r.tv_den <= 1
+
+
+def test_zipf_slope_is_negative_and_matches_numpy(spark, sf_dir):
+    from collections import Counter
+
+    from pygr_spark.queries import q_zipf_fit
+
+    rows = {r.lang: r for r in q_zipf_fit(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    docs = docs[docs.text.str.strip().str.len() > 0]
+    for lang, r in rows.items():
+        c = Counter()
+        for t in docs[docs.lang == lang].text:
+            c.update(t.strip().lower().split())
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+        x = np.array([int(i + 1).bit_length() - 1 for i in range(len(ranked))])
+        y = np.array([int(f).bit_length() - 1 for _, f in ranked])
+        n = len(x)
+        num = n * (x * y).sum() - x.sum() * y.sum()
+        den = n * (x * x).sum() - x.sum() ** 2
+        assert (r.slope_num, r.slope_den) == (num, den)
+        assert r.slope_num * r.slope_den < 0  # slope is negative
+
+
+def test_spatial_grid_knn_matches_quadratic(spark, sf_dir):
+    import hashlib
+
+    from pygr_spark.queries import q_spatial_grid_knn
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = {r.suppkey: (r.custkey, r.dist2)
+            for r in q_spatial_grid_knn(spark, sf_dir).collect()}
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").toPandas()
+    cpts = {
+        k: (h60(f"x:{k}") % 100000, h60(f"y:{k}") % 100000)
+        for k in cust.c_custkey
+    }
+    expect = {}
+    for s in supp.s_suppkey:
+        sx, sy = h60(f"x:{s}") % 100000, h60(f"y:{s}") % 100000
+        best = None
+        for k, (cx, cy) in cpts.items():
+            if abs(sx - cx) <= 2000 and abs(sy - cy) <= 2000:
+                d2 = (sx - cx) ** 2 + (sy - cy) ** 2
+                if best is None or (d2, k) < best:
+                    best = (d2, k)
+        if best is not None:
+            expect[s] = (best[1], best[0])
+    assert rows == expect
+    assert len(rows) > 0
+
+
+def test_kcore_reaches_fixpoint_and_matches_peeling(spark, sf_dir):
+    from collections import defaultdict
+
+    from pygr_spark.queries import _KCORE_K, q_kcore_decomp
+
+    got = {r.part: r.core_degree for r in q_kcore_decomp(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    basket = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    sizes = basket.groupby("l_orderkey").size()
+    basket = basket[basket.l_orderkey.map(sizes) <= 50]
+    pair_counts = defaultdict(int)
+    for _, grp in basket.groupby("l_orderkey"):
+        items = sorted(grp.l_partkey)
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                pair_counts[(items[i], items[j])] += 1
+    adj = defaultdict(set)
+    for (u, v), c in pair_counts.items():
+        if c >= 2:
+            adj[u].add(v)
+            adj[v].add(u)
+    # peel to FIXPOINT (not bounded rounds) — asserts the catalog's
+    # R=8 bound actually converges at test scale
+    changed = True
+    while changed:
+        changed = False
+        for u in list(adj):
+            if len(adj[u]) < _KCORE_K:
+                for v in adj.pop(u):
+                    adj[v].discard(u)
+                changed = True
+    expect = {u: len(vs) for u, vs in adj.items() if vs}
+    assert got == expect
+
+
+def test_multi_ols_matches_numpy_lstsq(spark, sf_dir):
+    from pygr_spark.queries import q_multi_ols
+
+    r = q_multi_ols(spark, sf_dir).first()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    t = (
+        (o.o_orderdate.dt.tz_localize(None) - pd.Timestamp("1995-01-01"))
+        .dt.days.to_numpy()
+    )
+    usd = np.round(o.o_totalprice).astype("int64")
+    daily = pd.DataFrame({"t": t, "y": usd}).groupby("t").y.sum()
+    x = daily.index.to_numpy(dtype=np.float64)
+    a = np.stack([np.ones_like(x), x, x * x], axis=1)
+    coef, *_ = np.linalg.lstsq(a, daily.to_numpy(dtype=np.float64), rcond=None)
+    assert r.n == len(x)
+    assert abs(r.coef_a - coef[0]) < max(1e-3, abs(coef[0]) * 1e-5)
+    assert abs(r.coef_b - coef[1]) < max(1e-4, abs(coef[1]) * 1e-5)
+    assert abs(r.coef_c - coef[2]) < max(1e-6, abs(coef[2]) * 1e-5)
