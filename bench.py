@@ -143,6 +143,17 @@ HEADLINE3 = [
     "novelty_scores",
     "proximity_search",
     "term_burstiness",
+    "welch_ttest",
+    "benford_digits",
+    "survival_table",
+    "ewma_smooth",
+    "hits_scores",
+    "reciprocal_best_hits",
+    "lang_divergence",
+    "zipf_fit",
+    "spatial_grid_knn",
+    "kcore_decomp",
+    "multi_ols",
 ]
 
 #: timings are min over N full passes of the catalog (observed up to
