@@ -11367,17 +11367,22 @@ def q_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.expr("CAST(ts_sec DIV 86400 AS BIGINT)").alias("day"),
     )
+    # cohort via an rn=1 filter + equi-join rather than
+    # max(when(string)): string max forces a SortAggregate fallback,
+    # while this shape keeps both aggregates hash-based
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    per_user = (
+    first_ev = (
         ev.withColumn("rn", F.row_number().over(w))
-        .groupBy("user_id")
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("cohort"))
+    )
+    per_user = (
+        ev.groupBy("user_id")
         .agg(
             F.min("day").cast("long").alias("first_day"),
             F.max("day").cast("long").alias("last_day"),
-            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
-                "cohort"
-            ),
         )
+        .join(first_ev, "user_id")
     )
     gmax = per_user.agg(F.max("last_day").cast("long").alias("gday"))
     u = per_user.crossJoin(F.broadcast(gmax)).select(
@@ -12198,6 +12203,358 @@ FROM m
 Q_MULTI_OLS_SQL = _multi_ols_sql()
 
 
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type (the 'seasonal' leg
+    of an STL-style decomposition): index(dow) = mean(dow) / mean(all)
+    carried as the EXACT rational idx_num = s_dow·n_all,
+    idx_den = n_dow·s_all — values > 1 mean that weekday runs hot.
+    Scale shape: one 35-group partial agg + a broadcast per-type
+    total; nothing touches raw rows twice."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("CAST((ts_sec DIV 86400 + 4) % 7 AS BIGINT)").alias("dow"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    g = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("c").cast("long").alias("s_d"),
+    )
+    tot = g.groupBy("event_type").agg(
+        F.sum("n_d").cast("long").alias("n_t"),
+        F.sum("s_d").cast("long").alias("s_t"),
+    )
+    return g.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "n_d",
+        (F.col("s_d") * F.col("n_t")).cast("long").alias("idx_num"),
+        (F.col("n_d") * F.col("s_t")).cast("long").alias("idx_den"),
+    )
+
+
+Q_SEASONAL_INDEX_SQL = """
+WITH ev AS (
+  SELECT event_type,
+    CAST(((epoch_ns(ts) // 1000000000) // 86400 + 4) % 7 AS BIGINT) AS dow,
+    CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), g AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_d,
+    CAST(sum(c) AS BIGINT) AS s_d
+  FROM ev GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(sum(n_d) AS BIGINT) AS n_t,
+    CAST(sum(s_d) AS BIGINT) AS s_t
+  FROM g GROUP BY 1
+)
+SELECT g.event_type, g.dow, g.n_d,
+  CAST(g.s_d * t.n_t AS BIGINT) AS idx_num,
+  CAST(g.n_d * t.s_t AS BIGINT) AS idx_den
+FROM g JOIN tot t ON g.event_type = t.event_type
+"""
+
+
+def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (PAVA) of orders-per-customer on account-
+    balance bins — the model-calibration primitive: bin customers by
+    exact cents-width buckets, weighted means μᵢ = totᵢ/cntᵢ, then the
+    closed-form minimax solution y*ᵢ = max_{j≤i} min_{k≥i} avg(j,k)
+    over prefix sums (equivalent to pool-adjacent-violators, but
+    expressible as joins over the ≤50-row bin summary — no sequential
+    pass). Averages compare as IEEE doubles (one division each, exact
+    bigint carriers), result rounded to 6. Scale shape: raw rows are
+    touched once for the bin rollup; the O(bins³) minimax runs on the
+    tiny summary — bins, not rows, bound it."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(
+            "CAST((CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)"
+            " DIV 22000 AS BIGINT)"
+        ).alias("bin"),
+    )
+    ocnt = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ord"))
+    )
+    bins = (
+        cust.join(ocnt, cust.c_custkey == ocnt.o_custkey, "left")
+        .select("bin", F.coalesce("n_ord", F.lit(0)).alias("n_ord"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("n_ord").cast("long").alias("tot"),
+        )
+    )
+    w = Window.orderBy("bin")
+    pre = bins.select(
+        "bin",
+        "cnt",
+        "tot",
+        F.sum("cnt").over(w).alias("cp"),
+        F.sum("tot").over(w).alias("tp"),
+    ).localCheckpoint(eager=True)
+    lo = pre.select(
+        F.col("bin").alias("j"),
+        (F.col("cp") - F.col("cnt")).alias("cp0"),
+        (F.col("tp") - F.col("tot")).alias("tp0"),
+    )
+    hi = pre.select(
+        F.col("bin").alias("k"), F.col("cp").alias("cpk"),
+        F.col("tp").alias("tpk"),
+    )
+    pairs = lo.join(hi, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("tpk") - F.col("tp0")).cast("double")
+            / (F.col("cpk") - F.col("cp0")).cast("double")
+        ).alias("avg"),
+    )
+    i_bins = pre.select(F.col("bin").alias("i"), "cnt")
+    inner = (
+        i_bins.join(
+            pairs, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i"))
+        )
+        .groupBy("i", "cnt", "j")
+        .agg(F.min("avg").alias("mn"))
+    )
+    return (
+        inner.groupBy("i", "cnt")
+        .agg(F.round(F.max("mn"), 6).alias("y_star"))
+        .select(F.col("i").cast("long").alias("bin"), "cnt", "y_star")
+    )
+
+
+Q_ISOTONIC_FIT_SQL = """
+WITH cust AS (
+  SELECT c_custkey,
+    CAST((CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 22000
+      AS BIGINT) AS bin
+  FROM customer
+), ocnt AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+  FROM orders GROUP BY 1
+), bins AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS cnt,
+    CAST(sum(coalesce(n_ord, 0)) AS BIGINT) AS tot
+  FROM cust LEFT JOIN ocnt ON c_custkey = o_custkey
+  GROUP BY 1
+), pre AS MATERIALIZED (
+  SELECT bin, cnt, tot,
+    sum(cnt) OVER (ORDER BY bin) AS cp,
+    sum(tot) OVER (ORDER BY bin) AS tp
+  FROM bins
+), pairs AS MATERIALIZED (
+  SELECT lo.bin AS j, hi.bin AS k,
+    CAST(hi.tp - (lo.tp - lo.tot) AS DOUBLE)
+      / CAST(hi.cp - (lo.cp - lo.cnt) AS DOUBLE) AS avg
+  FROM pre lo JOIN pre hi ON lo.bin <= hi.bin
+), inner_min AS (
+  SELECT b.bin AS i, b.cnt, p.j, min(p.avg) AS mn
+  FROM pre b JOIN pairs p ON p.j <= b.bin AND p.k >= b.bin
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(i AS BIGINT) AS bin, cnt, round(max(mn), 6) AS y_star
+FROM inner_min GROUP BY 1, 2
+"""
+
+
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout: each user's pre-period
+    metric (first 15 days of event cents) de-noises their post-period
+    metric via θ = cov(pre, post)/var(pre); variants are
+    user_id % 2. Emits per variant the exact post-mean rational
+    (post_num/post_den) and the θ-adjusted mean
+    mean_post − θ·(mean_pre_g − mean_pre_all) as a fixed double
+    expression over exact bigint moments, rounded to 6. Scale shape:
+    one per-user agg, one 1-row global moment aggregate (broadcast),
+    one 2-group aggregate — θ never sees raw rows twice."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("CAST(ts_sec DIV 86400 AS BIGINT)").alias("day"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    d0 = ev.agg(F.min("day").alias("dmin"))
+    per_user = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.when(F.col("day") < F.col("dmin") + 15, F.col("c"))
+            .otherwise(F.lit(0))
+            .alias("pre_c"),
+            F.when(F.col("day") >= F.col("dmin") + 15, F.col("c"))
+            .otherwise(F.lit(0))
+            .alias("post_c"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("pre_c").cast("long").alias("x"),
+            F.sum("post_c").cast("long").alias("y"),
+        )
+        .withColumn("variant", F.expr("CAST(user_id % 2 AS BIGINT)"))
+    )
+    glob = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+    )
+    g = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("sx_g"),
+        F.sum("y").cast("long").alias("sy_g"),
+    )
+    theta = (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+    )
+    return g.crossJoin(F.broadcast(glob)).select(
+        "variant",
+        "n_g",
+        F.col("sy_g").alias("post_num"),
+        F.col("n_g").alias("post_den"),
+        F.expr(
+            "round(CAST(sy_g AS DOUBLE) / CAST(n_g AS DOUBLE)"
+            f" - {theta} * (CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)"
+        ).alias("adj_mean"),
+    )
+
+
+def _cuped_sql() -> str:
+    theta = (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id,
+    CAST((epoch_ns(ts) // 1000000000) // 86400 AS BIGINT) AS day,
+    CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), d0 AS (SELECT min(day) AS dmin FROM ev),
+per_user AS (
+  SELECT user_id,
+    CAST(sum(CASE WHEN day < dmin + 15 THEN c ELSE 0 END) AS BIGINT) AS x,
+    CAST(sum(CASE WHEN day >= dmin + 15 THEN c ELSE 0 END) AS BIGINT) AS y,
+    CAST(user_id % 2 AS BIGINT) AS variant
+  FROM ev CROSS JOIN d0 GROUP BY user_id
+), gtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM per_user
+), g AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_g,
+    CAST(sum(x) AS BIGINT) AS sx_g, CAST(sum(y) AS BIGINT) AS sy_g
+  FROM per_user GROUP BY 1
+)
+SELECT variant, n_g, sy_g AS post_num, n_g AS post_den,
+  round(CAST(sy_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+    - {theta} * (CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+    - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS adj_mean
+FROM g CROSS JOIN gtot
+"""
+
+
+Q_CUPED_ADJUST_SQL = _cuped_sql()
+
+
+# Poisson(1) CDF cutoffs scaled to 1e6 — precomputed literals (no
+# runtime exp/factorial): P(X<=k) for k = 0..7; h%1e6 >= the last
+# cutoff draws weight 8.
+_POISSON_PPM = [367879, 735759, 919699, 981012, 996340, 999406, 999917,
+                999990]
+_BOOTSTRAP_B = 32
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap over order totals — the
+    scalable-bootstrap idiom (each row draws a Poisson(1) replicate
+    weight, so no resampling pass materializes): the weight for
+    (order, replicate b) comes from md5(orderkey:b) against
+    precomputed Poisson CDF ppm literals, making all B=32 replicates
+    reproducible on any engine. Emits per replicate the exact weighted
+    moment pair (n_b, s_b cents) and the replicate mean rounded to 4 —
+    the p5/p95 of those means is the bootstrap CI. Scale shape: the
+    B-fold explode is a literal-array flatMap feeding ONE map-side-
+    combinable 32-group aggregate; no shuffle grows with B·rows."""
+    cases = " ".join(
+        f"WHEN h < {p} THEN {k}" for k, p in enumerate(_POISSON_PPM)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("c"),
+    )
+    reps = o.select(
+        "o_orderkey",
+        "c",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_BOOTSTRAP_B)])
+        ).alias("b"),
+    ).withColumn(
+        "w",
+        F.expr(
+            "CASE "
+            + cases.replace(
+                "h <",
+                "CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || ':' ||"
+                " CAST(b AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+                " % 1000000 <",
+            )
+            + " ELSE 8 END"
+        ),
+    )
+    g = reps.groupBy("b").agg(
+        F.sum("w").cast("long").alias("n_b"),
+        F.sum(F.expr("w * c")).cast("long").alias("s_b"),
+    )
+    return g.select(
+        F.col("b").cast("long").alias("b"),
+        "n_b",
+        "s_b",
+        F.expr(
+            "round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 4)"
+        ).alias("mean_c"),
+    )
+
+
+def _bootstrap_sql() -> str:
+    h = (
+        "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
+        " CAST(b AS VARCHAR)), 1, 15))::BIGINT % 1000000"
+    )
+    cases = " ".join(
+        f"WHEN {h} < {p} THEN {k}" for k, p in enumerate(_POISSON_PPM)
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+  FROM orders
+), reps AS (
+  SELECT o_orderkey, c, CAST(b AS BIGINT) AS b,
+    CASE {cases} ELSE 8 END AS w
+  FROM o CROSS JOIN (SELECT unnest(range({_BOOTSTRAP_B})) AS b)
+), g AS (
+  SELECT b, CAST(sum(w) AS BIGINT) AS n_b,
+    CAST(sum(w * c) AS BIGINT) AS s_b
+  FROM reps GROUP BY 1
+)
+SELECT b, n_b, s_b,
+  round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 4) AS mean_c
+FROM g
+"""
+
+
+Q_BOOTSTRAP_CI_SQL = _bootstrap_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "welch_ttest": q_welch_ttest,
     "benford_digits": q_benford_digits,
@@ -12210,6 +12567,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_grid_knn": q_spatial_grid_knn,
     "kcore_decomp": q_kcore_decomp,
     "multi_ols": q_multi_ols,
+    "seasonal_index": q_seasonal_index,
+    "isotonic_fit": q_isotonic_fit,
+    "cuped_adjust": q_cuped_adjust,
+    "bootstrap_ci": q_bootstrap_ci,
     "stream_hll": q_stream_hll,
     "lcp_array": q_lcp_array,
     "novelty_scores": q_novelty_scores,
@@ -12432,6 +12793,10 @@ ORACLES: dict[str, str] = {
     "spatial_grid_knn": Q_SPATIAL_GRID_KNN_SQL,
     "kcore_decomp": Q_KCORE_DECOMP_SQL,
     "multi_ols": Q_MULTI_OLS_SQL,
+    "seasonal_index": Q_SEASONAL_INDEX_SQL,
+    "isotonic_fit": Q_ISOTONIC_FIT_SQL,
+    "cuped_adjust": Q_CUPED_ADJUST_SQL,
+    "bootstrap_ci": Q_BOOTSTRAP_CI_SQL,
     "stream_hll": Q_STREAM_HLL_SQL,
     "lcp_array": _lcp_sql(),
     "novelty_scores": Q_NOVELTY_SCORES_SQL,

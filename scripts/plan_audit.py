@@ -41,6 +41,26 @@ EXEMPT: dict[str, dict[str, str]] = {
     "above_avg_orders": {
         "bnlj": "cross with the 1-row global-average aggregate"
     },
+    "welch_ttest": {
+        "bnlj": "cross with the 1-row pooled-moment total (complement "
+                "group derived by subtraction, no second scan)"
+    },
+    "benford_digits": {
+        "bnlj": "cross with the 1-row order-count total"
+    },
+    "survival_table": {
+        "bnlj": "cross with the 1-row corpus max-day aggregate "
+                "(censoring horizon)"
+    },
+    "lang_divergence": {
+        "bnlj": "two bounded crosses: the 1-row en-token total and the "
+                "langs x distinct-en-token grid (|langs| = 4 by data, "
+                "grid rows bounded by vocabulary, not corpus size)"
+    },
+    "cuped_adjust": {
+        "bnlj": "crosses with the 1-row min-day and 1-row global "
+                "moment aggregates (theta)"
+    },
     "weighted_sample": {
         "bnlj": "cross with the 1-row global max-price aggregate"
     },

@@ -307,3 +307,155 @@ def test_multi_ols_matches_numpy_lstsq(spark, sf_dir):
     assert abs(r.coef_a - coef[0]) < max(1e-3, abs(coef[0]) * 1e-5)
     assert abs(r.coef_b - coef[1]) < max(1e-4, abs(coef[1]) * 1e-5)
     assert abs(r.coef_c - coef[2]) < max(1e-6, abs(coef[2]) * 1e-5)
+
+
+def test_seasonal_index_brute_force(spark, sf_dir):
+    from pygr_spark.queries import q_seasonal_index
+
+    got = {
+        (r.event_type, r.dow): (r.n_d, r.idx_num, r.idx_den)
+        for r in q_seasonal_index(spark, sf_dir).collect()
+    }
+    ev = _events_pdf(spark, sf_dir)
+    ev["c"] = np.round(ev.value * 100).astype("int64")
+    ev["dow"] = (ev.ts // (86400 * 10**9) + 4) % 7
+    for et, grp in ev.groupby("event_type"):
+        n_t, s_t = len(grp), int(grp.c.sum())
+        for dow, g2 in grp.groupby("dow"):
+            n_d, s_d = len(g2), int(g2.c.sum())
+            assert got[(et, dow)] == (n_d, s_d * n_t, n_d * s_t)
+    # index averages to 1 when weighted by n_d: Σ n_d·(num/den) = n_t
+    # per type — spot-check numerically
+    for et in ev.event_type.unique():
+        rows = [(k[1], v) for k, v in got.items() if k[0] == et]
+        s = sum(n * num / den for _, (n, num, den) in rows)
+        assert abs(s - sum(n for _, (n, _, _) in rows)) < 1e-6
+
+
+def _pava(values, weights):
+    """Reference pool-adjacent-violators (sequential)."""
+    blocks = [[v * w, w] for v, w in zip(values, weights)]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) > 1 and (
+            out[-2][0] / out[-2][1] > out[-1][0] / out[-1][1]
+        ):
+            s, w = out.pop()
+            out[-1][0] += s
+            out[-1][1] += w
+    fit = []
+    for s, w in out:
+        # weights here count bins merged, not customer weights — expand
+        # by the stored weight total below instead
+        fit.append((s, w))
+    return fit
+
+
+def test_isotonic_fit_matches_sequential_pava(spark, sf_dir):
+    from pygr_spark.queries import q_isotonic_fit
+
+    rows = sorted(
+        q_isotonic_fit(spark, sf_dir).collect(), key=lambda r: r.bin
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    cust["bin"] = (
+        np.round(cust.c_acctbal * 100).astype("int64") + 100000
+    ) // 22000
+    ocnt = orders.groupby("o_custkey").size()
+    cust["n_ord"] = cust.c_custkey.map(ocnt).fillna(0).astype(int)
+    bins = cust.groupby("bin").agg(cnt=("n_ord", "size"), tot=("n_ord", "sum"))
+    # sequential PAVA with customer counts as weights
+    blocks = [
+        [t, c] for t, c in zip(bins.tot.tolist(), bins.cnt.tolist())
+    ]
+    stack = []
+    for b in blocks:
+        stack.append(list(b))
+        while len(stack) > 1 and (
+            stack[-2][0] * stack[-1][1] > stack[-1][0] * stack[-2][1]
+        ):
+            s, w = stack.pop()
+            stack[-1][0] += s
+            stack[-1][1] += w
+    expect = []
+    for s, w in stack:
+        # every bin pooled into this block gets the block mean; w is
+        # the customer-count total, so re-expand by matching cnt sums
+        expect.append((s, w))
+    # reconstruct per-bin fitted values from the blocks
+    fitted = []
+    it = iter(bins.itertuples())
+    for s, w in expect:
+        acc = 0
+        while acc < w:
+            row = next(it)
+            fitted.append(round(s / w, 6))
+            acc += row.cnt
+        assert acc == w  # block boundaries align with bin boundaries
+    assert len(fitted) == len(rows)
+    for r, f in zip(rows, fitted):
+        assert abs(r.y_star - f) < 2e-6, (r.bin, r.y_star, f)
+    # monotone non-decreasing
+    ys = [r.y_star for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(ys, ys[1:]))
+
+
+def test_cuped_matches_numpy(spark, sf_dir):
+    from pygr_spark.queries import q_cuped_adjust
+
+    got = {r.variant: r for r in q_cuped_adjust(spark, sf_dir).collect()}
+    ev = _events_pdf(spark, sf_dir)
+    ev["c"] = np.round(ev.value * 100).astype("int64")
+    ev["day"] = ev.ts // (86400 * 10**9)
+    dmin = ev.day.min()
+    per = ev.assign(
+        x=np.where(ev.day < dmin + 15, ev.c, 0),
+        y=np.where(ev.day >= dmin + 15, ev.c, 0),
+    ).groupby("user_id")[["x", "y"]].sum()
+    x = per.x.to_numpy(dtype=np.float64)
+    y = per.y.to_numpy(dtype=np.float64)
+    theta = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+    for variant, r in got.items():
+        mask = (per.index % 2) == variant
+        adj = y[mask].mean() - theta * (x[mask].mean() - x.mean())
+        assert abs(r.adj_mean - adj) < 1e-3
+        assert r.post_num == int(per.y[mask].sum())
+        assert r.post_den == int(mask.sum())
+    # CUPED preserves the pooled mean: weighted avg of adjusted means
+    n0, n1 = got[0].post_den, got[1].post_den
+    pooled = (got[0].adj_mean * n0 + got[1].adj_mean * n1) / (n0 + n1)
+    assert abs(pooled - y.mean()) < 1e-3
+
+
+def test_bootstrap_weights_are_md5_poisson(spark, sf_dir):
+    import hashlib
+
+    from pygr_spark.queries import (
+        _BOOTSTRAP_B,
+        _POISSON_PPM,
+        q_bootstrap_ci,
+    )
+
+    rows = q_bootstrap_ci(spark, sf_dir).collect()
+    assert len(rows) == _BOOTSTRAP_B
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    o["c"] = np.round(o.o_totalprice * 100).astype("int64")
+
+    def w(key, b):
+        h = int(hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:15], 16) % 10**6
+        for k, p in enumerate(_POISSON_PPM):
+            if h < p:
+                return k
+        return 8
+
+    for r in rows[:4]:  # full recompute for a few replicates
+        ws = o.o_orderkey.map(lambda k: w(k, r.b))
+        assert r.n_b == int(ws.sum())
+        assert r.s_b == int((ws * o.c).sum())
+        assert abs(r.mean_c - round(r.s_b / r.n_b, 4)) < 1e-9
+    # Poisson(1) weights:per-replicate total ≈ #orders (within 5%)
+    n = len(o)
+    for r in rows:
+        assert 0.9 * n < r.n_b < 1.1 * n
