@@ -154,6 +154,10 @@ HEADLINE3 = [
     "spatial_grid_knn",
     "kcore_decomp",
     "multi_ols",
+    "seasonal_index",
+    "isotonic_fit",
+    "cuped_adjust",
+    "bootstrap_ci",
 ]
 
 #: timings are min over N full passes of the catalog (observed up to
