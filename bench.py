@@ -158,6 +158,9 @@ HEADLINE3 = [
     "isotonic_fit",
     "cuped_adjust",
     "bootstrap_ci",
+    "ndcg_eval",
+    "grid_dbscan",
+    "conformal_interval",
 ]
 
 #: timings are min over N full passes of the catalog (observed up to

@@ -12555,6 +12555,360 @@ FROM g
 Q_BOOTSTRAP_CI_SQL = _bootstrap_sql()
 
 
+# 1/log2(r+1) scaled to ppm for ranks 1..10, plus prefix sums for the
+# ideal DCG — precomputed literals (cross-engine log2 is libm).
+_NDCG_DISC_PPM = [1000000, 630930, 500000, 430677, 386853, 356207,
+                  333333, 315465, 301030, 289065]
+_NDCG_IDCG_PPM = [1000000, 1630930, 2130930, 2561607, 2948460, 3304667,
+                  3638000, 3953465, 4254495, 4543560]
+
+# NDCG judges need non-empty AND-relevance sets, so these queries use
+# the corpus's actual vocabulary (the _SEARCH_QUERIES terms 'model' /
+# 'quick' / 'sample' never co-occur — AND-relevance would be empty)
+_NDCG_QUERIES = [
+    (1, ["data", "join", "merge"]),
+    (2, ["stream", "window", "sort"]),
+    (3, ["filter", "group", "order"]),
+]
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the tf·idf keyword ranking, judged against exact
+    AND-relevance (a doc is relevant iff it contains EVERY query
+    term): dcg_ppm sums the precomputed 1/log2(r+1) ppm literals at
+    the relevant hits' ranks; idcg_ppm is the prefix-sum literal at
+    min(n_rel, 10) — the exact-integer NDCG pair, no runtime log2.
+    Scale shape: ranking reuses keyword_search's broadcast-probed
+    inverted index; relevance is one distinct (doc, term) semi-join
+    counted against the per-query term count."""
+    from pygr_spark.operators.textstats import keyword_search_topk
+
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _NDCG_QUERIES for t in terms],
+        "query_id long, term string",
+    )
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    ranked = keyword_search_topk(docs, qterms, k=10)
+    n_terms = qterms.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    doc_terms = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .distinct()
+    )
+    rel = (
+        doc_terms.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        .join(F.broadcast(n_terms), "query_id")
+        .filter(F.col("n_hit") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    n_rel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    disc = "CASE rank " + " ".join(
+        f"WHEN {r + 1} THEN {p}" for r, p in enumerate(_NDCG_DISC_PPM)
+    ) + " ELSE 0 END"
+    dcg = (
+        ranked.join(rel, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.sum(F.expr(disc)).cast("long").alias("dcg_ppm"))
+    )
+    idcg = "CASE least(n_rel, 10) " + " ".join(
+        f"WHEN {k + 1} THEN {p}" for k, p in enumerate(_NDCG_IDCG_PPM)
+    ) + " ELSE 0 END"
+    return (
+        n_rel.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce("dcg_ppm", F.lit(0)).cast("long").alias("dcg_ppm"),
+            F.expr(idcg).cast("long").alias("idcg_ppm"),
+        )
+    )
+
+
+def _ndcg_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _NDCG_QUERIES for t in terms
+    )
+    disc = "CASE rank " + " ".join(
+        f"WHEN {r + 1} THEN {p}" for r, p in enumerate(_NDCG_DISC_PPM)
+    ) + " ELSE 0 END"
+    idcg = "CASE least(n_rel, 10) " + " ".join(
+        f"WHEN {k + 1} THEN {p}" for k, p in enumerate(_NDCG_IDCG_PPM)
+    ) + " ELSE 0 END"
+    # ranking CTEs mirror Q_KEYWORD_SEARCH_SQL exactly
+    return rf"""
+WITH q(query_id, term) AS (
+  VALUES {vals}
+), base AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM base
+), ftok AS (
+  SELECT t.doc_id, t.term FROM tok t
+  WHERE length(t.term) > 0 AND t.term IN (SELECT DISTINCT term FROM q)
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ftok GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM base
+), scored AS (
+  SELECT q.query_id, t.doc_id,
+    CAST(sum(t.tf * ((n.n_docs * 1000000) // d.df)) AS BIGINT) AS score
+  FROM tf t JOIN dfreq d USING (term) JOIN q ON q.term = t.term CROSS JOIN n
+  GROUP BY q.query_id, t.doc_id
+), ranked AS (
+  SELECT query_id, doc_id,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+), n_terms AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms FROM q GROUP BY 1
+), rel AS (
+  SELECT q.query_id, f.doc_id
+  FROM (SELECT DISTINCT doc_id, term FROM ftok) f JOIN q ON q.term = f.term
+  JOIN n_terms nt ON nt.query_id = q.query_id
+  GROUP BY q.query_id, f.doc_id, nt.n_terms
+  HAVING count(*) = nt.n_terms
+), n_rel AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1
+), dcg AS (
+  SELECT r.query_id, CAST(sum({disc}) AS BIGINT) AS dcg_ppm
+  FROM ranked r JOIN rel ON r.query_id = rel.query_id
+    AND r.doc_id = rel.doc_id
+  WHERE r.rank <= 10
+  GROUP BY 1
+)
+SELECT n_rel.query_id, n_rel.n_rel,
+  CAST(coalesce(dcg.dcg_ppm, 0) AS BIGINT) AS dcg_ppm,
+  CAST({idcg} AS BIGINT) AS idcg_ppm
+FROM n_rel LEFT JOIN dcg ON n_rel.query_id = dcg.query_id
+"""
+
+
+Q_NDCG_EVAL_SQL = _ndcg_sql()
+
+
+_DBSCAN_G = 5000
+_DBSCAN_MINPTS = 8
+
+
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN over the customer point cloud: cells of size g
+    with ≥ minPts points are core; clusters are connected components
+    of 8-adjacent core cells (cluster id = min packed cell key —
+    matches the CC oracle's min-reachable-label semantics). The
+    density-clustering shape that scales: points reduce to one
+    per-cell count (map-side combinable), and CC runs on the BOUNDED
+    cell graph (≤(coord_space/g)² nodes), never on points. Isolated
+    core cells form singleton clusters."""
+    m = 100000
+    pts = _t(spark, sf_dir, "customer").select(
+        F.expr(
+            "CAST(conv(substr(md5('x:' || CAST(c_custkey AS STRING)), 1, 15),"
+            f" 16, 10) AS BIGINT) % {m} DIV {_DBSCAN_G}"
+        ).alias("cx"),
+        F.expr(
+            "CAST(conv(substr(md5('y:' || CAST(c_custkey AS STRING)), 1, 15),"
+            f" 16, 10) AS BIGINT) % {m} DIV {_DBSCAN_G}"
+        ).alias("cy"),
+    )
+    core = (
+        pts.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pts"))
+        .filter(F.col("n_pts") >= _DBSCAN_MINPTS)
+        .withColumn("cell", F.expr("cx * 1024 + cy"))
+        .localCheckpoint(eager=True)
+    )
+    a = core.select("cell", "cx", "cy")
+    b = core.select(
+        F.col("cell").alias("cell2"),
+        F.col("cx").alias("cx2"),
+        F.col("cy").alias("cy2"),
+    )
+    # 8-adjacency between core cells (joined on bounded cell graph)
+    adj = a.join(
+        b,
+        (F.abs(F.col("cx") - F.col("cx2")) <= 1)
+        & (F.abs(F.col("cy") - F.col("cy2")) <= 1)
+        & (F.col("cell") < F.col("cell2")),
+    ).select(F.col("cell").alias("src"), F.col("cell2").alias("dst"))
+    from pygr_spark.operators.graphs import connected_components
+
+    cc = connected_components(adj)
+    return (
+        core.join(cc, core.cell == cc.node, "left")
+        .select(
+            F.col("cx").cast("long").alias("cx"),
+            F.col("cy").cast("long").alias("cy"),
+            "n_pts",
+            # isolated core cells (no adjacent core) are their own
+            # singleton cluster
+            F.coalesce(F.col("component"), F.col("cell"))
+            .cast("long")
+            .alias("cluster"),
+        )
+    )
+
+
+Q_GRID_DBSCAN_SQL = f"""
+WITH RECURSIVE pts AS (
+  SELECT ('0x' || substr(md5('x:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+      ::BIGINT % 100000 // {_DBSCAN_G} AS cx,
+    ('0x' || substr(md5('y:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+      ::BIGINT % 100000 // {_DBSCAN_G} AS cy
+  FROM customer
+), core AS MATERIALIZED (
+  SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_pts,
+    cx * 1024 + cy AS cell
+  FROM pts GROUP BY 1, 2
+  HAVING count(*) >= {_DBSCAN_MINPTS}
+), adj AS MATERIALIZED (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM core a JOIN core b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND a.cell < b.cell
+), und AS (
+  SELECT src AS a, b FROM (SELECT src, dst AS b FROM adj
+    UNION SELECT dst, src FROM adj)
+), nodes AS (SELECT src AS node FROM adj UNION SELECT dst FROM adj),
+lbl(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.b, l.comp FROM lbl l JOIN und u ON u.a = l.node
+), cc AS (
+  SELECT node, CAST(min(comp) AS BIGINT) AS component
+  FROM lbl GROUP BY node
+)
+SELECT CAST(core.cx AS BIGINT) AS cx, CAST(core.cy AS BIGINT) AS cy,
+  core.n_pts,
+  CAST(coalesce(cc.component, core.cell) AS BIGINT) AS cluster
+FROM core LEFT JOIN cc ON core.cell = cc.node
+"""
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per event type (α=0.1):
+    an md5 hash splits events into train/calibration/test; the point
+    model is the train mean (exact rational → IEEE double), the
+    conformal radius q̂ is the ⌈(n+1)(1−α)⌉-th smallest calibration
+    residual (an exact order statistic via row_number, no
+    interpolation), and the emitted coverage is the count of test
+    residuals ≤ q̂ — at scale this is the standard distribution-free
+    uncertainty wrapper around any regressor. One shuffle for the
+    split-tagged moment aggregates, one per-group window over
+    calibration rows only."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("c"),
+        F.expr(
+            "CAST(conv(substr(md5('s:' || CAST(event_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT) % 10"
+        ).alias("split"),
+    )
+    mu = (
+        ev.filter(F.col("split") < 6)
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("s_tr"),
+            F.count(F.lit(1)).cast("long").alias("n_tr"),
+        )
+        .withColumn(
+            "mu", F.expr("CAST(s_tr AS DOUBLE) / CAST(n_tr AS DOUBLE)")
+        )
+    )
+    calib = (
+        ev.filter((F.col("split") >= 6) & (F.col("split") < 8))
+        .join(F.broadcast(mu), "event_type")
+        .withColumn("r", F.expr("abs(CAST(c AS DOUBLE) - mu)"))
+    )
+    n_cal = calib.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal")
+    )
+    w = Window.partitionBy("event_type").orderBy("r", "event_id")
+    qhat = (
+        calib.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(n_cal), "event_type")
+        # ceil((n+1) * 0.9) = (9 * (n+1) + 9) DIV 10 in exact ints
+        .filter(F.col("rk") == F.expr("(9 * (n_cal + 1) + 9) DIV 10"))
+        .select("event_type", "n_cal", F.col("r").alias("qhat"))
+    )
+    test = ev.filter(F.col("split") >= 8).join(F.broadcast(mu), "event_type")
+    return (
+        test.join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN abs(CAST(c AS DOUBLE) - mu) <= qhat"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("n_covered"),
+            F.round(F.max("qhat"), 6).alias("qhat"),
+        )
+    )
+
+
+Q_CONFORMAL_INTERVAL_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id,
+    CAST(round(value * 100, 0) AS BIGINT) AS c,
+    ('0x' || substr(md5('s:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+      % 10 AS split
+  FROM events
+), mu AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS s_tr,
+    CAST(count(*) AS BIGINT) AS n_tr,
+    CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+  FROM ev WHERE split < 6 GROUP BY 1
+), calib AS (
+  SELECT ev.event_type, ev.event_id,
+    abs(CAST(ev.c AS DOUBLE) - mu.mu) AS r
+  FROM ev JOIN mu ON ev.event_type = mu.event_type
+  WHERE split >= 6 AND split < 8
+), n_cal AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+  FROM calib GROUP BY 1
+), qhat AS (
+  SELECT c.event_type, n.n_cal, c.r AS qhat
+  FROM (SELECT event_type, r,
+          row_number() OVER (PARTITION BY event_type
+                             ORDER BY r, event_id) AS rk
+        FROM calib) c
+  JOIN n_cal n ON c.event_type = n.event_type
+  WHERE c.rk = (9 * (n.n_cal + 1) + 9) // 10
+)
+SELECT t.event_type, q.n_cal,
+  CAST(count(*) AS BIGINT) AS n_test,
+  CAST(sum(CASE WHEN abs(CAST(t.c AS DOUBLE) - mu.mu) <= q.qhat
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+  round(max(q.qhat), 6) AS qhat
+FROM ev t
+JOIN mu ON t.event_type = mu.event_type
+JOIN qhat q ON t.event_type = q.event_type
+WHERE t.split >= 8
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "welch_ttest": q_welch_ttest,
     "benford_digits": q_benford_digits,
@@ -12571,6 +12925,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "isotonic_fit": q_isotonic_fit,
     "cuped_adjust": q_cuped_adjust,
     "bootstrap_ci": q_bootstrap_ci,
+    "ndcg_eval": q_ndcg_eval,
+    "grid_dbscan": q_grid_dbscan,
+    "conformal_interval": q_conformal_interval,
     "stream_hll": q_stream_hll,
     "lcp_array": q_lcp_array,
     "novelty_scores": q_novelty_scores,
@@ -12797,6 +13154,9 @@ ORACLES: dict[str, str] = {
     "isotonic_fit": Q_ISOTONIC_FIT_SQL,
     "cuped_adjust": Q_CUPED_ADJUST_SQL,
     "bootstrap_ci": Q_BOOTSTRAP_CI_SQL,
+    "ndcg_eval": Q_NDCG_EVAL_SQL,
+    "grid_dbscan": Q_GRID_DBSCAN_SQL,
+    "conformal_interval": Q_CONFORMAL_INTERVAL_SQL,
     "stream_hll": Q_STREAM_HLL_SQL,
     "lcp_array": _lcp_sql(),
     "novelty_scores": Q_NOVELTY_SCORES_SQL,

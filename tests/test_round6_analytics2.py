@@ -459,3 +459,138 @@ def test_bootstrap_weights_are_md5_poisson(spark, sf_dir):
     n = len(o)
     for r in rows:
         assert 0.9 * n < r.n_b < 1.1 * n
+
+
+def test_ndcg_matches_reference(spark, sf_dir):
+    from collections import Counter
+
+    from pygr_spark.queries import (
+        _NDCG_DISC_PPM,
+        _NDCG_IDCG_PPM,
+        _NDCG_QUERIES,
+        q_ndcg_eval,
+    )
+
+    got = {r.query_id: r for r in q_ndcg_eval(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    docs = docs[docs.text.str.strip().str.len() > 0]
+    toks = {
+        d.doc_id: d.text.strip().lower().split() for d in docs.itertuples()
+    }
+    n_docs = len(toks)
+    # document frequency over query terms
+    all_terms = {t for _, ts in _NDCG_QUERIES for t in ts}
+    df = Counter()
+    for ts in toks.values():
+        for t in set(ts) & all_terms:
+            df[t] += 1
+    for qid, terms in _NDCG_QUERIES:
+        scores = {}
+        for did, ts in toks.items():
+            c = Counter(ts)
+            s = sum(
+                c[t] * ((n_docs * 1_000_000) // df[t])
+                for t in terms
+                if c[t] > 0
+            )
+            if s > 0:
+                scores[did] = s
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        rel = {
+            did for did, ts in toks.items()
+            if all(t in ts for t in terms)
+        }
+        dcg = sum(
+            _NDCG_DISC_PPM[r]
+            for r, (did, _) in enumerate(top)
+            if did in rel
+        )
+        idcg = _NDCG_IDCG_PPM[min(len(rel), 10) - 1] if rel else 0
+        r = got[qid]
+        assert (r.n_rel, r.dcg_ppm, r.idcg_ppm) == (len(rel), dcg, idcg)
+        assert 0 <= r.dcg_ppm <= r.idcg_ppm
+
+
+def test_grid_dbscan_matches_reference(spark, sf_dir):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from pygr_spark.queries import (
+        _DBSCAN_G,
+        _DBSCAN_MINPTS,
+        q_grid_dbscan,
+    )
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = {(r.cx, r.cy): (r.n_pts, r.cluster)
+            for r in q_grid_dbscan(spark, sf_dir).collect()}
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    cells = Counter(
+        (
+            h60(f"x:{k}") % 100000 // _DBSCAN_G,
+            h60(f"y:{k}") % 100000 // _DBSCAN_G,
+        )
+        for k in cust.c_custkey
+    )
+    core = {c for c, n in cells.items() if n >= _DBSCAN_MINPTS}
+    # union-find over 8-adjacent core cells
+    parent = {c: c for c in core}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    for cx, cy in core:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (cx + dx, cy + dy)
+                if nb in core and nb != (cx, cy):
+                    ra, rb = find((cx, cy)), find(nb)
+                    if ra != rb:
+                        parent[ra] = rb
+    comp = defaultdict(list)
+    for c in core:
+        comp[find(c)].append(c)
+    expect = {}
+    for members in comp.values():
+        cid = min(cx * 1024 + cy for cx, cy in members)
+        for cx, cy in members:
+            expect[(cx, cy)] = (cells[(cx, cy)], cid)
+    assert rows == expect
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    import hashlib
+
+    from pygr_spark.queries import q_conformal_interval
+
+    rows = q_conformal_interval(spark, sf_dir).collect()
+    assert len(rows) > 0
+    ev = _events_pdf(spark, sf_dir)
+    ev["c"] = np.round(ev.value * 100).astype("int64")
+    ev["split"] = ev.event_id.map(
+        lambda e: int(
+            hashlib.md5(f"s:{e}".encode()).hexdigest()[:15], 16
+        ) % 10
+    )
+    for r in rows:
+        grp = ev[ev.event_type == r.event_type]
+        tr = grp[grp.split < 6]
+        cal = grp[(grp.split >= 6) & (grp.split < 8)].copy()
+        te = grp[grp.split >= 8]
+        mu = tr.c.sum() / len(tr)
+        res = np.sort(np.abs(cal.c.to_numpy(dtype=np.float64) - mu))
+        k = -(-9 * (len(res) + 1) // 10)  # ceil((n+1)*0.9)
+        qhat = res[k - 1]
+        assert r.n_cal == len(res)
+        assert abs(r.qhat - round(qhat, 6)) < 1e-9
+        cov = int((np.abs(te.c.to_numpy(dtype=np.float64) - mu) <= qhat).sum())
+        assert (r.n_test, r.n_covered) == (len(te), cov)
+        # split-conformal guarantee: coverage >= 1 - alpha - 1/(n+1)
+        # (finite-sample; allow slack at tiny test sizes)
+        if r.n_test >= 50:
+            assert r.n_covered / r.n_test >= 0.9 - 2.5 / np.sqrt(r.n_test)
