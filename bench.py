@@ -161,6 +161,7 @@ HEADLINE3 = [
     "ndcg_eval",
     "grid_dbscan",
     "conformal_interval",
+    "mmr_diversify",
 ]
 
 #: timings are min over N full passes of the catalog (observed up to

@@ -12909,6 +12909,193 @@ GROUP BY 1, 2
 """
 
 
+_MMR_K = 5
+_MMR_CAND = 20
+
+
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (λ=1/2) of cosine top-20
+    candidates: greedily pick 5 results per query maximizing
+    λ·rel(c) − (1−λ)·max_sim(c, selected) — the diversified-retrieval
+    step after ANN candidate generation. Every round is an argmax
+    window over the ≤20-row-per-query candidate set (both the greedy
+    rounds and the pairwise sims run on candidates only — never on
+    the corpus); similarities are the catalog's quantized exact-int
+    cosines, ties break by id, scores round to 6. The oracle unrolls
+    the same 5 rounds as CTEs."""
+    from pygr_spark.operators.similarity import cosine_topk_vectorized
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = (
+        cosine_topk_vectorized(emb, queries, k=_MMR_CAND)
+        .select("query_id", "vec_id", F.col("cos_sim").alias("rel"))
+        .localCheckpoint(eager=True)
+    )
+    qv = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("q"),
+    ).withColumn(
+        "nn",
+        F.expr(
+            "aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT),"
+            " (acc, v) -> acc + v)"
+        ),
+    )
+    ca = cands.join(qv, "vec_id").select(
+        "query_id", F.col("vec_id").alias("a"), F.col("q").alias("qa"),
+        F.col("nn").alias("na"),
+    )
+    cb = cands.join(qv, "vec_id").select(
+        F.col("query_id").alias("query_id2"), F.col("vec_id").alias("b"),
+        F.col("q").alias("qb"), F.col("nn").alias("nb"),
+    )
+    sims = (
+        ca.join(
+            cb,
+            (F.col("query_id") == F.col("query_id2"))
+            & (F.col("a") != F.col("b")),
+        )
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+                " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("mmr").desc(), F.col("vec_id")
+    )
+    sel = (
+        cands.withColumn("mmr", F.col("rel") * 0.5)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "vec_id", "mmr", F.lit(1).alias("rank"))
+    )
+    picked = sel
+    for r in range(2, _MMR_K + 1):
+        pen = (
+            sims.join(
+                picked.select(
+                    "query_id", F.col("vec_id").alias("b")
+                ),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("vec_id"))
+            .agg(F.max("sim").alias("pen"))
+        )
+        remaining = cands.join(
+            picked.select("query_id", "vec_id"), ["query_id", "vec_id"],
+            "left_anti",
+        )
+        step = (
+            remaining.join(pen, ["query_id", "vec_id"], "left")
+            .withColumn(
+                "mmr",
+                F.col("rel") * 0.5
+                - F.coalesce(F.col("pen"), F.lit(0.0)) * 0.5,
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("query_id", "vec_id", "mmr", F.lit(r).alias("rank"))
+        )
+        picked = picked.unionByName(step).localCheckpoint(eager=True)
+    return picked.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("mmr", 6).alias("mmr"),
+    )
+
+
+def _mmr_sql() -> str:
+    rounds = []
+    prev_sel = "sel1"
+    for r in range(2, _MMR_K + 1):
+        rounds.append(f"""
+pen{r} AS (
+  SELECT s.query_id, s.a AS vec_id, max(s.sim) AS pen
+  FROM sims s JOIN {prev_sel} p
+    ON s.query_id = p.query_id AND s.b = p.vec_id
+  GROUP BY 1, 2
+), step{r} AS (
+  SELECT query_id, vec_id, mmr, CAST({r} AS BIGINT) AS rank FROM (
+    SELECT c.query_id, c.vec_id,
+      c.rel * 0.5 - coalesce(p.pen, 0.0) * 0.5 AS mmr,
+      row_number() OVER (PARTITION BY c.query_id
+        ORDER BY c.rel * 0.5 - coalesce(p.pen, 0.0) * 0.5 DESC,
+                 c.vec_id) AS rk
+    FROM cands c
+    LEFT JOIN pen{r} p ON c.query_id = p.query_id
+      AND c.vec_id = p.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev_sel} q
+      WHERE q.query_id = c.query_id AND q.vec_id = c.vec_id))
+  WHERE rk = 1
+), sel{r} AS MATERIALIZED (
+  SELECT * FROM {prev_sel} UNION ALL SELECT * FROM step{r}
+)""")
+        prev_sel = f"sel{r}"
+    body = ",".join(rounds)
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+), n AS MATERIALIZED (
+  SELECT vec_id, q,
+    list_reduce(list_transform(range(1, len(q)+1), i -> q[i]*q[i]),
+      (x, y) -> x + y) AS nn
+  FROM v
+), qs AS (SELECT vec_id AS query_id, q AS qq, nn AS qn
+          FROM n WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT qs.query_id, n.vec_id,
+    list_reduce(list_transform(range(1, len(n.q)+1),
+      i -> n.q[i]*qs.qq[i]), (x, y) -> x + y)
+    / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(qs.qn AS DOUBLE))) AS rel
+  FROM n CROSS JOIN qs WHERE n.vec_id != qs.query_id
+), cands AS MATERIALIZED (
+  SELECT query_id, vec_id, rel FROM (
+    SELECT query_id, vec_id, rel,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY rel DESC, vec_id) AS rk
+    FROM scored) WHERE rk <= {_MMR_CAND}
+), sims AS MATERIALIZED (
+  SELECT ca.query_id, ca.vec_id AS a, cb.vec_id AS b,
+    list_reduce(list_transform(range(1, len(na.q)+1),
+      i -> na.q[i]*nb.q[i]), (x, y) -> x + y)
+    / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+  FROM cands ca
+  JOIN cands cb ON ca.query_id = cb.query_id AND ca.vec_id != cb.vec_id
+  JOIN n na ON na.vec_id = ca.vec_id
+  JOIN n nb ON nb.vec_id = cb.vec_id
+), sel1 AS MATERIALIZED (
+  SELECT query_id, vec_id, mmr, CAST(1 AS BIGINT) AS rank FROM (
+    SELECT query_id, vec_id, rel * 0.5 AS mmr,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY rel * 0.5 DESC, vec_id) AS rk
+    FROM cands) WHERE rk = 1
+),{body}
+SELECT CAST(query_id AS BIGINT) AS query_id, rank,
+  CAST(vec_id AS BIGINT) AS vec_id, round(mmr, 6) AS mmr
+FROM {prev_sel}
+"""
+
+
+Q_MMR_DIVERSIFY_SQL = _mmr_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "welch_ttest": q_welch_ttest,
     "benford_digits": q_benford_digits,
@@ -12928,6 +13115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ndcg_eval": q_ndcg_eval,
     "grid_dbscan": q_grid_dbscan,
     "conformal_interval": q_conformal_interval,
+    "mmr_diversify": q_mmr_diversify,
     "stream_hll": q_stream_hll,
     "lcp_array": q_lcp_array,
     "novelty_scores": q_novelty_scores,
@@ -13157,6 +13345,7 @@ ORACLES: dict[str, str] = {
     "ndcg_eval": Q_NDCG_EVAL_SQL,
     "grid_dbscan": Q_GRID_DBSCAN_SQL,
     "conformal_interval": Q_CONFORMAL_INTERVAL_SQL,
+    "mmr_diversify": Q_MMR_DIVERSIFY_SQL,
     "stream_hll": Q_STREAM_HLL_SQL,
     "lcp_array": _lcp_sql(),
     "novelty_scores": Q_NOVELTY_SCORES_SQL,

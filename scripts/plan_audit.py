@@ -61,6 +61,18 @@ EXEMPT: dict[str, dict[str, str]] = {
         "bnlj": "crosses with the 1-row min-day and 1-row global "
                 "moment aggregates (theta)"
     },
+    "isotonic_fit": {
+        "bnlj": "minimax inequality joins run on the <=50-row bin "
+                "summary (O(bins^3) by construction, bins not rows)"
+    },
+    "ndcg_eval": {
+        "bnlj": "cross with the 1-row document-count aggregate "
+                "(tf-idf leg, same as keyword_search)"
+    },
+    "grid_dbscan": {
+        "bnlj": "8-adjacency inequality join on the bounded core-cell "
+                "graph (<=(coord_space/g)^2 = 400 cells)"
+    },
     "weighted_sample": {
         "bnlj": "cross with the 1-row global max-price aggregate"
     },

@@ -594,3 +594,46 @@ def test_conformal_coverage_near_nominal(spark, sf_dir):
         # (finite-sample; allow slack at tiny test sizes)
         if r.n_test >= 50:
             assert r.n_covered / r.n_test >= 0.9 - 2.5 / np.sqrt(r.n_test)
+
+
+def test_mmr_matches_greedy_reference(spark, sf_dir):
+    from pygr_spark.queries import _MMR_CAND, _MMR_K, q_mmr_diversify
+
+    rows = sorted(
+        q_mmr_diversify(spark, sf_dir).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    q = np.round(
+        np.stack(emb.embedding.map(np.asarray)).astype(np.float64) * 1e6
+    ).astype(np.int64)
+    ids = emb.vec_id.to_numpy()
+    norm = np.linalg.norm(q.astype(np.float64), axis=1)
+    sim_all = (q @ q.T) / (norm[:, None] * norm[None, :])
+    idx = {v: i for i, v in enumerate(ids)}
+    expect = []
+    for qid in ids[ids % 97 == 0]:
+        qi = idx[qid]
+        others = [i for i in range(len(ids)) if i != qi]
+        rel = {ids[i]: sim_all[qi, i] for i in others}
+        cands = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))
+        cands = dict(cands[:_MMR_CAND])
+        sel = []
+        for rank in range(1, _MMR_K + 1):
+            best = None
+            for v, r_ in cands.items():
+                if v in (s for s, _ in sel):
+                    continue
+                pen = max(
+                    (sim_all[idx[v], idx[s]] for s, _ in sel), default=0.0
+                )
+                score = 0.5 * r_ - 0.5 * pen
+                key = (-score, v)
+                if best is None or key < best[0]:
+                    best = (key, v, score)
+            sel.append((best[1], best[2]))
+            expect.append((qid, rank, best[1], round(best[2], 6)))
+    got = [(r.query_id, r.rank, r.vec_id, r.mmr) for r in rows]
+    assert got == expect
+    # (no monotonicity assertion: max-sim penalties can be NEGATIVE
+    # cosines, which legitimately raise later rounds' scores)
