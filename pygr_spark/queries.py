@@ -11561,17 +11561,22 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s")
         .agg(F.sum("h2").cast("long").alias("a3"))
     )
-    ranked = a3.join(a1, "s").withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("a3").desc(), F.col("s"))
-        ),
-    )
-    return ranked.filter(F.col("rank") <= 20).select(
-        F.col("s").cast("long").alias("suppkey"),
-        "rank",
-        "a1",
-        "a3",
+    # distributed top-k (TakeOrderedAndProject), then rank the 20
+    # survivors windowless — same idiom as token_topk: an
+    # unpartitioned row_number window would sort ALL suppliers in one
+    # task
+    return (
+        a3.join(a1, "s")
+        .orderBy(F.col("a3").desc(), F.col("s"))
+        .limit(20)
+        .coalesce(1)
+        .sortWithinPartitions(F.col("a3").desc(), F.col("s"))
+        .withColumn(
+            "rank", (F.monotonically_increasing_id() + 1).cast("long")
+        )
+        .select(
+            F.col("s").cast("long").alias("suppkey"), "rank", "a1", "a3"
+        )
     )
 
 
