@@ -12497,24 +12497,24 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("c"),
     )
-    reps = o.select(
-        "o_orderkey",
-        "c",
-        F.explode(
-            F.array(*[F.lit(b) for b in range(_BOOTSTRAP_B)])
-        ).alias("b"),
-    ).withColumn(
-        "w",
-        F.expr(
-            "CASE "
-            + cases.replace(
-                "h <",
+    # h is materialized once per (row, replicate) — inlining it into
+    # the CASE would recompute the md5 in every WHEN branch
+    reps = (
+        o.select(
+            "o_orderkey",
+            "c",
+            F.explode(
+                F.array(*[F.lit(b) for b in range(_BOOTSTRAP_B)])
+            ).alias("b"),
+        )
+        .withColumn(
+            "h",
+            F.expr(
                 "CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || ':' ||"
-                " CAST(b AS STRING)), 1, 15), 16, 10) AS BIGINT)"
-                " % 1000000 <",
-            )
-            + " ELSE 8 END"
-        ),
+                " CAST(b AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000000"
+            ),
+        )
+        .withColumn("w", F.expr(f"CASE {cases} ELSE 8 END"))
     )
     g = reps.groupBy("b").agg(
         F.sum("w").cast("long").alias("n_b"),
@@ -12531,21 +12531,20 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bootstrap_sql() -> str:
-    h = (
-        "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
-        " CAST(b AS VARCHAR)), 1, 15))::BIGINT % 1000000"
-    )
     cases = " ".join(
-        f"WHEN {h} < {p} THEN {k}" for k, p in enumerate(_POISSON_PPM)
+        f"WHEN h < {p} THEN {k}" for k, p in enumerate(_POISSON_PPM)
     )
     return f"""
 WITH o AS (
   SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
   FROM orders
-), reps AS (
+), hashed AS (
   SELECT o_orderkey, c, CAST(b AS BIGINT) AS b,
-    CASE {cases} ELSE 8 END AS w
+    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+      CAST(b AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS h
   FROM o CROSS JOIN (SELECT unnest(range({_BOOTSTRAP_B})) AS b)
+), reps AS (
+  SELECT o_orderkey, c, b, CASE {cases} ELSE 8 END AS w FROM hashed
 ), g AS (
   SELECT b, CAST(sum(w) AS BIGINT) AS n_b,
     CAST(sum(w * c) AS BIGINT) AS s_b
