@@ -11203,30 +11203,15 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded, so both engines agree bit-for-bit. The exact
     mean-difference rational (md_num/md_den) rides along so the gate
     has an integer carrier too. Scale shape: one partial-agg shuffle
-    of 5 groups regardless of row count."""
+    of 5 groups regardless of row count. Library form:
+    operators/stats.py group_moments + welch_t_expr."""
+    from pygr_spark.operators.stats import group_moments, welch_t_expr
+
     ev = read_events(spark, sf_dir).select(
         "event_type",
         F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("c"),
     )
-    g = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n1"),
-        F.sum("c").cast("long").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("q1"),
-    )
-    tot = g.agg(
-        F.sum("n1").cast("long").alias("nt"),
-        F.sum("s1").cast("long").alias("st"),
-        F.sum("q1").cast("long").alias("qt"),
-    )
-    j = g.crossJoin(F.broadcast(tot)).select(
-        "event_type",
-        "n1",
-        "s1",
-        "q1",
-        (F.col("nt") - F.col("n1")).cast("long").alias("n2"),
-        (F.col("st") - F.col("s1")).cast("long").alias("s2"),
-        (F.col("qt") - F.col("q1")).cast("long").alias("q2"),
-    )
+    j = group_moments(ev, "event_type", "c")
     return j.select(
         "event_type",
         "n1",
@@ -11234,19 +11219,7 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1"))
         .cast("long").alias("md_num"),
         (F.col("n1") * F.col("n2")).cast("long").alias("md_den"),
-        F.expr(
-            "round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
-            " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
-            " / sqrt("
-            "   ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)"
-            "     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
-            "    / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))"
-            "   / CAST(n1 AS DOUBLE)"
-            " + ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)"
-            "     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))"
-            "    / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))"
-            "   / CAST(n2 AS DOUBLE)), 6)"
-        ).alias("t_stat"),
+        F.expr(f"round({welch_t_expr()}, 6)").alias("t_stat"),
     )
 
 
@@ -12291,43 +12264,13 @@ def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_ord").cast("long").alias("tot"),
         )
     )
-    w = Window.orderBy("bin")
-    pre = bins.select(
-        "bin",
+    from pygr_spark.operators.stats import pava_isotonic
+
+    fit = pava_isotonic(bins, bin_col="bin", tot_col="tot", cnt_col="cnt")
+    return fit.select(
+        F.col("bin").cast("long").alias("bin"),
         "cnt",
-        "tot",
-        F.sum("cnt").over(w).alias("cp"),
-        F.sum("tot").over(w).alias("tp"),
-    ).localCheckpoint(eager=True)
-    lo = pre.select(
-        F.col("bin").alias("j"),
-        (F.col("cp") - F.col("cnt")).alias("cp0"),
-        (F.col("tp") - F.col("tot")).alias("tp0"),
-    )
-    hi = pre.select(
-        F.col("bin").alias("k"), F.col("cp").alias("cpk"),
-        F.col("tp").alias("tpk"),
-    )
-    pairs = lo.join(hi, F.col("j") <= F.col("k")).select(
-        "j",
-        "k",
-        (
-            (F.col("tpk") - F.col("tp0")).cast("double")
-            / (F.col("cpk") - F.col("cp0")).cast("double")
-        ).alias("avg"),
-    )
-    i_bins = pre.select(F.col("bin").alias("i"), "cnt")
-    inner = (
-        i_bins.join(
-            pairs, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i"))
-        )
-        .groupBy("i", "cnt", "j")
-        .agg(F.min("avg").alias("mn"))
-    )
-    return (
-        inner.groupBy("i", "cnt")
-        .agg(F.round(F.max("mn"), 6).alias("y_star"))
-        .select(F.col("i").cast("long").alias("bin"), "cnt", "y_star")
+        F.round("y_star", 6).alias("y_star"),
     )
 
 
@@ -12471,11 +12414,9 @@ FROM g CROSS JOIN gtot
 Q_CUPED_ADJUST_SQL = _cuped_sql()
 
 
-# Poisson(1) CDF cutoffs scaled to 1e6 — precomputed literals (no
-# runtime exp/factorial): P(X<=k) for k = 0..7; h%1e6 >= the last
-# cutoff draws weight 8.
-_POISSON_PPM = [367879, 735759, 919699, 981012, 996340, 999406, 999917,
-                999990]
+# Poisson(1) CDF cutoffs (stats.py is the canonical copy; aliased
+# here for the oracle builder and tests)
+from pygr_spark.operators.stats import POISSON_PPM as _POISSON_PPM  # noqa: E402
 _BOOTSTRAP_B = 32
 
 
@@ -12490,36 +12431,13 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the p5/p95 of those means is the bootstrap CI. Scale shape: the
     B-fold explode is a literal-array flatMap feeding ONE map-side-
     combinable 32-group aggregate; no shuffle grows with B·rows."""
-    cases = " ".join(
-        f"WHEN h < {p} THEN {k}" for k, p in enumerate(_POISSON_PPM)
-    )
+    from pygr_spark.operators.stats import poisson_bootstrap
+
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("c"),
     )
-    # h is materialized once per (row, replicate) — inlining it into
-    # the CASE would recompute the md5 in every WHEN branch
-    reps = (
-        o.select(
-            "o_orderkey",
-            "c",
-            F.explode(
-                F.array(*[F.lit(b) for b in range(_BOOTSTRAP_B)])
-            ).alias("b"),
-        )
-        .withColumn(
-            "h",
-            F.expr(
-                "CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || ':' ||"
-                " CAST(b AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000000"
-            ),
-        )
-        .withColumn("w", F.expr(f"CASE {cases} ELSE 8 END"))
-    )
-    g = reps.groupBy("b").agg(
-        F.sum("w").cast("long").alias("n_b"),
-        F.sum(F.expr("w * c")).cast("long").alias("s_b"),
-    )
+    g = poisson_bootstrap(o, "o_orderkey", "c", b=_BOOTSTRAP_B)
     return g.select(
         F.col("b").cast("long").alias("b"),
         "n_b",
@@ -12841,16 +12759,10 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mu), "event_type")
         .withColumn("r", F.expr("abs(CAST(c AS DOUBLE) - mu)"))
     )
-    n_cal = calib.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_cal")
-    )
-    w = Window.partitionBy("event_type").orderBy("r", "event_id")
-    qhat = (
-        calib.withColumn("rk", F.row_number().over(w))
-        .join(F.broadcast(n_cal), "event_type")
-        # ceil((n+1) * 0.9) = (9 * (n+1) + 9) DIV 10 in exact ints
-        .filter(F.col("rk") == F.expr("(9 * (n_cal + 1) + 9) DIV 10"))
-        .select("event_type", "n_cal", F.col("r").alias("qhat"))
+    from pygr_spark.operators.stats import conformal_split
+
+    qhat = conformal_split(
+        calib, "event_type", "r", "event_id", alpha_num=1, alpha_den=10
     )
     test = ev.filter(F.col("split") >= 8).join(F.broadcast(mu), "event_type")
     return (
