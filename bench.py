@@ -162,6 +162,8 @@ HEADLINE3 = [
     "grid_dbscan",
     "conformal_interval",
     "mmr_diversify",
+    "ktruss_edges",
+    "haar_decompose",
 ]
 
 #: timings are min over N full passes of the catalog (observed up to

@@ -13012,6 +13012,269 @@ FROM {prev_sel}
 Q_MMR_DIVERSIFY_SQL = _mmr_sql()
 
 
+_KTRUSS_K = 3
+_KTRUSS_ROUNDS = 4
+
+
+def _truss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchase pair graph (same build as kcore_decomp):
+    undirected edges kept as u < v rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
+    ).distinct()
+    sized = basket.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("bk"))
+    ).filter(F.col("bsz") <= 50)
+    a = sized.select("bk", F.col("item").alias("u"))
+    b = sized.select("bk", F.col("item").alias("v"))
+    return (
+        a.join(b, "bk")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .filter(F.col("pc") >= 2)
+        .select("u", "v")
+    )
+
+
+def q_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (k=3) of the co-purchase graph — the edge-peeling
+    companion to kcore_decomp's node peeling: an edge survives iff it
+    participates in ≥ k−2 triangles among surviving edges;
+    synchronized rounds drop under-supported edges until fixpoint
+    (R=4 bounded, early exit when a round removes nothing — identical
+    result to the oracle's full unroll). Per-round support is the
+    standard distributed triangle counting: orient edges u<v and join
+    wedge (u,v)+(v,w) against closing edge (u,w). Emits surviving
+    edges with their in-truss support. Scale shape: each round is two
+    self-equi-joins + one partial agg on the shrinking frequent-pair
+    edge set."""
+    def edge_support(edges: DataFrame) -> DataFrame:
+        """Per-edge triangle support on the u<v oriented edge set:
+        wedge (a,b)+(b,c) joined against the closing edge (a,c), each
+        triangle credited to its three edges. Legs carry unique
+        column names (self-join of the same frame)."""
+        e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+        e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+        tri = (
+            e1.join(e2, F.col("b") == F.col("b2"))
+            .join(
+                e3,
+                (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            )
+            .select("a", "b", "c")
+        )
+        return (
+            tri.select(F.expr("stack(3, a, b, b, c, a, c) AS (u, v)"))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        )
+
+    edges = _truss_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    t = _KTRUSS_K - 2
+    for _ in range(_KTRUSS_ROUNDS):
+        kept = edges.join(edge_support(edges), ["u", "v"]).filter(
+            F.col("support") >= t
+        )
+        if kept.count() == edges.count():
+            break
+        edges = kept.select("u", "v").localCheckpoint(eager=True)
+    return (
+        edges.join(edge_support(edges), ["u", "v"])
+        .filter(F.col("support") >= t)
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            "support",
+        )
+    )
+
+
+def _ktruss_sql() -> str:
+    t = _KTRUSS_K - 2
+    rounds = []
+    prev = "e_init"
+    for r in range(_KTRUSS_ROUNDS):
+        rounds.append(f"""
+tri{r} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM {prev} e1 JOIN {prev} e2 ON e1.v = e2.u
+  JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+), sup{r} AS MATERIALIZED (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT a AS u, b AS v FROM tri{r}
+    UNION ALL SELECT b, c FROM tri{r}
+    UNION ALL SELECT a, c FROM tri{r})
+  GROUP BY 1, 2
+), e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN sup{r} s ON e.u = s.u AND e.v = s.v
+  WHERE s.support >= {t}
+)""")
+        prev = f"e{r}"
+    return f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+), sized AS (
+  SELECT bk, item FROM (
+    SELECT bk, item, count(*) OVER (PARTITION BY bk) AS bsz FROM basket)
+  WHERE bsz <= 50
+), e_init AS MATERIALIZED (
+  SELECT a.item AS u, b.item AS v
+  FROM sized a JOIN sized b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),{",".join(rounds)},
+tri_f AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM {prev} e1 JOIN {prev} e2 ON e1.v = e2.u
+  JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+), sup_f AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT a AS u, b AS v FROM tri_f
+    UNION ALL SELECT b, c FROM tri_f
+    UNION ALL SELECT a, c FROM tri_f)
+  GROUP BY 1, 2
+)
+SELECT CAST(e.u AS BIGINT) AS u, CAST(e.v AS BIGINT) AS v, s.support
+FROM {prev} e JOIN sup_f s ON e.u = s.u AND e.v = s.v
+WHERE s.support >= {t}
+"""
+
+
+Q_KTRUSS_EDGES_SQL = _ktruss_sql()
+
+
+def q_haar_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of each event type's
+    daily cents series (time-series compression / multi-resolution
+    anomaly features): the 30-day series is placed on a 32-slot
+    dyadic grid (missing days = 0) and 5 levels of pairwise
+    sum/difference produce EXACT integer approximation and detail
+    coefficients (the √2 normalization is deferred — every
+    coefficient stays a bigint). Emits all detail coefficients plus
+    the level-5 total. Scale shape: the day rollup is one partial
+    agg; each level halves a ≤32-row-per-type table (grouped sums,
+    map-side combinable)."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("CAST(ts_sec DIV 86400 AS BIGINT)").alias("day"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    d0 = ev.agg(F.min("day").alias("dmin"))
+    sparse = (
+        ev.crossJoin(F.broadcast(d0))
+        .withColumn("idx", F.col("day") - F.col("dmin"))
+        .filter(F.col("idx") < 32)
+        .groupBy("event_type", "idx")
+        .agg(F.sum("c").cast("long").alias("a0"))
+    )
+    # densify to the full 32-slot dyadic grid (missing days = 0) so
+    # every level emits its complete coefficient set
+    grid = (
+        sparse.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(32).select(F.col("id").cast("long").alias("idx"))
+        )
+    )
+    daily = grid.join(sparse, ["event_type", "idx"], "left").select(
+        "event_type",
+        "idx",
+        F.coalesce("a0", F.lit(0)).cast("long").alias("a"),
+    )
+    out = None
+    cur = daily
+    for level in range(1, 6):
+        nxt = cur.groupBy(
+            "event_type", F.expr("idx DIV 2").alias("idx")
+        ).agg(
+            F.sum(
+                F.when(F.col("idx") % 2 == 0, F.col("a")).otherwise(0)
+            ).cast("long").alias("even"),
+            F.sum(
+                F.when(F.col("idx") % 2 == 1, F.col("a")).otherwise(0)
+            ).cast("long").alias("odd"),
+        )
+        detail = nxt.select(
+            "event_type",
+            F.lit(level).cast("long").alias("level"),
+            F.col("idx").cast("long").alias("idx"),
+            (F.col("even") - F.col("odd")).cast("long").alias("coef"),
+            F.lit("detail").alias("kind"),
+        )
+        out = detail if out is None else out.unionByName(detail)
+        cur = nxt.select(
+            "event_type", "idx", (F.col("even") + F.col("odd")).alias("a")
+        )
+    approx = cur.select(
+        "event_type",
+        F.lit(5).cast("long").alias("level"),
+        F.col("idx").cast("long").alias("idx"),
+        F.col("a").cast("long").alias("coef"),
+        F.lit("approx").alias("kind"),
+    )
+    return out.unionByName(approx)
+
+
+def _haar_sql() -> str:
+    levels = []
+    prev = "daily"
+    sel = []
+    for level in range(1, 6):
+        levels.append(f"""
+l{level} AS MATERIALIZED (
+  SELECT event_type, idx // 2 AS idx,
+    CAST(sum(CASE WHEN idx % 2 = 0 THEN a ELSE 0 END) AS BIGINT) AS even,
+    CAST(sum(CASE WHEN idx % 2 = 1 THEN a ELSE 0 END) AS BIGINT) AS odd
+  FROM {prev} GROUP BY 1, 2
+)""")
+        sel.append(
+            f"SELECT event_type, CAST({level} AS BIGINT) AS level,"
+            f" CAST(idx AS BIGINT) AS idx,"
+            f" CAST(even - odd AS BIGINT) AS coef,"
+            f" 'detail' AS kind FROM l{level}"
+        )
+        prev_next = f"a{level}"
+        levels.append(f"""
+a{level} AS (
+  SELECT event_type, idx, CAST(even + odd AS BIGINT) AS a FROM l{level}
+)""")
+        prev = prev_next
+    sel.append(
+        "SELECT event_type, CAST(5 AS BIGINT) AS level,"
+        " CAST(idx AS BIGINT) AS idx, CAST(a AS BIGINT) AS coef,"
+        " 'approx' AS kind FROM a5"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+    CAST((epoch_ns(ts) // 1000000000) // 86400 AS BIGINT) AS day,
+    CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), d0 AS (SELECT min(day) AS dmin FROM ev),
+sparse AS (
+  SELECT event_type, day - dmin AS idx, CAST(sum(c) AS BIGINT) AS a0
+  FROM ev CROSS JOIN d0 WHERE day - dmin < 32
+  GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, g.idx
+  FROM (SELECT DISTINCT event_type FROM sparse) t
+  CROSS JOIN (SELECT unnest(range(32)) AS idx) g
+), daily AS (
+  SELECT grid.event_type, grid.idx,
+    CAST(coalesce(sparse.a0, 0) AS BIGINT) AS a
+  FROM grid LEFT JOIN sparse
+    ON grid.event_type = sparse.event_type AND grid.idx = sparse.idx
+),{",".join(levels)}
+{" UNION ALL ".join(sel)}
+"""
+
+
+Q_HAAR_DECOMPOSE_SQL = _haar_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "welch_ttest": q_welch_ttest,
     "benford_digits": q_benford_digits,
@@ -13032,6 +13295,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grid_dbscan": q_grid_dbscan,
     "conformal_interval": q_conformal_interval,
     "mmr_diversify": q_mmr_diversify,
+    "ktruss_edges": q_ktruss_edges,
+    "haar_decompose": q_haar_decompose,
     "stream_hll": q_stream_hll,
     "lcp_array": q_lcp_array,
     "novelty_scores": q_novelty_scores,
@@ -13262,6 +13527,8 @@ ORACLES: dict[str, str] = {
     "grid_dbscan": Q_GRID_DBSCAN_SQL,
     "conformal_interval": Q_CONFORMAL_INTERVAL_SQL,
     "mmr_diversify": Q_MMR_DIVERSIFY_SQL,
+    "ktruss_edges": Q_KTRUSS_EDGES_SQL,
+    "haar_decompose": Q_HAAR_DECOMPOSE_SQL,
     "stream_hll": Q_STREAM_HLL_SQL,
     "lcp_array": _lcp_sql(),
     "novelty_scores": Q_NOVELTY_SCORES_SQL,

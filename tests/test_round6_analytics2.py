@@ -637,3 +637,72 @@ def test_mmr_matches_greedy_reference(spark, sf_dir):
     assert got == expect
     # (no monotonicity assertion: max-sim penalties can be NEGATIVE
     # cosines, which legitimately raise later rounds' scores)
+
+
+def test_ktruss_matches_peeling_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from pygr_spark.queries import _KTRUSS_K, q_ktruss_edges
+
+    got = {(r.u, r.v): r.support
+           for r in q_ktruss_edges(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    basket = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    sizes = basket.groupby("l_orderkey").size()
+    basket = basket[basket.l_orderkey.map(sizes) <= 50]
+    pc = defaultdict(int)
+    for _, grp in basket.groupby("l_orderkey"):
+        items = sorted(grp.l_partkey)
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                pc[(items[i], items[j])] += 1
+    edges = {e for e, c in pc.items() if c >= 2}
+    t = _KTRUSS_K - 2
+    # peel to FIXPOINT — asserts the bounded R=4 unroll converges here
+    while True:
+        adj = defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        sup = {(u, v): len(adj[u] & adj[v]) for u, v in edges}
+        drop = [e for e, s_ in sup.items() if s_ < t]
+        if not drop:
+            break
+        edges -= set(drop)
+    assert got == {e: s_ for e, s_ in sup.items()} if edges else got == {}
+    # every surviving edge's endpoints share >= t neighbors
+    for (u, v), s_ in got.items():
+        assert s_ >= t
+
+
+def test_haar_reconstructs_and_matches_numpy(spark, sf_dir):
+    from pygr_spark.queries import q_haar_decompose
+
+    rows = q_haar_decompose(spark, sf_dir).collect()
+    ev = _events_pdf(spark, sf_dir)
+    ev["c"] = np.round(ev.value * 100).astype("int64")
+    ev["day"] = ev.ts // (86400 * 10**9)
+    dmin = ev.day.min()
+    for et, grp in ev.groupby("event_type"):
+        series = np.zeros(32, dtype=np.int64)
+        agg = grp.groupby(grp.day - dmin).c.sum()
+        for idx, v in agg.items():
+            if idx < 32:
+                series[int(idx)] = v
+        cur = series
+        for level in range(1, 6):
+            even, odd = cur[0::2], cur[1::2]
+            detail = even - odd
+            cur = even + odd
+            for i, d in enumerate(detail):
+                r = [
+                    x for x in rows
+                    if x.event_type == et and x.level == level
+                    and x.idx == i and x.kind == "detail"
+                ]
+                assert len(r) == 1 and r[0].coef == d, (et, level, i)
+        approx = [
+            x for x in rows
+            if x.event_type == et and x.kind == "approx"
+        ]
+        assert len(approx) == 1 and approx[0].coef == cur[0] == series.sum()
