@@ -205,6 +205,7 @@ def keyword_search_topk(
     k: int = 10,
     id_col: str = "doc_id",
     text: str = "text",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Keyword retrieval: top-k documents per query by summed
     tf·idf over the query's terms (exact-integer idf as in
@@ -216,13 +217,17 @@ def keyword_search_topk(
     full-corpus tf/df work happens only for terms some query mentions.
     idf still counts df over the whole corpus (per-term document
     frequency of the filtered stream IS the corpus df for that term).
-    ``queries``: (query_id, term) rows.
+    ``queries``: (query_id, term) rows. Pass ``tf`` (a precomputed
+    :func:`query_tf` output, ideally checkpointed) when the caller
+    ALSO consumes the term counts (e.g. ndcg relevance judging) so
+    the corpus explode runs once across all consumers.
     """
     base = df.filter(F.length(F.trim(F.col(text))) > 0)
     qterms = queries.select("query_id", F.lower(F.col("term")).alias("term"))
-    # dual-consumed (dfreq + scoring): checkpoint so the corpus
-    # explode runs once, not once per consumer
-    tf = query_tf(df, queries, id_col, text).localCheckpoint(eager=False)
+    if tf is None:
+        # dual-consumed (dfreq + scoring): checkpoint so the corpus
+        # explode runs once, not once per consumer
+        tf = query_tf(df, queries, id_col, text).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = base.agg(F.count_distinct(F.col(id_col)).cast("long").alias("_n"))
     scored = (

@@ -11211,7 +11211,12 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("c"),
     )
-    j = group_moments(ev, "event_type", "c")
+    # n>1 on both sides: welch_t_expr divides by n(n-1); a singleton
+    # group would hit 0-division where Spark (NULL) and DuckDB (inf)
+    # disagree — the guard is mirrored in the oracle
+    j = group_moments(ev, "event_type", "c").filter(
+        (F.col("n1") > 1) & (F.col("n2") > 1)
+    )
     return j.select(
         "event_type",
         "n1",
@@ -11256,6 +11261,7 @@ SELECT event_type, n1, n2,
            / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
           / CAST(n2 AS DOUBLE)), 6) AS t_stat
 FROM j
+WHERE n1 > 1 AND n2 > 1
 """
 
 
@@ -11588,11 +11594,12 @@ def q_reciprocal_best_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     B (the rest), take each side's cosine best hit in the other, and
     keep only mutual pairs. Cosine uses the catalog's quantized
     exact-integer dot products (SCALE=1e6) so ranking is
-    cross-engine deterministic; ties break by id. Scale shape: both
-    argmax passes are Arrow-batched matmuls against the SMALL side
-    (A collects by contract), so cost is |B|·|A| with |A| ~ 10% —
-    the IVF/LSH entries are the sublinear path when both sides are
-    large."""
+    cross-engine deterministic; ties break by id. Scale shape: the
+    A→B argmax is an Arrow matmul that collects ONLY the small A
+    side; the B→A argmax broadcasts quantized A and scores B
+    distributively (one window per b) — the large side never touches
+    the driver. Cost is |B|·|A| with |A| ~ 10%; the IVF/LSH entries
+    are the sublinear path when both sides are large."""
     from pygr_spark.operators.similarity import cosine_topk_vectorized
 
     emb = _spread(_t(spark, sf_dir, "embeddings"))
@@ -11606,13 +11613,44 @@ def q_reciprocal_best_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("b_id"),
         F.col("cos_sim").alias("sim"),
     )
-    # best hit of each B in A: same kernel, roles swapped — still
-    # collects only the small A side
-    a_corpus = emb.filter(F.col("vec_id") % 10 == 0)
-    b_q = b.select(F.col("vec_id").alias("query_id"), "embedding")
-    ba = cosine_topk_vectorized(a_corpus, b_q, k=1).select(
-        F.col("vec_id").alias("a_id2"),
-        F.col("query_id").alias("b_id2"),
+    # best hit of each B in A: B is the LARGE side, so it must NOT go
+    # through the query-collect kernel — instead broadcast the small
+    # quantized A table and score B x A distributively with the same
+    # exact-integer dot expression, then argmax per b with a window
+    def quantized(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(out_id),
+            F.expr(
+                "transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)"
+                " * 1000000) AS BIGINT))"
+            ).alias(f"q_{out_id}"),
+        ).withColumn(
+            f"nn_{out_id}",
+            F.expr(
+                f"aggregate(transform(q_{out_id}, x -> x * x),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ),
+        )
+
+    qa = quantized(emb.filter(F.col("vec_id") % 10 == 0), "a_id2")
+    qb = quantized(b, "b_id2")
+    pair_sim = qb.join(F.broadcast(qa)).select(
+        "a_id2",
+        "b_id2",
+        F.expr(
+            "aggregate(zip_with(q_a_id2, q_b_id2, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            " / (sqrt(CAST(nn_a_id2 AS DOUBLE))"
+            "    * sqrt(CAST(nn_b_id2 AS DOUBLE)))"
+        ).alias("sim_ba"),
+    )
+    w_ba = Window.partitionBy("b_id2").orderBy(
+        F.col("sim_ba").desc(), F.col("a_id2")
+    )
+    ba = (
+        pair_sim.withColumn("rk", F.row_number().over(w_ba))
+        .filter(F.col("rk") == 1)
+        .select("a_id2", "b_id2")
     )
     return (
         ab.join(
@@ -11970,28 +12008,21 @@ def q_kcore_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join + partial-agg degree count on the shrinking edge set —
     the Spark loop localCheckpoints every other round to cut
     lineage."""
-    li = _t(spark, sf_dir, "lineitem")
-    basket = li.select(
-        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
-    ).distinct()
-    sized = basket.withColumn(
-        "bsz", F.count(F.lit(1)).over(Window.partitionBy("bk"))
-    ).filter(F.col("bsz") <= 50)
-    a = sized.select("bk", F.col("item").alias("u"))
-    b = sized.select("bk", F.col("item").alias("v"))
-    pairs = (
-        a.join(b, "bk")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("pc"))
-        .filter(F.col("pc") >= 2)
-        .select("u", "v")
-    )
+    # shared frequent-pair build (same graph as ktruss_edges; the
+    # basket cap / min-count knobs live in ONE place)
+    pairs = _truss_pairs(spark, sf_dir)
     edges = pairs.union(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
     for r in range(_KCORE_ROUNDS):
-        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        # deg is consumed three times per round (early-exit probe +
+        # both join legs of keep) — checkpoint the tiny per-node
+        # table once instead of re-running the shuffle 3x
+        deg = (
+            edges.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint(eager=True)
+        )
         # early exit when a round removes nothing: the remaining
         # rounds are no-ops, so the result is IDENTICAL to the full
         # R-round unroll the oracle runs — this just skips their
@@ -12503,29 +12534,24 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ranking reuses keyword_search's broadcast-probed
     inverted index; relevance is one distinct (doc, term) semi-join
     counted against the per-query term count."""
-    from pygr_spark.operators.textstats import keyword_search_topk
+    from pygr_spark.operators.textstats import (
+        keyword_search_topk,
+        query_tf,
+    )
 
     qterms = spark.createDataFrame(
         [(qid, t) for qid, terms in _NDCG_QUERIES for t in terms],
         "query_id long, term string",
     )
     docs = _spread(_t(spark, sf_dir, "documents"))
-    ranked = keyword_search_topk(docs, qterms, k=10)
+    # ONE corpus explode feeds both the ranking and the relevance
+    # judge: tf > 0 iff the (doc, term) pair exists
+    tf = query_tf(docs, qterms).localCheckpoint(eager=False)
+    ranked = keyword_search_topk(docs, qterms, k=10, tf=tf)
     n_terms = qterms.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms")
     )
-    doc_terms = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.length(F.trim("text")) > 0)
-        .select(
-            "doc_id",
-            F.explode(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-            ).alias("term"),
-        )
-        .join(F.broadcast(qterms.select("term").distinct()), "term")
-        .distinct()
-    )
+    doc_terms = tf.select("doc_id", "term")
     rel = (
         doc_terms.join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
@@ -12836,20 +12862,10 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     step after ANN candidate generation. Every round is an argmax
     window over the ≤20-row-per-query candidate set (both the greedy
     rounds and the pairwise sims run on candidates only — never on
-    the corpus); similarities are the catalog's quantized exact-int
-    cosines, ties break by id, scores round to 6. The oracle unrolls
-    the same 5 rounds as CTEs."""
-    from pygr_spark.operators.similarity import cosine_topk_vectorized
-
+    the corpus); relevance AND pairwise sims share ONE SQL-round
+    quantization (no mixed rounding modes), ties break by id, scores
+    round to 6. The oracle unrolls the same 5 rounds as CTEs."""
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    cands = (
-        cosine_topk_vectorized(emb, queries, k=_MMR_CAND)
-        .select("query_id", "vec_id", F.col("cos_sim").alias("rel"))
-        .localCheckpoint(eager=True)
-    )
     qv = emb.select(
         "vec_id",
         F.expr(
@@ -12862,6 +12878,34 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT),"
             " (acc, v) -> acc + v)"
         ),
+    ).localCheckpoint(eager=True)
+    # candidate generation uses the SAME SQL-round quantization as the
+    # pairwise sims below (one rounding mode per entry: the NumPy
+    # kernel's banker's rounding would diverge on exact .5 boundaries)
+    qside = qv.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nn").alias("qn"),
+    )
+    scored_all = qv.join(F.broadcast(qside)).filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(q, qq, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            " / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE)))"
+        ).alias("rel"),
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id")
+    )
+    cands = (
+        scored_all.withColumn("crk", F.row_number().over(w_cand))
+        .filter(F.col("crk") <= _MMR_CAND)
+        .select("query_id", "vec_id", "rel")
+        .localCheckpoint(eager=True)
     )
     ca = cands.join(qv, "vec_id").select(
         "query_id", F.col("vec_id").alias("a"), F.col("q").alias("qa"),
@@ -13074,13 +13118,22 @@ def q_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _truss_pairs(spark, sf_dir).localCheckpoint(eager=True)
     t = _KTRUSS_K - 2
+    n_edges = edges.count()
     for _ in range(_KTRUSS_ROUNDS):
-        kept = edges.join(edge_support(edges), ["u", "v"]).filter(
-            F.col("support") >= t
+        # checkpoint BEFORE counting: the triangle-support subtree is
+        # the round's dominant cost and would otherwise run twice
+        # (once for the count action, once for the next round)
+        kept = (
+            edges.join(edge_support(edges), ["u", "v"])
+            .filter(F.col("support") >= t)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
         )
-        if kept.count() == edges.count():
+        n_kept = kept.count()
+        edges = kept
+        if n_kept == n_edges:
             break
-        edges = kept.select("u", "v").localCheckpoint(eager=True)
+        n_edges = n_kept
     return (
         edges.join(edge_support(edges), ["u", "v"])
         .filter(F.col("support") >= t)

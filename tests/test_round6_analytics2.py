@@ -332,26 +332,6 @@ def test_seasonal_index_brute_force(spark, sf_dir):
         assert abs(s - sum(n for _, (n, _, _) in rows)) < 1e-6
 
 
-def _pava(values, weights):
-    """Reference pool-adjacent-violators (sequential)."""
-    blocks = [[v * w, w] for v, w in zip(values, weights)]
-    out = []
-    for b in blocks:
-        out.append(b)
-        while len(out) > 1 and (
-            out[-2][0] / out[-2][1] > out[-1][0] / out[-1][1]
-        ):
-            s, w = out.pop()
-            out[-1][0] += s
-            out[-1][1] += w
-    fit = []
-    for s, w in out:
-        # weights here count bins merged, not customer weights — expand
-        # by the stored weight total below instead
-        fit.append((s, w))
-    return fit
-
-
 def test_isotonic_fit_matches_sequential_pava(spark, sf_dir):
     from pygr_spark.queries import q_isotonic_fit
 
