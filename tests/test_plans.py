@@ -504,3 +504,12 @@ def test_weighted_median_windows_are_flag_partitioned(spark, sf_dir):
     p = plan_of(QUERIES["weighted_median"](spark, sf_dir))
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert "l_returnflag" in spec
+
+
+def test_hits_scores_distributed_topk(spark, sf_dir):
+    """hits_scores' top-20 authorities must be a distributed
+    TakeOrderedAndProject, not a global row_number window over every
+    supplier (the round-6 audit's one hard flag, fixed in-round)."""
+    p = plan_of(QUERIES["hits_scores"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
