@@ -61,6 +61,22 @@ EXEMPT: dict[str, dict[str, str]] = {
         "bnlj": "crosses with the 1-row min-day and 1-row global "
                 "moment aggregates (theta)"
     },
+    "reciprocal_best_hits": {
+        "bnlj": "exact RBH is all-pairs BY DEFINITION: the quantized "
+                "10%-side broadcasts for the B-to-A argmax (driver "
+                "never touches the large side); when neither side is "
+                "broadcastable the documented path is an IVF/LSH "
+                "candidate prefilter feeding the same mutual-argmax "
+                "join (SCALING.md batch 11)"
+    },
+    "haar_decompose": {
+        "bnlj": "cross with the 1-row min-day aggregate (grid "
+                "re-basing) and the 32-slot literal grid"
+    },
+    "mmr_diversify": {
+        "bnlj": "cross with the broadcast query-side vector table "
+                "(|queries| rows by construction)"
+    },
     "isotonic_fit": {
         "bnlj": "minimax inequality joins run on the <=50-row bin "
                 "summary (O(bins^3) by construction, bins not rows)"
