@@ -164,6 +164,8 @@ HEADLINE3 = [
     "mmr_diversify",
     "ktruss_edges",
     "haar_decompose",
+    "rfm_segments",
+    "assoc_rules",
 ]
 
 #: timings are min over N full passes of the catalog (observed up to

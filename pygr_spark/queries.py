@@ -12010,7 +12010,7 @@ def q_kcore_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage."""
     # shared frequent-pair build (same graph as ktruss_edges; the
     # basket cap / min-count knobs live in ONE place)
-    pairs = _truss_pairs(spark, sf_dir)
+    pairs = _truss_pairs(spark, sf_dir).select("u", "v")
     edges = pairs.union(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
@@ -13076,9 +13076,8 @@ def _truss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "bk")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("pc"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pc"))
         .filter(F.col("pc") >= 2)
-        .select("u", "v")
     )
 
 
@@ -13116,7 +13115,9 @@ def q_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("support"))
         )
 
-    edges = _truss_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _truss_pairs(spark, sf_dir).select("u", "v").localCheckpoint(
+        eager=True
+    )
     t = _KTRUSS_K - 2
     n_edges = edges.count()
     for _ in range(_KTRUSS_ROUNDS):
@@ -13328,7 +13329,176 @@ sparse AS (
 Q_HAAR_DECOMPOSE_SQL = _haar_sql()
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles — the classic retail cohorting primitive): one per-
+    customer rollup, then three ntile(5) windows with total orders
+    (metric, custkey) so both engines tile identically; higher score
+    = better on every axis (recent, frequent, big spender). Emits the
+    three scores and the packed segment code. Scale shape: one keyed
+    agg + three windows over the per-customer summary — the windows
+    sort customers, not orders."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')"
+            " AS BIGINT)"
+        ).alias("d"),
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("c"),
+    )
+    gmax = o.agg(F.max("d").alias("dmax"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("c").cast("long").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            (F.col("dmax") - F.col("last_d")).cast("long").alias("recency"),
+            "freq",
+            "monetary",
+        )
+    )
+    # higher = better on every axis: recency ASCENDING days-since →
+    # tile DESC so tile 5 = most recent
+    w_r = Window.orderBy(F.col("recency").desc(), F.col("custkey"))
+    w_f = Window.orderBy(F.col("freq").asc(), F.col("custkey"))
+    w_m = Window.orderBy(F.col("monetary").asc(), F.col("custkey"))
+    return per.select(
+        "custkey",
+        "recency",
+        "freq",
+        "monetary",
+        F.ntile(5).over(w_r).cast("long").alias("r_score"),
+        F.ntile(5).over(w_f).cast("long").alias("f_score"),
+        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.expr(
+            "CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)"
+        ),
+    )
+
+
+Q_RFM_SEGMENTS_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      AS BIGINT) AS d,
+    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+  FROM orders
+), gmax AS (SELECT max(d) AS dmax FROM o),
+per AS (
+  SELECT CAST(o_custkey AS BIGINT) AS custkey,
+    CAST(dmax - max(d) AS BIGINT) AS recency,
+    CAST(count(*) AS BIGINT) AS freq,
+    CAST(sum(c) AS BIGINT) AS monetary
+  FROM o CROSS JOIN gmax
+  GROUP BY o_custkey, dmax
+)
+SELECT custkey, recency, freq, monetary,
+  CAST(ntile(5) OVER (ORDER BY recency DESC, custkey) AS BIGINT)
+    AS r_score,
+  CAST(ntile(5) OVER (ORDER BY freq ASC, custkey) AS BIGINT) AS f_score,
+  CAST(ntile(5) OVER (ORDER BY monetary ASC, custkey) AS BIGINT)
+    AS m_score,
+  CAST(ntile(5) OVER (ORDER BY recency DESC, custkey) * 100
+     + ntile(5) OVER (ORDER BY freq ASC, custkey) * 10
+     + ntile(5) OVER (ORDER BY monetary ASC, custkey) AS BIGINT)
+    AS segment
+FROM per
+"""
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules u→v over the frequent co-purchase pairs
+    (support / confidence / lift as EXACT rationals — the Apriori
+    readout that copurchase/frequent_triples feed): confidence =
+    pc/cnt_u and lift = pc·N/(cnt_u·cnt_v) ride as integer
+    num/den pairs, emitted in both directions. Scale shape: the
+    shared frequent-pair build plus one broadcast item-count join and
+    a 1-row basket total."""
+    pairs = _truss_pairs(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
+    ).distinct()
+    sized = basket.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("bk"))
+    ).filter(F.col("bsz") <= 50)
+    item_counts = sized.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    n_baskets = sized.select("bk").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    both = pairs.select(
+        F.col("u").alias("ante"), F.col("v").alias("cons"), "pc"
+    ).unionByName(
+        pairs.select(
+            F.col("v").alias("ante"), F.col("u").alias("cons"), "pc"
+        )
+    )
+    return (
+        both.join(
+            F.broadcast(item_counts.withColumnRenamed("item", "ante")
+                        .withColumnRenamed("cnt", "cnt_a")),
+            "ante",
+        )
+        .join(
+            F.broadcast(item_counts.withColumnRenamed("item", "cons")
+                        .withColumnRenamed("cnt", "cnt_c")),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            F.col("ante").cast("long").alias("ante"),
+            F.col("cons").cast("long").alias("cons"),
+            F.col("pc").cast("long").alias("support_n"),
+            F.col("pc").cast("long").alias("conf_num"),
+            F.col("cnt_a").cast("long").alias("conf_den"),
+            (F.col("pc") * F.col("nb")).cast("long").alias("lift_num"),
+            (F.col("cnt_a") * F.col("cnt_c")).cast("long").alias("lift_den"),
+        )
+    )
+
+
+Q_ASSOC_RULES_SQL = """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+), sized AS (
+  SELECT bk, item FROM (
+    SELECT bk, item, count(*) OVER (PARTITION BY bk) AS bsz FROM basket)
+  WHERE bsz <= 50
+), pairs AS (
+  SELECT a.item AS u, b.item AS v, CAST(count(*) AS BIGINT) AS pc
+  FROM sized a JOIN sized b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), item_counts AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM sized GROUP BY 1
+), nb AS (
+  SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM sized
+), dirrules AS (
+  SELECT u AS ante, v AS cons, pc FROM pairs
+  UNION ALL SELECT v, u, pc FROM pairs
+)
+SELECT CAST(b.ante AS BIGINT) AS ante, CAST(b.cons AS BIGINT) AS cons,
+  b.pc AS support_n, b.pc AS conf_num, ia.cnt AS conf_den,
+  CAST(b.pc * nb.nb AS BIGINT) AS lift_num,
+  CAST(ia.cnt * ic.cnt AS BIGINT) AS lift_den
+FROM dirrules b
+JOIN item_counts ia ON b.ante = ia.item
+JOIN item_counts ic ON b.cons = ic.item
+CROSS JOIN nb
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rfm_segments": q_rfm_segments,
+    "assoc_rules": q_assoc_rules,
     "welch_ttest": q_welch_ttest,
     "benford_digits": q_benford_digits,
     "survival_table": q_survival_table,
@@ -13561,6 +13731,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "rfm_segments": Q_RFM_SEGMENTS_SQL,
+    "assoc_rules": Q_ASSOC_RULES_SQL,
     "welch_ttest": Q_WELCH_TTEST_SQL,
     "benford_digits": Q_BENFORD_DIGITS_SQL,
     "survival_table": Q_SURVIVAL_TABLE_SQL,

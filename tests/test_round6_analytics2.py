@@ -686,3 +686,58 @@ def test_haar_reconstructs_and_matches_numpy(spark, sf_dir):
             if x.event_type == et and x.kind == "approx"
         ]
         assert len(approx) == 1 and approx[0].coef == cur[0] == series.sum()
+
+
+def test_rfm_scores_are_quintiles(spark, sf_dir):
+    from pygr_spark.queries import q_rfm_segments
+
+    df = q_rfm_segments(spark, sf_dir).toPandas()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    assert len(df) == orders.o_custkey.nunique()
+    n = len(df)
+    for col in ("r_score", "f_score", "m_score"):
+        counts = df[col].value_counts()
+        assert set(counts.index) == set(range(1, 6))
+        # ntile balance: sizes differ by at most 1
+        assert counts.max() - counts.min() <= 1
+    # higher m_score = higher monetary (tile boundaries respect order)
+    m_by_tile = df.groupby("m_score").monetary
+    assert (m_by_tile.max().sort_index()[:-1].to_numpy()
+            <= m_by_tile.min().sort_index()[1:].to_numpy()).all()
+    assert (df.segment ==
+            df.r_score * 100 + df.f_score * 10 + df.m_score).all()
+
+
+def test_assoc_rules_brute_force(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from pygr_spark.queries import q_assoc_rules
+
+    got = {(r.ante, r.cons): r for r in q_assoc_rules(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    basket = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    sizes = basket.groupby("l_orderkey").size()
+    basket = basket[basket.l_orderkey.map(sizes) <= 50]
+    nb = basket.l_orderkey.nunique()
+    item_cnt = Counter(basket.l_partkey)
+    pc = defaultdict(int)
+    for _, grp in basket.groupby("l_orderkey"):
+        items = sorted(grp.l_partkey)
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                pc[(items[i], items[j])] += 1
+    expect = {}
+    for (u, v), c in pc.items():
+        if c < 2:
+            continue
+        expect[(u, v)] = (c, c, item_cnt[u], c * nb,
+                          item_cnt[u] * item_cnt[v])
+        expect[(v, u)] = (c, c, item_cnt[v], c * nb,
+                          item_cnt[v] * item_cnt[u])
+    assert {
+        k: (r.support_n, r.conf_num, r.conf_den, r.lift_num, r.lift_den)
+        for k, r in got.items()
+    } == expect
+    # confidence is a probability; lift symmetric in num only
+    for r in got.values():
+        assert 0 < r.conf_num <= r.conf_den
