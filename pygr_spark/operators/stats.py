@@ -91,9 +91,14 @@ def poisson_bootstrap(
     any engine, no resample materialization. Returns one row per
     replicate: (b, n_b, s_b). The empirical distribution of
     s_b/n_b IS the bootstrap distribution of the mean."""
+    from pygr_spark.operators.dedup import _spread
+
     cases = " ".join(
         f"WHEN h < {p} THEN {k}" for k, p in enumerate(POISSON_PPM)
     )
+    # the B-fold md5 chain is the heavy per-row work: a single-row-
+    # group parquet would otherwise pin all of it to ONE core
+    df = _spread(df, key_col)
     reps = (
         df.select(
             F.col(key_col).alias("_k"),
