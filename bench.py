@@ -166,6 +166,7 @@ HEADLINE3 = [
     "haar_decompose",
     "rfm_segments",
     "assoc_rules",
+    "ppr_seeds",
 ]
 
 #: timings are min over N full passes of the catalog (observed up to

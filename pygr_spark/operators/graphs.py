@@ -116,6 +116,7 @@ def pagerank_exact(
     scale: int = 10**12,
     src: str = "src",
     dst: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank in exact scaled-integer arithmetic: ranks are bigints
     in units of 1/scale, per-edge contributions use truncating integer
@@ -134,7 +135,22 @@ def pagerank_exact(
     out_deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     e = e.join(out_deg, src).localCheckpoint(eager=False)
     nodes = nodes_of(e, src, dst)
-    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    if seeds is not None:
+        # personalized PageRank: teleport mass (the base term) and the
+        # initial rank go ONLY to seed nodes — the standard seeded
+        # relevance-propagation variant, same integer arithmetic
+        nodes = nodes.join(
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("_is_seed", F.lit(1)),
+            "node",
+            "left",
+        ).select("node", F.coalesce("_is_seed", F.lit(0)).alias("_is_seed"))
+        ranks = nodes.select(
+            "node", (F.col("_is_seed") * scale).cast("long").alias("rank")
+        )
+    else:
+        ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for i in range(n_iter):
         contribs = (
             e.join(ranks, e[src] == ranks["node"])
@@ -145,10 +161,15 @@ def pagerank_exact(
             .groupBy("node")
             .agg(F.sum("_c").alias("_sum"))
         )
+        base_col = (
+            (F.col("_is_seed") * base).cast("long")
+            if seeds is not None
+            else F.lit(base).cast("long")
+        )
         ranks = nodes.join(contribs, "node", "left").select(
             "node",
             (
-                F.lit(base).cast("long")
+                base_col
                 + F.expr(f"({damping_num} * coalesce(_sum, 0L)) DIV {damping_den}")
             ).alias("rank"),
         )

@@ -13496,7 +13496,83 @@ CROSS JOIN nb
 """
 
 
+def q_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set (the recommender-system
+    'relevance from these users' primitive): same exact scaled-integer
+    arithmetic as `pagerank` (bit-identical on any engine), but the
+    teleport mass and initial rank go ONLY to seed nodes
+    (node % 37 == 0), so rank measures proximity to the seeds rather
+    than global centrality. Scale shape: identical to pagerank — one
+    join + partial agg per iteration on the distinct edge list."""
+    from pygr_spark.operators.graphs import pagerank_exact
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        orders.select(
+            (F.col("o_custkey") % 1999).cast("long").alias("src"),
+            (F.col("o_orderkey") % 1999).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 37 == 0)
+    )
+    out = pagerank_exact(edges, n_iter=6, seeds=seeds)
+    # drop never-reached nodes (rank exactly 0) so the output carries
+    # the personalized neighborhood, not the whole node set
+    return out.filter(F.col("rank") > 0).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ppr_oracle_sql(
+    n_iter: int = 6, num: int = 85, den: int = 100, scale: int = 10**12
+) -> str:
+    base = ((den - num) * scale) // den
+    layers = []
+    for i in range(1, n_iter + 1):
+        layers.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST(n.is_seed * {base}
+              + ({num} * COALESCE(c._sum, 0)) // {den} AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT ed.dst AS node,
+           CAST(SUM(r{i - 1}.rank // ed._deg) AS BIGINT) AS _sum
+    FROM ed JOIN r{i - 1} ON ed.src = r{i - 1}.node GROUP BY ed.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT CAST(o_custkey % 1999 AS BIGINT) AS src,
+                  CAST(o_orderkey % 1999 AS BIGINT) AS dst
+  FROM orders WHERE o_custkey % 1999 != o_orderkey % 1999
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS _deg FROM e GROUP BY src
+), ed AS (
+  SELECT e.src, e.dst, deg._deg FROM e JOIN deg ON e.src = deg.src
+), nodes AS (
+  SELECT node, CAST(CASE WHEN node % 37 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      AS is_seed
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+), r0 AS (
+  SELECT node, CAST(is_seed * {scale} AS BIGINT) AS rank FROM nodes
+), {", ".join(layers)}
+SELECT node, rank FROM r{n_iter} WHERE rank > 0
+"""
+
+
+Q_PPR_SEEDS_SQL = _ppr_oracle_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ppr_seeds": q_ppr_seeds,
     "rfm_segments": q_rfm_segments,
     "assoc_rules": q_assoc_rules,
     "welch_ttest": q_welch_ttest,
@@ -13731,6 +13807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ppr_seeds": Q_PPR_SEEDS_SQL,
     "rfm_segments": Q_RFM_SEGMENTS_SQL,
     "assoc_rules": Q_ASSOC_RULES_SQL,
     "welch_ttest": Q_WELCH_TTEST_SQL,

@@ -741,3 +741,25 @@ def test_assoc_rules_brute_force(spark, sf_dir):
     # confidence is a probability; lift symmetric in num only
     for r in got.values():
         assert 0 < r.conf_num <= r.conf_den
+
+
+def test_ppr_concentrates_on_seeds(spark, sf_dir):
+    import pandas as pd
+
+    from pygr_spark.queries import q_pagerank, q_ppr_seeds
+
+    ppr = q_ppr_seeds(spark, sf_dir).toPandas()
+    pr = q_pagerank(spark, sf_dir).toPandas()
+    assert len(ppr) > 0
+    # seeds carry the teleport floor; their mean rank must dominate
+    # the non-seed mean by construction
+    seeds = ppr[ppr.node % 37 == 0]
+    others = ppr[ppr.node % 37 != 0]
+    assert len(seeds) > 0
+    if len(others):
+        assert seeds["rank"].mean() > others["rank"].mean()
+    # personalization is not global centrality: total PPR mass is
+    # (far) below total PageRank mass since only seeds teleport
+    assert ppr["rank"].sum() < pr["rank"].sum()
+    # the reached set is a subset of all nodes
+    assert set(ppr.node) <= set(pr.node)
