@@ -13362,24 +13362,70 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    # higher = better on every axis: recency ASCENDING days-since →
-    # tile DESC so tile 5 = most recent
-    w_r = Window.orderBy(F.col("recency").desc(), F.col("custkey"))
-    w_f = Window.orderBy(F.col("freq").asc(), F.col("custkey"))
-    w_m = Window.orderBy(F.col("monetary").asc(), F.col("custkey"))
-    return per.select(
-        "custkey",
-        "recency",
-        "freq",
-        "monetary",
-        F.ntile(5).over(w_r).cast("long").alias("r_score"),
-        F.ntile(5).over(w_f).cast("long").alias("f_score"),
-        F.ntile(5).over(w_m).cast("long").alias("m_score"),
-    ).withColumn(
-        "segment",
-        F.expr(
-            "CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)"
-        ),
+    # tiles come from a DISTRIBUTED global rank (the auc_metric
+    # two-pass prefix-scan pattern: deterministic range buckets +
+    # per-bucket offsets + a pid-KEYED window), never a global ntile
+    # window that would sort every customer in one task. ntile
+    # semantics are then a pure formula of (rank, n): the first
+    # n mod 5 tiles carry one extra row.
+    per = per.localCheckpoint(eager=True)
+    n = per.count()
+
+    def tile_col(rank_col: str) -> F.Column:
+        q, r = n // 5, n % 5
+        cut = (q + 1) * r
+        return F.expr(
+            f"CAST(CASE WHEN {rank_col} <= {cut}"
+            f" THEN ({rank_col} - 1) DIV {q + 1} + 1"
+            f" ELSE {r} + ({rank_col} - {cut} - 1) DIV {q} + 1 END"
+            " AS BIGINT)"
+        )
+
+    def dist_rank(key_expr: str, out: str) -> DataFrame:
+        t = per.select("custkey", F.expr(key_expr).alias("k"))
+        parts = _det_range_pids(t, "k")
+        totals = {
+            row.pid: row.t
+            for row in parts.groupBy("pid")
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .collect()
+        }
+        offs, acc = [], 0
+        for pid in sorted(totals):
+            offs.append((pid, acc))
+            acc += totals[pid]
+        off_df = spark.createDataFrame(offs, ["pid", "off"])
+        w_in = Window.partitionBy("pid").orderBy("k", "custkey")
+        return (
+            parts.join(F.broadcast(off_df), "pid")
+            .withColumn(
+                "_rk",
+                (F.col("off") + F.row_number().over(w_in)).cast("long"),
+            )
+            .select("custkey", tile_col("_rk").alias(out))
+        )
+
+    # recency: most-recent (smallest days-since) = tile 5 → rank on
+    # NEGATED recency ascending
+    r_t = dist_rank("-recency", "r_score")
+    f_t = dist_rank("freq", "f_score")
+    m_t = dist_rank("monetary", "m_score")
+    return (
+        per.join(r_t, "custkey")
+        .join(f_t, "custkey")
+        .join(m_t, "custkey")
+        .select(
+            "custkey",
+            "recency",
+            "freq",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+            F.expr(
+                "CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)"
+            ).alias("segment"),
+        )
     )
 
 

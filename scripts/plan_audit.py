@@ -69,6 +69,15 @@ EXEMPT: dict[str, dict[str, str]] = {
                 "candidate prefilter feeding the same mutual-argmax "
                 "join (SCALING.md batch 11)"
     },
+    "rfm_segments": {
+        "bnlj": "crosses with the 1-row max-date aggregate and the "
+                "<=n_parts-row prefix-offset tables of the distributed "
+                "ranking passes"
+    },
+    "assoc_rules": {
+        "bnlj": "cross with the 1-row basket-count aggregate (lift "
+                "denominator)"
+    },
     "haar_decompose": {
         "bnlj": "cross with the 1-row min-day aggregate (grid "
                 "re-basing) and the 32-slot literal grid"
