@@ -129,6 +129,11 @@ def pagerank_exact(
 
     Bounds: total rank mass ≤ n·scale; with n ≤ 2000 and scale=1e12
     the ``num·Σ`` intermediate stays < 2e17, inside int64.
+
+    ``seeds``: optional DataFrame with a ``node`` column —
+    personalized PageRank: the teleport mass (the base term) and the
+    initial rank go ONLY to seed nodes, so rank measures proximity
+    to the seed set rather than global centrality.
     """
     base = ((damping_den - damping_num) * scale) // damping_den
     e = edges.select(src, dst).distinct()
@@ -140,9 +145,7 @@ def pagerank_exact(
         # initial rank go ONLY to seed nodes — the standard seeded
         # relevance-propagation variant, same integer arithmetic
         nodes = nodes.join(
-            seeds.select(F.col(seeds.columns[0]).alias("node"))
-            .distinct()
-            .withColumn("_is_seed", F.lit(1)),
+            seeds.select("node").distinct().withColumn("_is_seed", F.lit(1)),
             "node",
             "left",
         ).select("node", F.coalesce("_is_seed", F.lit(0)).alias("_is_seed"))

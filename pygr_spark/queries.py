@@ -2273,14 +2273,11 @@ FROM s WHERE least(start + 40, n) > start
 # ---------------------------------------------------------------------------
 
 
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative PageRank on the orders-derived graph, in exact
-    scaled-integer arithmetic (pagerank_exact) so a fixed-iteration
-    SQL unroll reproduces it bit-for-bit."""
-    from pygr_spark.operators.graphs import pagerank_exact
-
+def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared orders-derived PageRank graph (%1999 node space) —
+    single home of the edge derivation for pagerank AND ppr_seeds."""
     orders = _t(spark, sf_dir, "orders")
-    edges = (
+    return (
         orders.select(
             (F.col("o_custkey") % 1999).cast("long").alias("src"),
             (F.col("o_orderkey") % 1999).cast("long").alias("dst"),
@@ -2288,28 +2285,54 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    return pagerank_exact(edges, n_iter=6)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank on the orders-derived graph, in exact
+    scaled-integer arithmetic (pagerank_exact) so a fixed-iteration
+    SQL unroll reproduces it bit-for-bit."""
+    from pygr_spark.operators.graphs import pagerank_exact
+
+    return pagerank_exact(_pr_edges(spark, sf_dir), n_iter=6)
 
 
 def _pagerank_oracle_sql(
-    n_iter: int = 6, num: int = 85, den: int = 100, scale: int = 10**12
+    n_iter: int = 6,
+    num: int = 85,
+    den: int = 100,
+    scale: int = 10**12,
+    seeded: bool = False,
 ) -> str:
     """Unrolled fixed-point CTE mirroring pagerank_exact: one CTE layer
     per iteration, truncating integer division throughout (positive
-    operands, so DuckDB's floor-div == Spark's DIV)."""
+    operands, so DuckDB's floor-div == Spark's DIV). With ``seeded``,
+    the teleport term and r0 apply only to node % 37 == 0 (mirrors
+    pagerank_exact(seeds=...)) and zero-rank rows are dropped —
+    ONE generator serves both entries so the arithmetic can never
+    drift between them."""
     base = ((den - num) * scale) // den
+    base_term = f"n.is_seed * {base}" if seeded else f"{base}"
     layers = []
     for i in range(1, n_iter + 1):
         layers.append(
             f"""r{i} AS (
   SELECT n.node,
-         CAST({base} + ({num} * COALESCE(c._sum, 0)) // {den} AS BIGINT) AS rank
+         CAST({base_term} + ({num} * COALESCE(c._sum, 0)) // {den} AS BIGINT) AS rank
   FROM nodes n LEFT JOIN (
     SELECT ed.dst AS node, CAST(SUM(r{i - 1}.rank // ed._deg) AS BIGINT) AS _sum
     FROM ed JOIN r{i - 1} ON ed.src = r{i - 1}.node GROUP BY ed.dst
   ) c ON n.node = c.node
 )"""
         )
+    nodes_sql = (
+        """SELECT node,
+    CAST(CASE WHEN node % 37 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)"""
+        if seeded
+        else "SELECT src AS node FROM e UNION SELECT dst FROM e"
+    )
+    r0_rank = f"is_seed * {scale}" if seeded else f"{scale}"
+    tail = " WHERE rank > 0" if seeded else ""
     return f"""
 WITH e AS (
   SELECT DISTINCT CAST(o_custkey % 1999 AS BIGINT) AS src,
@@ -2320,11 +2343,11 @@ WITH e AS (
 ), ed AS (
   SELECT e.src, e.dst, deg._deg FROM e JOIN deg ON e.src = deg.src
 ), nodes AS (
-  SELECT src AS node FROM e UNION SELECT dst FROM e
+  {nodes_sql}
 ), r0 AS (
-  SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes
+  SELECT node, CAST({r0_rank} AS BIGINT) AS rank FROM nodes
 ), {", ".join(layers)}
-SELECT node, rank FROM r{n_iter}
+SELECT node, rank FROM r{n_iter}{tail}
 """
 
 
@@ -13060,16 +13083,33 @@ _KTRUSS_K = 3
 _KTRUSS_ROUNDS = 4
 
 
-def _truss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent co-purchase pair graph (same build as kcore_decomp):
-    undirected edges kept as u < v rows."""
+def _sized_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (basket, item) rows under the shared skew cap — THE
+    single home of the basket-cap knob for every co-purchase-graph
+    consumer (truss, k-core, association rules). Checkpointed: the
+    self-join inside _truss_pairs consumes it twice, and assoc_rules
+    adds two more consumers (item counts, basket total)."""
     li = _t(spark, sf_dir, "lineitem")
     basket = li.select(
         F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
     ).distinct()
-    sized = basket.withColumn(
-        "bsz", F.count(F.lit(1)).over(Window.partitionBy("bk"))
-    ).filter(F.col("bsz") <= 50)
+    return (
+        basket.withColumn(
+            "bsz", F.count(F.lit(1)).over(Window.partitionBy("bk"))
+        )
+        .filter(F.col("bsz") <= 50)
+        .select("bk", "item")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _truss_pairs(
+    spark: SparkSession, sf_dir: str, sized: DataFrame | None = None
+) -> DataFrame:
+    """Frequent co-purchase pair graph over the shared capped basket
+    set: undirected edges kept as u < v rows with their pair count."""
+    if sized is None:
+        sized = _sized_baskets(spark, sf_dir)
     a = sized.select("bk", F.col("item").alias("u"))
     b = sized.select("bk", F.col("item").alias("v"))
     return (
@@ -13370,6 +13410,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n mod 5 tiles carry one extra row.
     per = per.localCheckpoint(eager=True)
     n = per.count()
+    if n == 0:
+        # empty input: no tiles to assign (and tile_col would emit a
+        # DIV 0 fragment) — return the empty frame with the contract
+        # schema
+        return per.select(
+            "custkey", "recency", "freq", "monetary",
+            F.lit(0).cast("long").alias("r_score"),
+            F.lit(0).cast("long").alias("f_score"),
+            F.lit(0).cast("long").alias("m_score"),
+            F.lit(0).cast("long").alias("segment"),
+        )
 
     def tile_col(rank_col: str) -> F.Column:
         q, r = n // 5, n % 5
@@ -13394,7 +13445,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pid in sorted(totals):
             offs.append((pid, acc))
             acc += totals[pid]
-        off_df = spark.createDataFrame(offs, ["pid", "off"])
+        off_df = spark.createDataFrame(offs, "pid int, off long")
         w_in = Window.partitionBy("pid").orderBy("k", "custkey")
         return (
             parts.join(F.broadcast(off_df), "pid")
@@ -13467,14 +13518,8 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     num/den pairs, emitted in both directions. Scale shape: the
     shared frequent-pair build plus one broadcast item-count join and
     a 1-row basket total."""
-    pairs = _truss_pairs(spark, sf_dir)
-    li = _t(spark, sf_dir, "lineitem")
-    basket = li.select(
-        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
-    ).distinct()
-    sized = basket.withColumn(
-        "bsz", F.count(F.lit(1)).over(Window.partitionBy("bk"))
-    ).filter(F.col("bsz") <= 50)
+    sized = _sized_baskets(spark, sf_dir)
+    pairs = _truss_pairs(spark, sf_dir, sized=sized)
     item_counts = sized.groupBy("item").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
@@ -13552,15 +13597,7 @@ def q_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + partial agg per iteration on the distinct edge list."""
     from pygr_spark.operators.graphs import pagerank_exact
 
-    orders = _t(spark, sf_dir, "orders")
-    edges = (
-        orders.select(
-            (F.col("o_custkey") % 1999).cast("long").alias("src"),
-            (F.col("o_orderkey") % 1999).cast("long").alias("dst"),
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    edges = _pr_edges(spark, sf_dir)
     seeds = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -13576,45 +13613,7 @@ def q_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ppr_oracle_sql(
-    n_iter: int = 6, num: int = 85, den: int = 100, scale: int = 10**12
-) -> str:
-    base = ((den - num) * scale) // den
-    layers = []
-    for i in range(1, n_iter + 1):
-        layers.append(
-            f"""r{i} AS (
-  SELECT n.node,
-         CAST(n.is_seed * {base}
-              + ({num} * COALESCE(c._sum, 0)) // {den} AS BIGINT) AS rank
-  FROM nodes n LEFT JOIN (
-    SELECT ed.dst AS node,
-           CAST(SUM(r{i - 1}.rank // ed._deg) AS BIGINT) AS _sum
-    FROM ed JOIN r{i - 1} ON ed.src = r{i - 1}.node GROUP BY ed.dst
-  ) c ON n.node = c.node
-)"""
-        )
-    return f"""
-WITH e AS (
-  SELECT DISTINCT CAST(o_custkey % 1999 AS BIGINT) AS src,
-                  CAST(o_orderkey % 1999 AS BIGINT) AS dst
-  FROM orders WHERE o_custkey % 1999 != o_orderkey % 1999
-), deg AS (
-  SELECT src, CAST(count(*) AS BIGINT) AS _deg FROM e GROUP BY src
-), ed AS (
-  SELECT e.src, e.dst, deg._deg FROM e JOIN deg ON e.src = deg.src
-), nodes AS (
-  SELECT node, CAST(CASE WHEN node % 37 = 0 THEN 1 ELSE 0 END AS BIGINT)
-      AS is_seed
-  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
-), r0 AS (
-  SELECT node, CAST(is_seed * {scale} AS BIGINT) AS rank FROM nodes
-), {", ".join(layers)}
-SELECT node, rank FROM r{n_iter} WHERE rank > 0
-"""
-
-
-Q_PPR_SEEDS_SQL = _ppr_oracle_sql()
+Q_PPR_SEEDS_SQL = _pagerank_oracle_sql(seeded=True)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -33,7 +33,9 @@ G_TOKENS = 24_959
 
 
 @pytest.mark.slow
-def test_corpus_pipeline_megatest(spark):
+def test_corpus_pipeline_megatest(spark, sf_dir):
+    if not sf_dir.rstrip("/").endswith("sf0.001"):
+        pytest.skip("recorded goldens are sf0.001-specific")
     from pygr_spark.operators.dedup import (
         md5_band_hash,
         md5_hash60,
@@ -42,7 +44,7 @@ def test_corpus_pipeline_megatest(spark):
     from pygr_spark.operators.graphs import connected_components
     from pygr_spark.operators.pipeline import decontaminate, hash_split
 
-    docs0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
     reps = docs0.select(
         F.explode(F.array(*[F.lit(k) for k in range(REPL)])).alias("k"),
         "doc_id",

@@ -694,7 +694,6 @@ def test_rfm_scores_are_quintiles(spark, sf_dir):
     df = q_rfm_segments(spark, sf_dir).toPandas()
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
     assert len(df) == orders.o_custkey.nunique()
-    n = len(df)
     for col in ("r_score", "f_score", "m_score"):
         counts = df[col].value_counts()
         assert set(counts.index) == set(range(1, 6))
