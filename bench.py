@@ -167,6 +167,7 @@ HEADLINE3 = [
     "rfm_segments",
     "assoc_rules",
     "ppr_seeds",
+    "spearman_corr",
 ]
 
 #: timings are min over N full passes of the catalog (observed up to

@@ -8713,6 +8713,40 @@ def _margin_scored(spark: SparkSession, sf_dir: str):
     )
 
 
+def _dist_global_rank(
+    df: DataFrame, key_col: str, id_col: str, out: str = "rank"
+) -> DataFrame:
+    """Distributed dense global row_number over the total order
+    (key_col, id_col) — the rank-flavored sibling of the auc/ks/gains
+    prefix-SUM stitches: deterministic range buckets
+    (_det_range_pids), ≤n_parts-row per-bucket totals collected into
+    prefix offsets, then a pid-KEYED row_number window. No empty
+    PARTITION BY anywhere. Returns (id_col, out)."""
+    spark = df.sparkSession
+    parts = _det_range_pids(df.select(id_col, key_col), key_col)
+    totals = {
+        r.pid: r.t
+        for r in parts.groupBy("pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(totals):
+        offs.append((pid, acc))
+        acc += totals[pid]
+    if not offs:
+        return df.select(id_col).limit(0).withColumn(
+            out, F.lit(0).cast("long")
+        )
+    off_df = spark.createDataFrame(offs, "pid int, off long")
+    w_in = Window.partitionBy("pid").orderBy(key_col, id_col)
+    return (
+        parts.join(F.broadcast(off_df), "pid")
+        .withColumn(out, (F.col("off") + F.row_number().over(w_in)).cast("long"))
+        .select(id_col, out)
+    )
+
+
 def _det_range_pids(df: DataFrame, key_col: str, n_parts: int = 8) -> DataFrame:
     """Deterministic range bucketing for the two-pass distributed
     prefix scan: collect fixed split points ONCE (approxQuantile on
@@ -13434,27 +13468,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def dist_rank(key_expr: str, out: str) -> DataFrame:
         t = per.select("custkey", F.expr(key_expr).alias("k"))
-        parts = _det_range_pids(t, "k")
-        totals = {
-            row.pid: row.t
-            for row in parts.groupBy("pid")
-            .agg(F.count(F.lit(1)).cast("long").alias("t"))
-            .collect()
-        }
-        offs, acc = [], 0
-        for pid in sorted(totals):
-            offs.append((pid, acc))
-            acc += totals[pid]
-        off_df = spark.createDataFrame(offs, "pid int, off long")
-        w_in = Window.partitionBy("pid").orderBy("k", "custkey")
-        return (
-            parts.join(F.broadcast(off_df), "pid")
-            .withColumn(
-                "_rk",
-                (F.col("off") + F.row_number().over(w_in)).cast("long"),
-            )
-            .select("custkey", tile_col("_rk").alias(out))
-        )
+        ranked = _dist_global_rank(t, "k", "custkey", out="_rk")
+        return ranked.select("custkey", tile_col("_rk").alias(out))
 
     # recency: most-recent (smallest days-since) = tile 5 → rank on
     # NEGATED recency ascending
@@ -13616,7 +13631,90 @@ def q_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_PPR_SEEDS_SQL = _pagerank_oracle_sql(seeded=True)
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer account balance and
+    total spend — the nonparametric companion to lag_correlation's
+    Pearson: both rankings use the DISTRIBUTED global-rank stitch
+    (total order (metric, custkey): deterministic, no midrank floats)
+    and ρ = 1 − 6Σd²/(n(n²−1)) is carried as the EXACT pair
+    rho_num = n(n²−1) − 6Σd², rho_den = n(n²−1). Headroom: Σd² ≤ n³/3,
+    so int64 holds to n ≈ 1.4M customers per group — shard by segment
+    beyond that (documented knob). Scale shape: one per-customer agg,
+    two range-bucket ranking passes, one 1-row moment aggregate."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("bal"),
+    )
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("spend")
+        )
+    )
+    per = cust.join(
+        spend, cust.custkey == spend.o_custkey, "left"
+    ).select(
+        "custkey", "bal", F.coalesce("spend", F.lit(0)).alias("spend")
+    ).localCheckpoint(eager=True)
+    rx = _dist_global_rank(
+        per.select("custkey", "bal"), "bal", "custkey", out="rx"
+    )
+    ry = _dist_global_rank(
+        per.select("custkey", "spend"), "spend", "custkey", out="ry"
+    )
+    d = rx.join(ry, "custkey").select(
+        (F.col("rx") - F.col("ry")).alias("d")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("d * d")).cast("long").alias("sd2"),
+    )
+    return m.select(
+        "n",
+        "sd2",
+        (F.col("n") * (F.col("n") * F.col("n") - 1) - 6 * F.col("sd2"))
+        .cast("long")
+        .alias("rho_num"),
+        (F.col("n") * (F.col("n") * F.col("n") - 1))
+        .cast("long")
+        .alias("rho_den"),
+    )
+
+
+Q_SPEARMAN_CORR_SQL = """
+WITH cust AS (
+  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal
+  FROM customer
+), spend AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      AS BIGINT) AS spend
+  FROM orders GROUP BY 1
+), per AS (
+  SELECT custkey, bal, CAST(coalesce(spend, 0) AS BIGINT) AS spend
+  FROM cust LEFT JOIN spend ON custkey = o_custkey
+), ranked AS (
+  SELECT custkey,
+    CAST(row_number() OVER (ORDER BY bal, custkey) AS BIGINT) AS rx,
+    CAST(row_number() OVER (ORDER BY spend, custkey) AS BIGINT) AS ry
+  FROM per
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+  FROM ranked
+)
+SELECT n, sd2,
+  CAST(n * (n * n - 1) - 6 * sd2 AS BIGINT) AS rho_num,
+  CAST(n * (n * n - 1) AS BIGINT) AS rho_den
+FROM m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "spearman_corr": q_spearman_corr,
     "ppr_seeds": q_ppr_seeds,
     "rfm_segments": q_rfm_segments,
     "assoc_rules": q_assoc_rules,
@@ -13852,6 +13950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "spearman_corr": Q_SPEARMAN_CORR_SQL,
     "ppr_seeds": Q_PPR_SEEDS_SQL,
     "rfm_segments": Q_RFM_SEGMENTS_SQL,
     "assoc_rules": Q_ASSOC_RULES_SQL,

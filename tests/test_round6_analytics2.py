@@ -762,3 +762,30 @@ def test_ppr_concentrates_on_seeds(spark, sf_dir):
     assert ppr["rank"].sum() < pr["rank"].sum()
     # the reached set is a subset of all nodes
     assert set(ppr.node) <= set(pr.node)
+
+
+def test_spearman_matches_pandas_rank(spark, sf_dir):
+    from pygr_spark.queries import q_spearman_corr
+
+    r = q_spearman_corr(spark, sf_dir).first()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    cust["bal"] = np.round(cust.c_acctbal * 100).astype("int64")
+    spend = (
+        np.round(orders.o_totalprice * 100).astype("int64")
+        .groupby(orders.o_custkey).sum()
+    )
+    cust["spend"] = cust.c_custkey.map(spend).fillna(0).astype("int64")
+    # total order (metric, custkey): lexsort then positional rank
+    rx = np.empty(len(cust), dtype=np.int64)
+    rx[np.lexsort((cust.c_custkey, cust.bal))] = np.arange(1, len(cust) + 1)
+    ry = np.empty(len(cust), dtype=np.int64)
+    ry[np.lexsort((cust.c_custkey, cust.spend))] = np.arange(1, len(cust) + 1)
+    n = len(cust)
+    sd2 = int(((rx - ry) ** 2).sum())
+    assert (r.n, r.sd2) == (n, sd2)
+    assert (r.rho_num, r.rho_den) == (n * (n * n - 1) - 6 * sd2,
+                                      n * (n * n - 1))
+    # balance and spend are essentially independent in TPC-H-ish data:
+    # rho should be small but well-defined
+    assert -1 <= r.rho_num / r.rho_den <= 1
