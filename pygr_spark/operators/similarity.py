@@ -607,6 +607,182 @@ def _best_prefix(scores: Column) -> Column:
     )
 
 
+def md5_plane_tables(
+    n_tables: int, n_planes: int, dim: int = 64
+) -> list[list[list[int]]]:
+    """``n_tables`` independent sets of ±1 hyperplanes, each entry
+    seeded by ``md5(f"{t}:{i},{j}")`` — any process (Spark driver,
+    DuckDB oracle, a test) regenerates the identical planes with no
+    shared state. The table key prefix ``t:`` keeps every table's
+    planes independent of :func:`_sign_planes`-style single-set
+    seeds."""
+    import hashlib
+
+    return [
+        [
+            [
+                1
+                if hashlib.md5(f"{t}:{i},{j}".encode()).digest()[0] & 1
+                else -1
+                for j in range(dim)
+            ]
+            for i in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def multitable_buckets(
+    df: DataFrame,
+    tables: list[list[list[int]]],
+    id_col: str,
+    qvec: str,
+) -> DataFrame:
+    """Long-form LSH signatures — (id_col, t, bucket), one row per
+    (vector, table) — over a QUANTIZED array<long> column ``qvec``:
+    bit i of table t = sign(Σ_j s_tij·q_j), all-integer and
+    therefore engine-exact.
+
+    Shape: an Arrow-batched ``mapInPandas`` matmul — ``signs(Q·Wᵀ)``
+    per batch with int64 numpy (every product ≤ 1e6·1e6·64 « 2^63,
+    so the arithmetic is EXACT and bit-identical to the SQL oracle's
+    per-term sums), then the k sign bits packed per table. This is
+    the same vectorized-assignment fast path ivf_topk uses: the
+    L×k×64-term work per row is one BLAS-shaped batch product
+    instead of either (a) a fused literal projection — overflows
+    janino's 64KB method limit at adaptive plane counts and falls
+    back to interpreted — or (b) a plane-table join + aggregation,
+    which pays a rows×L×k shuffle fanout (measured 7.1s where this
+    path is sub-second at 512k×16×12×64). Linear scan, no shuffle;
+    output is n×L small rows."""
+    import numpy as np
+    import pandas as pd
+
+    n_tables = len(tables)
+    n_planes = len(tables[0])
+    dim = len(tables[0][0])
+    w = (
+        np.array(tables, dtype=np.int64)
+        .reshape(n_tables * n_planes, dim)
+        .T
+    )  # dim × (L·k)
+    bits = 1 << np.arange(n_planes, dtype=np.int64)
+    tcol = np.arange(n_tables, dtype=np.int32)
+
+    def assign(batches):
+        for pdf in batches:
+            ids = pdf["_vid"].to_numpy()
+            if len(ids) == 0:
+                continue
+            q = np.array(list(pdf["_q"]), dtype=np.int64)
+            d = q @ w
+            signs = (d > 0).reshape(len(ids), n_tables, n_planes)
+            buckets = (signs * bits).sum(axis=2).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "_vid": np.repeat(ids, n_tables),
+                    "t": np.tile(tcol, len(ids)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).alias("_vid"), F.col(qvec).alias("_q"))
+        .mapInPandas(assign, "_vid long, t int, bucket long")
+        .withColumnRenamed("_vid", id_col)
+    )
+
+
+def rbh_lsh(
+    emb: DataFrame,
+    tables: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    split_mod: int = 10,
+) -> DataFrame:
+    """Reciprocal best hits through a multi-table LSH candidate
+    prefilter — the sublinear form of the exact RBH entry (pygr's
+    BLAST orthology idiom, reference blast.py:158-351: the reference
+    itself seeds with heuristic word hits, never all-pairs). Split:
+    A = ids with ``id % split_mod == 0``, B = the rest. Candidates =
+    pairs sharing a bucket in ANY of the L tables; scoring and the
+    mutual-argmax join are the SAME exact-integer cosine as the
+    all-pairs entry, restricted to candidates.
+
+    Scale shape (the point of this operator): bucket computation is L
+    narrow codegen projections over one scan — linear; candidate
+    generation is L equi-joins expressed as one shuffle on
+    (table, bucket) of the stacked signatures; with the caller sizing
+    2^k ∝ n (adaptive k, see q_rbh_candidates) expected per-table
+    collision mass is ≤ 8·n pairs — linear by construction, never
+    all-pairs and no broadcast of either side. The mutual argmax is
+    two candidate-volume window passes keyed by a_id / b_id.
+
+    Returns (a_id, b_id, cos_sim) — mutual best pairs WITHIN the
+    candidate set, cos_sim rounded to 6 places.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("qv")
+    ).withColumn("nn", sqnorm_unrolled("qv", dim))
+    # consumed three times (bucket melt + the two score-side joins):
+    # EAGER checkpoint — a lazy one materializes once per
+    # concurrently-scheduled consumer stage (measured: it ran twice)
+    sigs = base.localCheckpoint(eager=True)
+    # n×L small rows, consumed by both melt branches below: eager for
+    # the same two-consumer reason
+    melt = multitable_buckets(sigs, tables, "vid", "qv").localCheckpoint(
+        eager=True
+    )
+    is_a = F.col("vid") % split_mod == 0
+    a_m = melt.filter(is_a).select(F.col("vid").alias("a_id"), "t", "bucket")
+    b_m = melt.filter(~is_a).select(F.col("vid").alias("b_id"), "t", "bucket")
+    cand = (
+        a_m.join(b_m, ["t", "bucket"]).select("a_id", "b_id").distinct()
+    )
+    # shuffle-hash hints: sort-merge would SORT the 64-long array
+    # payloads on both join sides (measured 9.1s → 3.5s at 512k
+    # vectors); hash join streams them. Scale-safe: both sides
+    # shuffle on the id — no broadcast of either side anywhere.
+    qa = sigs.filter(is_a).select(
+        F.col("vid").alias("a_id"),
+        F.col("qv").alias("qa"),
+        F.col("nn").alias("na"),
+    ).hint("shuffle_hash")
+    qb = sigs.filter(~is_a).select(
+        F.col("vid").alias("b_id"),
+        F.col("qv").alias("qb"),
+        F.col("nn").alias("nb"),
+    ).hint("shuffle_hash")
+    scored = (
+        cand.join(qa, "a_id")
+        .join(qb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                dot_unrolled("qa", "qb", dim)
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("sim"),
+        )
+    )
+    w_ab = Window.partitionBy("a_id").orderBy(F.col("sim").desc(), "b_id")
+    w_ba = Window.partitionBy("b_id").orderBy(F.col("sim").desc(), "a_id")
+    return (
+        scored.withColumn("rk_ab", F.row_number().over(w_ab))
+        .withColumn("rk_ba", F.row_number().over(w_ba))
+        .filter((F.col("rk_ab") == 1) & (F.col("rk_ba") == 1))
+        .select(
+            F.col("a_id").cast("long").alias("a_id"),
+            F.col("b_id").cast("long").alias("b_id"),
+            F.round("sim", 6).alias("cos_sim"),
+        )
+    )
+
+
 def seed_extend_join(
     docs: DataFrame,
     id_col: str = "doc_id",

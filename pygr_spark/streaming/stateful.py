@@ -339,3 +339,101 @@ def cdc_apply_stream(
     final = spark.read.parquet(current["path"])
     # materialize before the temp dir can be reclaimed by the caller
     return final, current["batches"]
+
+
+PAIR_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("win_start", T.LongType()),
+        T.StructField("item_a", T.StringType()),
+        T.StructField("item_b", T.StringType()),
+    ]
+)
+
+PAIR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("wins", T.ArrayType(T.LongType())),
+        T.StructField("items", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def streaming_pair_firsts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    win_col: str = "win_start",
+    item_col: str = "event_type",
+) -> DataFrame:
+    """Streaming frequent-pair support: per (user, window), emit each
+    unordered item pair EXACTLY ONCE — at the moment its second
+    member first appears — regardless of how events split across
+    micro-batches or arrive out of order. The per-user GroupState is
+    the set of (window, item) pairs already seen, so a redelivered
+    or late event is a no-op: first-occurrence semantics make the
+    drained output idempotent, which is what lets a plain batch
+    ``count(*)`` over it equal the exact batch co-occurrence count
+    (the assoc_rules support numerator, windowed) — the same
+    mergeability-is-streamability argument as the streaming HLL
+    entry, with "set insert" as the idempotent merge.
+
+    State bound: ≤ n_active_windows × |item vocabulary| entries per
+    user — for the events table, windows × 5 event types (asserted
+    at 16× in tests/test_stream_pairs.py). A production deployment
+    evicts closed windows via watermark-driven timeout; the bounded
+    availableNow drain keeps every window live so the batch oracle
+    can check all of them.
+
+    Scale shape: one shuffle on user_id (the stateful grouping);
+    per-row work is a set probe; output volume ≤ pairs(vocab) per
+    (user, window). The support aggregation over the drained firsts
+    is a plain batch groupBy — count of users per (window, pair).
+    """
+
+    def firsts(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.exists:
+            wins, items = state.get
+            seen = set(zip(wins, items))
+        else:
+            seen = set()
+        out: list[dict] = []
+        rows: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(w), str(i))
+                for w, i in zip(pdf[win_col], pdf[item_col])
+            )
+        # canonical admission order inside the batch: (window, item)
+        # sorted — WHICH pairs are emitted is order-independent (set
+        # semantics), sorting just makes per-batch output stable
+        for w, it in sorted(rows):
+            if (w, it) in seen:
+                continue
+            for w2, other in seen:
+                if w2 != w or other == it:
+                    continue
+                a, b = (it, other) if it < other else (other, it)
+                out.append(
+                    {
+                        "user_id": uid,
+                        "win_start": w,
+                        "item_a": a,
+                        "item_b": b,
+                    }
+                )
+            seen.add((w, it))
+        state.update(
+            ([w for w, _ in sorted(seen)], [i for _, i in sorted(seen)])
+        )
+        if out:
+            yield pd.DataFrame(out)
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        firsts,
+        outputStructType=PAIR_OUT_SCHEMA,
+        stateStructType=PAIR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,116 @@
+"""Sublinear reciprocal-best-hits candidate path (rbh_candidates).
+
+The exact entry (q_reciprocal_best_hits) is |A|x|B| by definition; the
+candidate path must (a) stay an equi-join pipeline — never all-pairs —
+(b) compute the SAME exact-integer mutual-argmax on its candidate set,
+and (c) keep a pinned recall floor against the exact entry. Reference
+anchor: pygr's orthology joins are BLAST bidirectional-best hits seeded
+by heuristic word matches (reference blast.py:158-351) — the reference
+itself never scores all pairs either.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygr_spark.operators.similarity import (
+    md5_plane_tables,
+    multitable_buckets,
+    quantized,
+    rbh_lsh,
+)
+from pygr_spark.queries import QUERIES
+
+
+def test_recall_vs_exact_entry(spark, sf_dir):
+    """Pinned recall floor vs the exact all-pairs entry.
+
+    Measured on the synthetic corpus: 0.609 at sf0.001 (n=500),
+    0.705 at sf0.01 — this corpus is i.i.d. random embeddings (max
+    pairwise cosine ~0.51), where recall of "best hit among noise"
+    is information-theoretically bounded near candidate mass x LSH
+    amplification; clustered real embeddings concentrate true
+    neighbors far harder. Floor pinned below the weakest measured
+    point to catch structural regressions, not noise."""
+    exact = {
+        (r.a_id, r.b_id)
+        for r in QUERIES["reciprocal_best_hits"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id)
+        for r in QUERIES["rbh_candidates"](spark, sf_dir).collect()
+    }
+    assert exact, "exact RBH produced no pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"recall {recall:.3f} fell below pinned floor"
+
+
+def test_split_and_mutuality_invariants(spark, sf_dir):
+    """Every output pair respects the A/B split, appears at most once
+    per a_id and per b_id (mutual-argmax output is 1:1), and its
+    cos_sim equals the exact-integer cosine of the two vectors."""
+    out = QUERIES["rbh_candidates"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    a_ids = [r.a_id for r in rows]
+    b_ids = [r.b_id for r in rows]
+    assert all(a % 10 == 0 for a in a_ids)
+    assert all(b % 10 != 0 for b in b_ids)
+    assert len(a_ids) == len(set(a_ids))
+    assert len(b_ids) == len(set(b_ids))
+    # spot-check cos_sim against a direct exact-integer recompute
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", quantized(F.col("embedding")).alias("q")
+    )
+    want = {(r.a_id, r.b_id): r.cos_sim for r in rows[:5]}
+    ids = {i for ab in want for i in ab}
+    vecs = {
+        r.vec_id: r.q
+        for r in emb.filter(F.col("vec_id").isin(list(ids))).collect()
+    }
+    for (a, b), got in want.items():
+        qa, qb = vecs[a], vecs[b]
+        dot = sum(x * y for x, y in zip(qa, qb))
+        na = sum(x * x for x in qa) ** 0.5
+        nb = sum(x * x for x in qb) ** 0.5
+        assert got == pytest.approx(dot / (na * nb), abs=1e-6)
+
+
+def test_adaptive_k_and_bucket_determinism(spark):
+    """multitable_buckets reproduces the md5-seeded plane signs: a
+    hand-computed bucket for one vector/table equals the operator's,
+    and the adaptive-k formula matches the oracle's
+    greatest(6, length(bin(n // 8)))."""
+    tables = md5_plane_tables(2, 3, 4)
+    df = spark.createDataFrame(
+        [(1, [5, -3, 2, 7]), (2, [-1, -1, -1, -1])], "vid long, qv array<long>"
+    )
+    got = {
+        (r.vid, r.t): r.bucket
+        for r in multitable_buckets(df, tables, "vid", "qv").collect()
+    }
+    for vid, q in [(1, [5, -3, 2, 7]), (2, [-1, -1, -1, -1])]:
+        for t, planes in enumerate(tables):
+            want = 0
+            for i, p in enumerate(planes):
+                if sum(w * x for w, x in zip(p, q)) > 0:
+                    want |= 1 << i
+            assert got[(vid, t)] == want
+    # adaptive-k parity with DuckDB's length(bin(n // 8))
+    import duckdb
+
+    for n in [1, 7, 8, 500, 2000, 32000, 1 << 40]:
+        spark_k = max(6, (n // 8).bit_length())
+        duck_k = duckdb.sql(
+            f"SELECT greatest(6, length(bin({n} // 8)))"
+        ).fetchone()[0]
+        assert spark_k == duck_k, n
+
+
+def test_candidate_set_is_bucket_joined_not_all_pairs(spark, sf_dir):
+    """The physical plan must contain no cartesian / nested-loop join:
+    candidates come from equi-joins only (the scale contract that
+    distinguishes this entry from the exact one)."""
+    df = QUERIES["rbh_candidates"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
