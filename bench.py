@@ -331,10 +331,14 @@ def _oracle_pass(sf_dir: str, names: list[str]) -> float | None:
     ]
     for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-            )
+        if not os.path.exists(p):
+            continue
+        # Spark-written tables (the 16x replicas) are directories of
+        # part files; DuckDB's read_parquet needs the glob form there
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+        )
     total = 0.0
     for name in names:
         if name not in ORACLES:

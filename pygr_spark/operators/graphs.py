@@ -346,9 +346,11 @@ def bfs_levels(
     ).distinct().withColumn("level", F.lit(0).cast("long"))
     visited = visited.localCheckpoint()
     frontier = visited
+    # the distinct edge table is re-joined every level: cut its
+    # lineage once instead of re-running the edge build per round
     e = edges.select(
         F.col(src).cast("long").alias("_s"), F.col(dst).cast("long").alias("_d")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(e, frontier.node == e._s)
@@ -395,11 +397,13 @@ def bellman_ford_k(
         .withColumn("dist", F.lit(0).cast("long"))
         .localCheckpoint()
     )
+    # edge list is consumed once per round: cut its lineage so the
+    # caller's edge-build plan runs once, not once per round
     e = edges.select(
         F.col(src).cast("long").alias("_s"),
         F.col(dst).cast("long").alias("_d"),
         F.col(weight).cast("long").alias("_w"),
-    )
+    ).localCheckpoint(eager=False)
     frontier = dist
     for _ in range(k):
         relaxed = (
@@ -459,11 +463,14 @@ def max_chain_k(
         F.col(node).cast("long").alias("node"),
         F.col(node_w).cast("long").alias("score"),
     ).localCheckpoint(eager=False)
+    # edge list is consumed once per round: cut its lineage so the
+    # caller's edge-build plan (often an explode + join) runs once,
+    # not once per relaxation round
     e = edges.select(
         F.col(src).cast("long").alias("_s"),
         F.col(dst).cast("long").alias("_d"),
         F.col(weight).cast("long").alias("_w"),
-    )
+    ).localCheckpoint(eager=False)
     frontier = dist
     for _ in range(k):
         relaxed = (

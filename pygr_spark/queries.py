@@ -11728,7 +11728,8 @@ def q_rbh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Adaptive sizing: k = max(6, bit_length(n DIV 8)) planes per
     table (so bucket count 2^k ∝ n and expected per-table collision
-    mass stays ≤ ~8·n pairs — linear by construction where the
+    mass stays ≤ ~8·n pairs (L·8·n across the 16 tables) — linear
+    by construction where the
     exact entry is |A|·|B|), L = 16 tables for recall amplification.
     Planes are md5-seeded (md5_plane_tables) so the DuckDB oracle
     regenerates them bit-for-bit; the only driver action is ONE
