@@ -502,3 +502,128 @@ def max_chain_k(
         if frontier.isEmpty():
             break
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 8,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Bounded synchronized k-core peel: repeatedly drop nodes with
+    degree < ``k`` from an undirected graph given as a DIRECTED edge
+    list containing both (u,v) and (v,u) rows. Returns the surviving
+    directed edge rows (u, v) — group on ``u`` for in-core degrees.
+
+    Round-budget contract (the knob the oracle unroll mirrors): the
+    loop runs at most ``max_rounds`` synchronized rounds with early
+    exit at fixpoint, so the result is well-defined even PRE-fixpoint
+    — any engine running the identical bounded unroll produces the
+    identical edge set (tests/test_peel_knobs.py pins this on a path
+    graph, the k=2 worst case where rounds-to-fixpoint grows as n/2).
+    Rounds-to-fixpoint is a structure property (the graph's peeling
+    depth / degeneracy ordering length), NOT a row-count property:
+    replicating a graph 64x leaves the round count unchanged
+    (SCALING.md peel-rounds probe), while adversarially deep graphs
+    (paths, long threads) need a larger budget — size ``max_rounds``
+    to the expected peeling depth, not to |E|.
+
+    Scale shape per round: one partial-agg degree count + two
+    semi-joins on the shrinking edge set, localCheckpointed so plans
+    stay flat (reference analog: pygr prunes per-object through dict
+    degree lookups, mapping.py:688-750)."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        # deg is consumed three times per round (early-exit probe +
+        # both join legs of keep) — checkpoint the tiny per-node
+        # table once instead of re-running the shuffle 3x
+        deg = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        # early exit when a round removes nothing: the remaining
+        # rounds are no-ops, so the result is IDENTICAL to the full
+        # unroll the oracle runs — this just skips their fixed job
+        # overhead (rounds don't shrink with data size)
+        if deg.filter(F.col("d") < k).isEmpty():
+            break
+        keep = deg.filter(F.col("d") >= k).select("u")
+        e = (
+            e.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return e
+
+
+def _truss_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support on a u<v oriented edge set: wedge
+    (a,b)+(b,c) joined against the closing edge (a,c), each triangle
+    credited to its three edges."""
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.expr("stack(3, a, b, b, c, a, c) AS (u, v)"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+
+
+def ktruss_peel(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 4,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Bounded synchronized k-truss peel on a u<v ORIENTED edge list:
+    an edge survives iff it participates in >= k-2 triangles among
+    surviving edges. Returns the surviving oriented edges WITH their
+    in-truss support column.
+
+    Same round-budget contract as :func:`kcore_peel`: at most
+    ``max_rounds`` rounds, early exit at fixpoint, pre-fixpoint
+    results well-defined because any engine running the identical
+    bounded unroll peels the identical edges
+    (tests/test_peel_knobs.py). Truss peeling cascades at most
+    (initial_max_support - (k-2)) rounds on adversarial strips of
+    shared triangles; like the core peel, the depth is structural,
+    not row-count-driven.
+
+    Scale shape per round: two self-equi-joins (wedge + closure) and
+    one partial agg on the shrinking edge set, checkpointed BEFORE
+    the count action so the triangle subtree runs once per round."""
+    t = k - 2
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        kept = (
+            e.join(_truss_support(e), ["u", "v"])
+            .filter(F.col("support") >= t)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_kept = kept.count()
+        e = kept
+        if n_kept == n_edges:
+            break
+        n_edges = n_kept
+    return e.join(_truss_support(e), ["u", "v"]).filter(
+        F.col("support") >= t
+    )

@@ -8960,40 +8960,101 @@ def q_target_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bedtools-coverage BREADTH semantics (the companion to the
     depth-oriented coverage_segments; reference analog: NLMSA
     coverage queries, cnestedlist.pyx): for every target interval,
-    the number of distinct bases covered by ≥1 read — reads are
-    clipped to the target, per-target unions merged with the
-    gaps-and-islands gap_merge (touching half-open intervals
-    coalesce), merged lengths summed. Composition of the existing
-    operators: binned overlap_join → clip → gap_merge → keyed sum;
-    every stage is the already-probed scale shape."""
-    targets = _order_ivals(spark, sf_dir)
-    reads = _spread(_lineitem_ivals(spark, sf_dir))
-    ov = overlap_join(targets, reads, strategy="binned", bin_width=32)
-    clipped = ov.select(
+    (covered = distinct bases under ≥1 read, n_reads = reads
+    overlapping it) — WITHOUT ever materializing the read×target
+    pair set. The pair count is quadratic in coverage depth (deep
+    coverage over a fixed coordinate space: the 16× replica probe
+    hit 950M pairs where 1× has 3.7M — 256×, and any pairwise plan,
+    Spark or SQL, drowns there), so both outputs come from
+    depth-independent forms:
+
+    - covered: reads are first collapsed to their DISTINCT geometry
+      (multiplicity is irrelevant to a union) and gap-merged into
+      disjoint islands — a per-sequence set bounded by the coordinate
+      range that SHRINKS as depth grows — then one binned
+      overlap_join of targets against islands sums clip lengths
+      directly (islands are disjoint: no union arithmetic needed).
+    - n_reads: the classic rank trick — #\\{rs < te\\} − #\\{re ≤ ts\\}
+      (the two excluded sets are disjoint because targets are
+      non-empty), each count read off ONE cumulative-sum window pass
+      over the read events stacked with the target probes, ordered
+      (pos, kind) so the strict/inclusive tie semantics are exact.
+
+    Scale shape: two stacked-event window passes + one distinct +
+    one tiny island join — linear in |reads| + |targets| at ANY
+    coverage depth."""
+    targets = _order_ivals(spark, sf_dir).select(
+        "id",
         "o_orderkey",
+        "start",
+        "stop",
         (F.col("stop") - F.col("start")).alias("target_len"),
-        F.greatest(F.col("start"), F.col("start_r")).alias("cstart"),
-        F.least(F.col("stop"), F.col("stop_r")).alias("cstop"),
-    ).filter(F.col("cstop") > F.col("cstart"))
-    merged = gap_merge(
-        clipped,
-        ["o_orderkey", "target_len"],
-        start="cstart",
-        stop="cstop",
-        maxgap=0,
+    )
+    reads = _spread(_lineitem_ivals(spark, sf_dir))
+
+    # --- covered: disjoint islands of the distinct read geometry ---
+    geo = reads.select("id", "start", "stop").distinct()
+    isl = gap_merge(geo, ["id"], maxgap=0).select("id", "start", "stop")
+    ovi = overlap_join(targets, isl, strategy="binned", bin_width=32)
+    covered = (
+        ovi.select(
+            "o_orderkey",
+            (
+                F.least(F.col("stop"), F.col("stop_r"))
+                - F.greatest(F.col("start"), F.col("start_r"))
+            ).alias("_c"),
+        )
+        .filter(F.col("_c") > 0)
+        .groupBy("o_orderkey")
+        .agg(F.sum("_c").cast("long").alias("covered"))
+    )
+
+    # --- n_reads: two event-rank passes, no join ---
+    # pass 1: #reads with start < target.stop — probes (kind 0) sort
+    # BEFORE read events at equal pos, so the running sum a probe
+    # sees is the strict count
+    def _rank_pass(read_pos, probe_pos, probes_first, out):
+        ev = reads.select(
+            "id",
+            F.col(read_pos).alias("pos"),
+            F.lit(1).alias("_r"),
+            F.lit(None).cast("long").alias("o_orderkey"),
+        ).unionByName(
+            targets.select(
+                "id",
+                F.col(probe_pos).alias("pos"),
+                F.lit(0).alias("_r"),
+                "o_orderkey",
+            )
+        )
+        order = [F.col("pos")] + (
+            [F.col("_r").asc()] if probes_first else [F.col("_r").desc()]
+        )
+        w = Window.partitionBy("id").orderBy(*order)
+        return (
+            ev.withColumn(
+                "_n",
+                F.sum("_r").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .filter(F.col("_r") == 0)
+            .select("o_orderkey", F.coalesce("_n", F.lit(0)).alias(out))
+        )
+
+    n_lt = _rank_pass("start", "stop", probes_first=True, out="_nlt")
+    n_le = _rank_pass("stop", "start", probes_first=False, out="_nle")
+    counts = n_lt.join(n_le, "o_orderkey").select(
+        "o_orderkey", (F.col("_nlt") - F.col("_nle")).alias("n_reads")
     )
     return (
-        merged.groupBy("o_orderkey", "target_len")
-        .agg(
-            F.sum(F.col("cstop") - F.col("cstart"))
-            .cast("long").alias("covered"),
-            F.sum("n_merged").cast("long").alias("n_reads"),
-        )
+        covered.join(counts, "o_orderkey")
+        .join(targets.select("o_orderkey", "target_len"), "o_orderkey")
         .select(
             F.col("o_orderkey").cast("long").alias("o_orderkey"),
             F.col("target_len").cast("long").alias("target_len"),
             "covered",
-            "n_reads",
+            F.col("n_reads").cast("long").alias("n_reads"),
         )
     )
 
@@ -9001,42 +9062,65 @@ def q_target_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_TARGET_BREADTH_SQL = f"""
 WITH t AS ({_ORDER_IVALS_SQL}),
 r AS ({_LINEITEM_IVALS_SQL}),
-ov AS (
-  -- carry the read id: BOTH window passes below must share one TOTAL
-  -- order — with only (cstart, cstop), tied reads can be permuted
-  -- differently by the two passes, and a split flag computed in one
-  -- order then prefix-summed in another double-counts islands (the
-  -- exact trap gap_merge's canonical-order materialization avoids)
-  SELECT t.o_orderkey, t.stop - t.start AS target_len,
-    r.l_orderkey, r.l_linenumber,
-    greatest(t.start, r.start) AS cstart,
-    least(t.stop, r.stop) AS cstop
-  FROM t JOIN r ON t.id = r.id AND t.start < r.stop AND r.start < t.stop
-  WHERE least(t.stop, r.stop) > greatest(t.start, r.start)
-), ordered AS (
-  SELECT o_orderkey, target_len, cstart, cstop, l_orderkey, l_linenumber,
-    max(cstop) OVER (PARTITION BY o_orderkey
-                     ORDER BY cstart, cstop, l_orderkey, l_linenumber
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+-- same depth-independent form as the Spark plan: distinct read
+-- geometry -> disjoint islands (DISTINCT makes (start, stop) a total
+-- order per id, so the two island window passes cannot disagree on
+-- ties), covered = clip sums against islands, n_reads via the
+-- stacked-event rank trick (#rs<te - #re<=ts) with tie kinds pinned
+geo AS (SELECT DISTINCT id, start, stop FROM r),
+ord AS (
+  SELECT id, start, stop,
+    max(stop) OVER (PARTITION BY id ORDER BY start, stop
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       AS prev_max
-  FROM ov
-), islands AS (
-  SELECT o_orderkey, target_len, cstart, cstop,
-    sum(CASE WHEN prev_max IS NULL OR cstart > prev_max THEN 1 ELSE 0 END)
-      OVER (PARTITION BY o_orderkey
-            ORDER BY cstart, cstop, l_orderkey, l_linenumber
+  FROM geo
+), isl0 AS (
+  SELECT id, start, stop,
+    sum(CASE WHEN prev_max IS NULL OR start > prev_max THEN 1 ELSE 0 END)
+      OVER (PARTITION BY id ORDER BY start, stop
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-  FROM ordered
-), m AS (
-  SELECT o_orderkey, target_len, isl,
-    min(cstart) AS s, max(cstop) AS e, count(*) AS n
-  FROM islands GROUP BY 1, 2, 3
+  FROM ord
+), isl AS (
+  SELECT id, min(start) AS s, max(stop) AS e FROM isl0 GROUP BY id, isl
+), cov AS (
+  SELECT t.o_orderkey,
+    CAST(sum(least(t.stop, i.e) - greatest(t.start, i.s)) AS BIGINT)
+      AS covered
+  FROM t JOIN isl i ON t.id = i.id AND t.start < i.e AND i.s < t.stop
+  GROUP BY 1
+), ev1 AS (
+  SELECT id, start AS pos, 1 AS rr, NULL AS o_orderkey FROM r
+  UNION ALL
+  SELECT id, stop AS pos, 0 AS rr, o_orderkey FROM t
+), c1 AS (
+  SELECT o_orderkey, n_lt FROM (
+    SELECT o_orderkey, rr,
+      sum(rr) OVER (PARTITION BY id ORDER BY pos, rr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS n_lt
+    FROM ev1)
+  WHERE rr = 0
+), ev2 AS (
+  SELECT id, stop AS pos, 1 AS rr, NULL AS o_orderkey FROM r
+  UNION ALL
+  SELECT id, start AS pos, 0 AS rr, o_orderkey FROM t
+), c2 AS (
+  SELECT o_orderkey, n_le FROM (
+    SELECT o_orderkey, rr,
+      sum(rr) OVER (PARTITION BY id ORDER BY pos, rr DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS n_le
+    FROM ev2)
+  WHERE rr = 0
 )
-SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
-  CAST(target_len AS BIGINT) AS target_len,
-  CAST(sum(e - s) AS BIGINT) AS covered,
-  CAST(sum(n) AS BIGINT) AS n_reads
-FROM m GROUP BY 1, 2
+SELECT CAST(cov.o_orderkey AS BIGINT) AS o_orderkey,
+  CAST(t.stop - t.start AS BIGINT) AS target_len,
+  cov.covered,
+  CAST(c1.n_lt - c2.n_le AS BIGINT) AS n_reads
+FROM cov
+JOIN c1 ON cov.o_orderkey = c1.o_orderkey
+JOIN c2 ON cov.o_orderkey = c2.o_orderkey
+JOIN t ON cov.o_orderkey = t.o_orderkey
 """
 
 
@@ -12115,34 +12199,15 @@ def q_kcore_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join + partial-agg degree count on the shrinking edge set —
     the Spark loop localCheckpoints every other round to cut
     lineage."""
+    from pygr_spark.operators.graphs import kcore_peel
+
     # shared frequent-pair build (same graph as ktruss_edges; the
     # basket cap / min-count knobs live in ONE place)
     pairs = _truss_pairs(spark, sf_dir).select("u", "v")
-    edges = pairs.union(
+    both = pairs.union(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    for r in range(_KCORE_ROUNDS):
-        # deg is consumed three times per round (early-exit probe +
-        # both join legs of keep) — checkpoint the tiny per-node
-        # table once instead of re-running the shuffle 3x
-        deg = (
-            edges.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .localCheckpoint(eager=True)
-        )
-        # early exit when a round removes nothing: the remaining
-        # rounds are no-ops, so the result is IDENTICAL to the full
-        # R-round unroll the oracle runs — this just skips their
-        # fixed job overhead (rounds don't shrink with data size)
-        if deg.filter(F.col("d") < _KCORE_K).isEmpty():
-            break
-        keep = deg.filter(F.col("d") >= _KCORE_K).select("u")
-        edges = (
-            edges.join(keep, "u")
-            .join(keep.withColumnRenamed("u", "v"), "v")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
+    )
+    edges = kcore_peel(both, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
     return (
         edges.groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
@@ -13217,51 +13282,11 @@ def q_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges with their in-truss support. Scale shape: each round is two
     self-equi-joins + one partial agg on the shrinking frequent-pair
     edge set."""
-    def edge_support(edges: DataFrame) -> DataFrame:
-        """Per-edge triangle support on the u<v oriented edge set:
-        wedge (a,b)+(b,c) joined against the closing edge (a,c), each
-        triangle credited to its three edges. Legs carry unique
-        column names (self-join of the same frame)."""
-        e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
-        e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
-        tri = (
-            e1.join(e2, F.col("b") == F.col("b2"))
-            .join(
-                e3,
-                (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
-            )
-            .select("a", "b", "c")
-        )
-        return (
-            tri.select(F.expr("stack(3, a, b, b, c, a, c) AS (u, v)"))
-            .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).cast("long").alias("support"))
-        )
+    from pygr_spark.operators.graphs import ktruss_peel
 
-    edges = _truss_pairs(spark, sf_dir).select("u", "v").localCheckpoint(
-        eager=True
-    )
-    t = _KTRUSS_K - 2
-    n_edges = edges.count()
-    for _ in range(_KTRUSS_ROUNDS):
-        # checkpoint BEFORE counting: the triangle-support subtree is
-        # the round's dominant cost and would otherwise run twice
-        # (once for the count action, once for the next round)
-        kept = (
-            edges.join(edge_support(edges), ["u", "v"])
-            .filter(F.col("support") >= t)
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-        n_kept = kept.count()
-        edges = kept
-        if n_kept == n_edges:
-            break
-        n_edges = n_kept
+    edges = _truss_pairs(spark, sf_dir).select("u", "v")
     return (
-        edges.join(edge_support(edges), ["u", "v"])
-        .filter(F.col("support") >= t)
+        ktruss_peel(edges, k=_KTRUSS_K, max_rounds=_KTRUSS_ROUNDS)
         .select(
             F.col("u").cast("long").alias("u"),
             F.col("v").cast("long").alias("v"),
