@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from pyspark.sql import functions as F
@@ -202,6 +203,15 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return dt
 
 
+_T0 = time.perf_counter()
+
+
+def _mark(msg: str) -> None:
+    """Phase progress to stderr (stdout stays the one JSON line) —
+    makes a slow run diagnosable from the log instead of opaque."""
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -212,16 +222,19 @@ def main() -> None:
     times: dict[str, float] = {}
     times2: dict[str, float] = {}
     times3: dict[str, float] = {}
-    for _ in range(RUNS_PER_QUERY):
+    for p in range(RUNS_PER_QUERY):
         for name in HEADLINE:
             dt = run_query(spark, name, sf_dir)
             times[name] = round(min(times.get(name, dt), dt), 4)
+        _mark(f"tier1 pass {p + 1}/{RUNS_PER_QUERY} done")
         for name in HEADLINE2:
             dt = run_query(spark, name, sf_dir)
             times2[name] = round(min(times2.get(name, dt), dt), 4)
+        _mark(f"tier2 pass {p + 1}/{RUNS_PER_QUERY} done")
         for name in HEADLINE3:
             dt = run_query(spark, name, sf_dir)
             times3[name] = round(min(times3.get(name, dt), dt), 4)
+        _mark(f"tier3 pass {p + 1}/{RUNS_PER_QUERY} done")
     total = round(sum(times.values()), 4)
     total2 = round(sum(times2.values()), 4)
     total3 = round(sum(times3.values()), 4)
@@ -231,7 +244,9 @@ def main() -> None:
     # sides hours apart made round-4's ratio an artifact of WHEN each
     # ran). One pass, sequential after the Spark passes.
     oracle_total = _oracle_pass(sf_dir, HEADLINE)
+    _mark("tier1 oracle pass done")
     oracle_total2 = _oracle_pass(sf_dir, HEADLINE2)
+    _mark("tier2 oracle pass done")
     out = {
         "metric": "catalog_total_runtime",
         "value": total,
@@ -247,6 +262,7 @@ def main() -> None:
         out["tier2"]["oracle_total"] = round(oracle_total2, 4)
         out["tier2"]["ratio"] = round(total2 / oracle_total2, 4)
     oracle_total3 = _oracle_pass(sf_dir, HEADLINE3)
+    _mark("tier3 oracle pass done")
     out["tier3"] = {
         "value": total3,
         "queries": times3,
@@ -274,12 +290,27 @@ def main() -> None:
     if want_16x:
         dir16 = _ensure_16x(sf_dir)
         if dir16:
+            # fresh session for the 16x passes: ~50 queries of eager
+            # localCheckpoints ratchet the block manager / JVM old
+            # gen across the sf0.1 passes (ContextCleaner frees
+            # blocks only after a driver GC), and the 16x passes
+            # measured ~3x slower inside the aged session than in a
+            # fresh one — restart resets that state so the gate
+            # measures plan cost, not session age.
+            spark.stop()
+            spark = get_spark("pygr_spark_bench_16x")
+            spark.read.parquet(
+                os.path.join(dir16, "region.parquet")
+            ).count()
+            _mark("16x session up")
             for tier_key, names in (("tier2", HEADLINE2), ("tier3", HEADLINE3)):
                 times16: dict[str, float] = {}
                 for name in names:
                     times16[name] = round(run_query(spark, name, dir16), 4)
                 total16 = round(sum(times16.values()), 4)
+                _mark(f"{tier_key} 16x spark pass done")
                 oracle16 = _oracle_pass(dir16, names)
+                _mark(f"{tier_key} 16x oracle pass done")
                 out[tier_key]["x16"] = {"value": total16, "queries": times16}
                 if oracle16 is not None:
                     out[tier_key]["x16"]["oracle_total"] = round(oracle16, 4)

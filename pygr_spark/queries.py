@@ -11694,76 +11694,19 @@ def q_reciprocal_best_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     B (the rest), take each side's cosine best hit in the other, and
     keep only mutual pairs. Cosine uses the catalog's quantized
     exact-integer dot products (SCALE=1e6) so ranking is
-    cross-engine deterministic; ties break by id. Scale shape: the
-    A→B argmax is an Arrow matmul that collects ONLY the small A
-    side; the B→A argmax broadcasts quantized A and scores B
-    distributively (one window per b) — the large side never touches
-    the driver. Cost is |B|·|A| with |A| ~ 10%; the IVF/LSH entries
-    are the sublinear path when both sides are large."""
-    from pygr_spark.operators.similarity import cosine_topk_vectorized
+    cross-engine deterministic; ties break by id. Scale shape: ONE
+    streamed Arrow-matmul pass over the large B side against the
+    collected id-sorted A matrix computes BOTH legs' argmaxes without
+    ever shuffling the |A|x|B| pair set as rows (see
+    similarity.rbh_exact) — the quadratic is matmul flops, the
+    documented cost of EXACT RBH; the rbh_candidates / IVF / LSH
+    entries are the sublinear path when both sides are large."""
+    from pygr_spark.operators.similarity import rbh_exact
 
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    a = emb.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    a = emb.filter(F.col("vec_id") % 10 == 0)
     b = emb.filter(F.col("vec_id") % 10 != 0)
-    # best hit of each A in B (Arrow matmul streams over B, collects A)
-    ab = cosine_topk_vectorized(b, a, k=1).select(
-        F.col("query_id").alias("a_id"),
-        F.col("vec_id").alias("b_id"),
-        F.col("cos_sim").alias("sim"),
-    )
-    # best hit of each B in A: B is the LARGE side, so it must NOT go
-    # through the query-collect kernel — instead broadcast the small
-    # quantized A table and score B x A distributively with the same
-    # exact-integer dot expression, then argmax per b with a window
-    def quantized(df: DataFrame, out_id: str) -> DataFrame:
-        return df.select(
-            F.col("vec_id").alias(out_id),
-            F.expr(
-                "transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)"
-                " * 1000000) AS BIGINT))"
-            ).alias(f"q_{out_id}"),
-        ).withColumn(
-            f"nn_{out_id}",
-            F.expr(
-                f"aggregate(transform(q_{out_id}, x -> x * x),"
-                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-            ),
-        )
-
-    qa = quantized(emb.filter(F.col("vec_id") % 10 == 0), "a_id2")
-    qb = quantized(b, "b_id2")
-    pair_sim = qb.join(F.broadcast(qa)).select(
-        "a_id2",
-        "b_id2",
-        F.expr(
-            "aggregate(zip_with(q_a_id2, q_b_id2, (x, y) -> x * y),"
-            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-            " / (sqrt(CAST(nn_a_id2 AS DOUBLE))"
-            "    * sqrt(CAST(nn_b_id2 AS DOUBLE)))"
-        ).alias("sim_ba"),
-    )
-    w_ba = Window.partitionBy("b_id2").orderBy(
-        F.col("sim_ba").desc(), F.col("a_id2")
-    )
-    ba = (
-        pair_sim.withColumn("rk", F.row_number().over(w_ba))
-        .filter(F.col("rk") == 1)
-        .select("a_id2", "b_id2")
-    )
-    return (
-        ab.join(
-            ba,
-            (F.col("a_id") == F.col("a_id2"))
-            & (F.col("b_id") == F.col("b_id2")),
-        )
-        .select(
-            F.col("a_id").cast("long").alias("a_id"),
-            F.col("b_id").cast("long").alias("b_id"),
-            F.round("sim", 6).alias("cos_sim"),
-        )
-    )
+    return rbh_exact(a, b)
 
 
 Q_RECIPROCAL_BEST_HITS_SQL = """
@@ -13650,17 +13593,22 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_ASSOC_RULES_SQL = """
 WITH basket AS (
   SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
-), sized AS (
+-- MATERIALIZED is load-bearing for the support CTEs: with them
+-- inlined, the planner re-plans the final 3-join + 1-row CROSS JOIN
+-- over the expanded tree and picks a catastrophic order at scale
+-- (measured >120s at 16x vs 5s materialized; same trap family as
+-- the kcore CTE chain)
+), sized AS MATERIALIZED (
   SELECT bk, item FROM (
     SELECT bk, item, count(*) OVER (PARTITION BY bk) AS bsz FROM basket)
   WHERE bsz <= 50
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.item AS u, b.item AS v, CAST(count(*) AS BIGINT) AS pc
   FROM sized a JOIN sized b ON a.bk = b.bk AND a.item < b.item
   GROUP BY 1, 2 HAVING count(*) >= 2
-), item_counts AS (
+), item_counts AS MATERIALIZED (
   SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM sized GROUP BY 1
-), nb AS (
+), nb AS MATERIALIZED (
   SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM sized
 ), dirrules AS (
   SELECT u AS ante, v AS cons, pc FROM pairs
