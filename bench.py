@@ -299,10 +299,21 @@ def main() -> None:
             # measures plan cost, not session age.
             spark.stop()
             spark = get_spark("pygr_spark_bench_16x")
-            spark.read.parquet(
-                os.path.join(dir16, "region.parquet")
-            ).count()
-            _mark("16x session up")
+            # page-cache + codegen warmup over every 16x table (the
+            # sf0.1 tiers get this implicitly from their first
+            # interleaved pass; the 16x tiers run once, so without
+            # this the gate measures cold parquet IO, not plan cost —
+            # the DuckDB oracle pass runs AFTER Spark and would read
+            # warm pages, skewing the ratio against Spark)
+            for t in (
+                "region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "documents",
+                "embeddings",
+            ):
+                p = os.path.join(dir16, f"{t}.parquet")
+                if os.path.exists(p):
+                    spark.read.parquet(p).count()
+            _mark("16x session up (tables warmed)")
             for tier_key, names in (("tier2", HEADLINE2), ("tier3", HEADLINE3)):
                 times16: dict[str, float] = {}
                 for name in names:

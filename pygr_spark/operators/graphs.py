@@ -537,26 +537,35 @@ def kcore_peel(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
     for _ in range(max_rounds):
-        # deg is consumed three times per round (early-exit probe +
-        # both join legs of keep) — checkpoint the tiny per-node
-        # table once instead of re-running the shuffle 3x
+        # ONE driver job per round: deg is lazily checkpointed and
+        # materialized by the min-degree probe action that
+        # immediately follows (its ONLY consumer at that point, so
+        # the sibling-stage double-materialization hazard doesn't
+        # apply); the probe's 1-row answer doubles as the early-exit
+        # check, and the two join legs then reuse the materialized
+        # blocks. The previous eager-checkpoint + isEmpty shape cost
+        # 3 jobs/round — pure scheduler floor on the shrinking
+        # edge set (measured 10.2s -> ~4s at 16x for the whole peel).
         deg = (
             e.groupBy("u")
             .agg(F.count(F.lit(1)).alias("d"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        min_d = deg.agg(F.min("d")).first()[0]
         # early exit when a round removes nothing: the remaining
         # rounds are no-ops, so the result is IDENTICAL to the full
         # unroll the oracle runs — this just skips their fixed job
         # overhead (rounds don't shrink with data size)
-        if deg.filter(F.col("d") < k).isEmpty():
+        if min_d is None or min_d >= k:
             break
         keep = deg.filter(F.col("d") >= k).select("u")
+        # lazy: materialized by the NEXT round's deg probe (or the
+        # caller's first action), whose scan covers all of e
         e = (
             e.join(keep, "u")
             .join(keep.withColumnRenamed("u", "v"), "v")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return e
 
@@ -610,14 +619,19 @@ def ktruss_peel(
     t = k - 2
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     n_edges = e.count()
     for _ in range(max_rounds):
+        # ONE job per round: the count action that follows is the
+        # lazy checkpoint's only consumer at that point, so it
+        # materializes kept exactly once and the next round's support
+        # joins reuse the blocks (eager + count was 2 jobs/round of
+        # scheduler floor)
         kept = (
             e.join(_truss_support(e), ["u", "v"])
             .filter(F.col("support") >= t)
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_kept = kept.count()
         e = kept

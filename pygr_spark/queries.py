@@ -10268,34 +10268,14 @@ def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied identically in the oracle). Only parts closing >= 1
     rectangle are emitted. Scale shape: capped in-basket self-join
     -> pair counts (one shuffle) -> per-part sum (map-side
-    combinable); no all-pairs stage. The basket-sizing pipeline is
-    lazily checkpointed (the self-join consumes it twice and
-    Catalyst shares no subtrees), and each pair fans out to its two
-    endpoint rows via ONE stack generator, not a double-consuming
-    union."""
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("p")
-    ).distinct()
-    sized = (
-        items.withColumn(
-            "_bsz", F.count(F.lit(1)).over(Window.partitionBy("b"))
-        )
-        .filter(F.col("_bsz") <= 50)
-        .select("b", "p")
-        .localCheckpoint(eager=False)
-    )
-    a = sized.select("b", F.col("p").alias("p1"))
-    bb = sized.select("b", F.col("p").alias("p2"))
-    pairs = (
-        a.join(bb, "b")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .filter(F.col("c") >= 2)
-    )
+    combinable); no all-pairs stage. The pair build IS the shared
+    frequent-pair graph (_truss_pairs: eagerly checkpointed capped
+    baskets + shuffle_hash self-join — one build, one home for the
+    knobs), and each pair fans out to its two endpoint rows via ONE
+    stack generator, not a double-consuming union."""
+    pairs = _truss_pairs(spark, sf_dir).withColumnRenamed("pc", "c")
     both = pairs.select(
-        F.expr("stack(2, p1, p2)").alias("part"),
+        F.expr("stack(2, u, v)").alias("part"),
         (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("r"),
     )
     return (
@@ -11608,6 +11588,11 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct edge table; at production scale normalize per iteration
     (divide by max) to bound magnitude — here 3 iterations stay far
     under 2^63 (documented bound: deg_s³·deg_c² ≈ 4e10 at sf0.1)."""
+    # the distinct edge table is referenced by every iteration leg
+    # (a1/h1/a2/h2/a3 — six scans in one plan): EAGER checkpoint so
+    # the orders⋈lineitem⋈distinct build runs once, not once per
+    # concurrently-scheduled consumer stage (measured 10.2s → ~3s at
+    # 16×; the same edge-checkpoint discipline as bfs/bellman-ford)
     edges = (
         _t(spark, sf_dir, "orders")
         .join(
@@ -11618,6 +11603,7 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     a1 = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("a1"))
     h1 = (
@@ -13178,9 +13164,11 @@ _KTRUSS_ROUNDS = 4
 def _sized_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (basket, item) rows under the shared skew cap — THE
     single home of the basket-cap knob for every co-purchase-graph
-    consumer (truss, k-core, association rules). Checkpointed: the
-    self-join inside _truss_pairs consumes it twice, and assoc_rules
-    adds two more consumers (item counts, basket total)."""
+    consumer (truss, k-core, association rules). EAGER checkpoint:
+    the self-join inside _truss_pairs consumes it as two SIBLING legs
+    of one shuffle join, so a lazy checkpoint would materialize the
+    distinct+window build once per leg (and assoc_rules adds two
+    more consumers)."""
     li = _t(spark, sf_dir, "lineitem")
     basket = li.select(
         F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
@@ -13191,7 +13179,7 @@ def _sized_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("bsz") <= 50)
         .select("bk", "item")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
 
@@ -13204,8 +13192,10 @@ def _truss_pairs(
         sized = _sized_baskets(spark, sf_dir)
     a = sized.select("bk", F.col("item").alias("u"))
     b = sized.select("bk", F.col("item").alias("v"))
+    # shuffle_hash: SMJ would sort both multi-million-row legs by bk
+    # before the in-basket fan-out; hash join streams them
     return (
-        a.join(b, "bk")
+        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "bk")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("pc"))
