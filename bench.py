@@ -315,11 +315,22 @@ def main() -> None:
                     spark.read.parquet(p).count()
             _mark("16x session up (tables warmed)")
             for tier_key, names in (("tier2", HEADLINE2), ("tier3", HEADLINE3)):
+                # same min-over-interleaved-passes protocol as the
+                # sf0.1 tiers (this machine shows multi-x bursty
+                # interference; a single cold pass records the burst,
+                # not the plan)
                 times16: dict[str, float] = {}
-                for name in names:
-                    times16[name] = round(run_query(spark, name, dir16), 4)
+                for p16 in range(RUNS_PER_QUERY):
+                    for name in names:
+                        dt = run_query(spark, name, dir16)
+                        times16[name] = round(
+                            min(times16.get(name, dt), dt), 4
+                        )
+                    _mark(
+                        f"{tier_key} 16x spark pass "
+                        f"{p16 + 1}/{RUNS_PER_QUERY} done"
+                    )
                 total16 = round(sum(times16.values()), 4)
-                _mark(f"{tier_key} 16x spark pass done")
                 oracle16 = _oracle_pass(dir16, names)
                 _mark(f"{tier_key} 16x oracle pass done")
                 out[tier_key]["x16"] = {"value": total16, "queries": times16}
