@@ -339,7 +339,52 @@ def main() -> None:
                     out[tier_key]["x16"]["ratio"] = round(
                         total16 / oracle16, 4
                     )
+    # Full per-query detail: first stdout line + a file next to the
+    # repo (the driver keeps only a ~2 KB tail of stdout, so the giant
+    # line must NOT be last — BENCH_r06/r07 recorded `parsed: null`
+    # because it was).
     print(json.dumps(out))
+    try:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
+        with open(full_path, "w") as fh:
+            json.dump(out, fh)
+    except OSError:
+        pass
+    # COMPACT summary as the FINAL stdout line (~250 bytes): the tier
+    # ratios without per-query maps, so the driver's tail capture
+    # always contains one parseable JSON object with the gate numbers.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": {},
+        "detail": "line 1 above / BENCH_FULL.json",
+    }
+    if "ratio" in out:
+        compact["tier1"] = {
+            "spark_s": out["value"],
+            "oracle_s": out["oracle_total"],
+            "ratio": out["ratio"],
+        }
+    for tk in ("tier2", "tier3"):
+        tier = out.get(tk, {})
+        if "ratio" in tier:
+            compact[tk] = {
+                "spark_s": tier["value"],
+                "oracle_s": tier["oracle_total"],
+                "ratio": tier["ratio"],
+            }
+        x16 = tier.get("x16", {})
+        if "ratio" in x16:
+            compact[tk + "_16x"] = {
+                "spark_s": x16["value"],
+                "oracle_s": x16["oracle_total"],
+                "ratio": x16["ratio"],
+            }
+    print(json.dumps(compact))
 
 
 def _ensure_16x(sf_dir: str) -> str | None:
@@ -357,12 +402,19 @@ def _ensure_16x(sf_dir: str) -> str | None:
     )
     try:
         subprocess.run(
-            ["python", script, "16", sf_dir, dir16],
+            [sys.executable, script, "16", sf_dir, dir16],
             check=True,
             capture_output=True,
             timeout=1800,
         )
-    except Exception:
+    except subprocess.CalledProcessError as e:
+        _mark(
+            "16x build FAILED (gate skipped): "
+            + (e.stderr or b"").decode("utf-8", "replace")[-500:]
+        )
+        return None
+    except Exception as e:  # timeout, missing script, ...
+        _mark(f"16x build FAILED (gate skipped): {e!r}")
         return None
     return dir16
 
