@@ -10747,10 +10747,15 @@ def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygr_spark.operators.dedup import shingle_rows
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingle_rows(docs, "doc_id", "text", 5).localCheckpoint(eager=False)
+    # EAGER: the self-join's two legs and the size agg are three
+    # sibling consumers of one job — a lazy checkpoint materializes
+    # the shingle build once per concurrently-scheduled consumer
+    sh = shingle_rows(docs, "doc_id", "text", 5).localCheckpoint(eager=True)
     pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "_s")
+        # shuffle_hash: SMJ would sort the multi-million-row shingle
+        # legs by their ~5-word string key; hash join streams them
+        sh.alias("a").hint("shuffle_hash")
+        .join(sh.alias("b").hint("shuffle_hash"), "_s")
         .filter(F.col("a._id") < F.col("b._id"))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
@@ -10954,6 +10959,11 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s",
         )
         .select("doc_id", F.expr("substring(s, p, 8)").alias("g"))
+        # ONE exchange for the whole plan: hash-partitioning on g
+        # satisfies the (doc_id, g) clustering the distinct needs AND
+        # the per-gram window below, so neither inserts its own
+        # 15M-row shuffle (two big exchanges -> one at 16x)
+        .repartition("g")
         .distinct()
     )
     wg = Window.partitionBy("g")
@@ -11609,24 +11619,33 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # each iteration leg joins the EDGE table against a per-node
+    # aggregate that is orders of magnitude smaller (|suppliers| or
+    # |customers| rows): BROADCAST the aggregate side, so edges are
+    # never shuffled after the checkpoint — each leg is one in-memory
+    # edge scan + map-side partial agg + a node-sized exchange
+    # (instead of two edge-sized shuffles per leg). At cluster scale
+    # the node vectors of a power iteration are exactly the
+    # broadcast-able side; a graph whose NODE table outgrows
+    # broadcast wants the pregel-style co-partitioned form instead.
     a1 = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("a1"))
     h1 = (
-        edges.join(a1, "s")
+        edges.join(F.broadcast(a1), "s")
         .groupBy("c")
         .agg(F.sum("a1").cast("long").alias("h1"))
     )
     a2 = (
-        edges.join(h1, "c")
+        edges.join(F.broadcast(h1), "c")
         .groupBy("s")
         .agg(F.sum("h1").cast("long").alias("a2"))
     )
     h2 = (
-        edges.join(a2, "s")
+        edges.join(F.broadcast(a2), "s")
         .groupBy("c")
         .agg(F.sum("a2").cast("long").alias("h2"))
     )
     a3 = (
-        edges.join(h2, "c")
+        edges.join(F.broadcast(h2), "c")
         .groupBy("s")
         .agg(F.sum("h2").cast("long").alias("a3"))
     )
@@ -11635,7 +11654,7 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpartitioned row_number window would sort ALL suppliers in one
     # task
     return (
-        a3.join(a1, "s")
+        a3.join(F.broadcast(a1), "s")
         .orderBy(F.col("a3").desc(), F.col("s"))
         .limit(20)
         .coalesce(1)
@@ -13124,29 +13143,19 @@ def _sized_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct+window build once per leg (and assoc_rules adds two
     more consumers)."""
     li = _t(spark, sf_dir, "lineitem")
-    # the cap is applied as a partial-agg size count + semi-join, not
-    # a count window: the window re-shuffles AND SORTS the whole
-    # distinct row set by bk, while the agg shrinks map-side to one
-    # row per basket and the hash semi-join never sorts (measured
-    # 2.6s -> 1.0s warm at 16x on the build). basket is checkpointed
-    # first because the size agg and the semi-join probe are sibling
-    # consumers of it.
-    basket = (
-        li.select(
-            F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    small = (
-        basket.groupBy("bk")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") <= 50)
-        .select("bk")
-    )
+    # dedup + size-cap in ONE exchange: collect_set(item) per basket
+    # (partial ObjectHashAggregate combines map-side), filter on set
+    # size, explode back. This replaces the round-7 distinct +
+    # checkpoint + size-agg + semi-join pipeline — 3 shuffles and 2
+    # eager materializations — with one shuffle and one checkpoint;
+    # it was the small-scale constant behind the r7 sf0.1 regression
+    # on ktruss/assoc (cap semantics unchanged: same ≤50 distinct
+    # items per basket the oracle applies).
     return (
-        basket.hint("shuffle_hash")
-        .join(small.hint("shuffle_hash"), "bk", "left_semi")
+        li.groupBy(F.col("l_orderkey").alias("bk"))
+        .agg(F.collect_set("l_partkey").alias("_items"))
+        .filter(F.size("_items") <= 50)
+        .select("bk", F.explode("_items").alias("item"))
         .localCheckpoint(eager=True)
     )
 
