@@ -821,9 +821,13 @@ def rbh_lsh(
     )
     w_ab = Window.partitionBy("a_id").orderBy(F.col("sim").desc(), "b_id")
     w_ba = Window.partitionBy("b_id").orderBy(F.col("sim").desc(), "a_id")
+    # b-side window FIRST: the scoring join on b_id leaves the pair
+    # set hash-partitioned by b_id, so w_ba inserts only a sort while
+    # w_ab pays the one remaining exchange (evaluating w_ab first
+    # would shuffle the pair set twice)
     return (
-        scored.withColumn("rk_ab", F.row_number().over(w_ab))
-        .withColumn("rk_ba", F.row_number().over(w_ba))
+        scored.withColumn("rk_ba", F.row_number().over(w_ba))
+        .withColumn("rk_ab", F.row_number().over(w_ab))
         .filter((F.col("rk_ab") == 1) & (F.col("rk_ba") == 1))
         .select(
             F.col("a_id").cast("long").alias("a_id"),
