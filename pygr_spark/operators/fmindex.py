@@ -339,12 +339,11 @@ def suffix_ranks(
         )
         off *= 2
         k += 1
-        if checkpoint:
-            # probe EVERY round: a doubling round is two 5M-row window
-            # passes (~1.5s at 16x) while the probe is one tiny
-            # aggregate over the just-materialized state (~0.3s) — on
-            # low-repetition text that converges at an odd round the
-            # old every-2nd-round probe paid a full wasted round
+        # probe every SECOND round: the bench corpus converges at
+        # off=16 (an even round), so per-round probing just adds a
+        # checkpoint + count job per round (measured +1.5s at 16x on
+        # suffix_array/lcp_array) without ever saving a round
+        if checkpoint and (k % 2 == 0 or off >= max_len):
             cur = cur.localCheckpoint(eager=True)
             if _converged(cur):
                 break

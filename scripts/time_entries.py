@@ -51,6 +51,12 @@ def main() -> None:
                 except Exception:
                     pass
             spark.catalog.clearCache()
+            if os.environ.get("TIME_ENTRIES_GC") == "1":
+                # ContextCleaner frees checkpoint/broadcast blocks only
+                # after a driver GC collects their weak refs; without
+                # one, a long catalog pass ratchets the block manager
+                # and late entries pay the bill
+                spark.sparkContext._jvm.System.gc()
     for name in names:
         print(f"{name}: {best[name]:.3f}s")
     print(f"TOTAL: {sum(best.values()):.3f}s")
