@@ -14,6 +14,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pygr_spark.queries import ORACLES, QUERIES
 
+#: Catalog entries with no driver CORRECTNESS record through round 7
+#: (the driver samples ~50/round; the judge's full 233-entry sweeps
+#: cover these, but they are listed FIRST so any driver sampling
+#: order derived from this dict reaches them before the long-green
+#: rest — judge r7 item #7).
+_NEVER_DRIVER_SAMPLED = [
+    "coverage_indelcut", "media_real_decode", "split_prefix",
+    "interval_algebra", "chunked_slice", "grouping_sets", "token_topk",
+    "asof_join", "value_percentiles", "salted_join", "stream_dedup",
+    "clean_corpus", "pack_documents", "full_outer_balance",
+    "slice_edges", "lsh_ann_multiprobe", "hash_sample",
+    "jdbc_roundtrip", "catalog_restart", "dedup_clusters",
+    "stream_join", "tfidf_terms", "keyword_search", "vocab_coverage",
+    "closest_interval", "catalog_path", "overlap_reciprocal",
+    "stream_gap_merge", "minhash_near_dups", "simhash_near_dups",
+    "lsh_ann", "ivf_ann", "approx_aggs", "stream_sessions",
+    "pagerank", "connected_components", "decontaminate", "chunk_dedup",
+    "repetition_stats", "train_split", "corpus_mix", "pii_scrub",
+    "bm25_search", "quantize_emb", "stream_topk", "media_frames",
+    "seed_homology", "liftover", "seq_n50", "interval_subtract",
+    "countmin_topk", "event_funnel", "graph_bfs", "bucketed_join",
+    "lm_surprise", "coverage_hist",
+]
+
+
+def _reordered(mapping):
+    out = {k: mapping[k] for k in _NEVER_DRIVER_SAMPLED if k in mapping}
+    out.update((k, v) for k, v in mapping.items() if k not in out)
+    return out
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: interval overlap join (J1, binned) on sf0.001."""
@@ -21,8 +51,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _reordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return _reordered(ORACLES)
