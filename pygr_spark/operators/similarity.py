@@ -144,6 +144,10 @@ def cosine_topk_vectorized(
     import pandas as pd
 
     q_rows = queries.select(query_id, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank long"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np_quantize([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype(np.float64))
