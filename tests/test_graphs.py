@@ -109,3 +109,26 @@ def test_bfs_levels_max_depth_truncates(spark):
     srcs = spark.createDataFrame([(0,)], ["node"])
     got = {r.node: r.level for r in bfs_levels(chain, srcs, max_depth=3).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_pagerank_exact_broadcast_knob_parity(spark):
+    """broadcast_ranks=True (the cluster shape: node vector broadcast,
+    edges never re-shuffled) must be bit-identical to the default
+    shuffle form — the arithmetic is order-independent integer math,
+    so only the exchange strategy may differ."""
+    from pygr_spark.operators.graphs import pagerank_exact
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(12) for b in range(12)
+         if a != b and (a * 7 + b) % 3 == 0],
+        "src long, dst long",
+    )
+    base = {
+        (r.node, r.rank)
+        for r in pagerank_exact(edges, n_iter=4).collect()
+    }
+    bc = {
+        (r.node, r.rank)
+        for r in pagerank_exact(edges, n_iter=4, broadcast_ranks=True).collect()
+    }
+    assert base == bc and base
