@@ -1041,18 +1041,21 @@ def rbh_exact(
 
     from pyspark.sql import types as T
 
-    a_rows = a.select(id_col, vec_col).orderBy(id_col).collect()
     # A collects to the driver and ships in every task closure — a
     # LINEAR memory term that must stay bounded (judge r7 watch item):
     # past ~2M 64-dim rows (~1 GiB dense float64) the entry would OOM
-    # the driver before the inherent quadratic flops even start.
-    if len(a_rows) > RBH_EXACT_MAX_A_ROWS:
+    # the driver before the inherent quadratic flops even start. The
+    # bound is enforced BEFORE the collect (a limit(cap+1) probe, one
+    # tiny id-only job) — checking len(collect()) after the fact
+    # would OOM during the collect it is meant to guard.
+    probe = a.select(id_col).limit(RBH_EXACT_MAX_A_ROWS + 1).count()
+    if probe > RBH_EXACT_MAX_A_ROWS:
         raise ValueError(
-            f"rbh_exact: side A has {len(a_rows)} rows > "
-            f"{RBH_EXACT_MAX_A_ROWS} (driver-collected dense matrix); "
-            "use rbh_candidates (LSH-prefiltered sublinear RBH) for "
-            "large A sides"
+            f"rbh_exact: side A exceeds {RBH_EXACT_MAX_A_ROWS} rows "
+            "(driver-collected dense matrix); use rbh_candidates "
+            "(LSH-prefiltered sublinear RBH) for large A sides"
         )
+    a_rows = a.select(id_col, vec_col).orderBy(id_col).collect()
     if not a_rows:
         return a.sparkSession.createDataFrame(
             [], "a_id long, b_id long, cos_sim double"
