@@ -126,6 +126,10 @@ HEADLINE2 = [
 #: exists so every entry's absolute wall cost stays visible, not to
 #: re-litigate the floor 18 times.
 HEADLINE3 = [
+    "q3_shipping_priority",
+    "q18_large_orders",
+    "snapshot_dedup",
+    "ccnet_buckets",
     "suffix_array",
     "rrf_fusion",
     "champion_topk",

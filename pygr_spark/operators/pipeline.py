@@ -311,3 +311,124 @@ def pii_stats(
             red = F.regexp_replace(red, pat, f"<{name.upper()}>")
         cols.append(red.alias("redacted"))
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# incremental (snapshot) dedup
+# ---------------------------------------------------------------------------
+
+
+def snapshot_dedup(
+    ref: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    chunk_tokens: int = 8,
+    bloom_bits: int = 65536,
+    bloom_k: int = 3,
+    keep_num: int = 4,
+    keep_den: int = 5,
+) -> DataFrame:
+    """Incremental fuzzy dedup of a NEW ingest batch against an
+    already-ingested REFERENCE snapshot — the steady-state shape of a
+    crawl pipeline, where every fresh dump is deduped against the
+    accumulated corpus rather than re-clustering everything
+    (reference parity: pygr's incremental resource updates,
+    metabase.py; the chunk unit follows chunk_dedup above).
+
+    Every document is split into ``chunk_tokens``-token chunks; a new
+    document is KEPT iff strictly less than ``keep_num/keep_den`` of
+    its distinct chunks already occur anywhere in the snapshot.
+    Returns ``(id_col, n_chunks, n_seen, kept)`` — exact longs, one
+    row per new-batch document.
+
+    Scale shape (the whole point at 100 TB, where the snapshot dwarfs
+    every batch): the snapshot's distinct-chunk set is touched by ONE
+    distinct and ONE semi-join; the new batch is pre-pruned by a
+    broadcast Bloom filter (``bloom_k`` md5-portable bit positions in
+    an m=``bloom_bits`` table built over snapshot chunks, the
+    bloom_prune pattern) so only bloom-POSITIVE chunks — true
+    duplicates plus the bounded false-positive mass of roughly
+    n*fill^k — reach the exact confirm join. Bloom filters have no
+    false negatives under a deterministic hash, so the prefilter
+    cannot change the answer, only the shuffled volume; the
+    definitely-novel majority of a typical batch never shuffles at
+    all. Size ``bloom_bits`` proportional to the snapshot chunk count
+    to hold the fill rate (the same sizing note as bloom_prune).
+    """
+
+    # chunking is a pure MAP: slice the per-doc token array into
+    # chunk_tokens-sized windows with array higher-order functions —
+    # no posexplode/regroup shuffle anywhere in the chunk build (the
+    # per-doc distinct chunk set is array_distinct, also map-side).
+    # Documents must have non-empty text (callers filter; an empty
+    # token array would yield one empty-string chunk here).
+    chunk_arr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, (size(_t) - 1) DIV {chunk_tokens}),"
+            f" i -> array_join(slice(_t, i * {chunk_tokens} + 1,"
+            f" {chunk_tokens}), ' '))"
+        )
+    )
+    tagged = ref.select(
+        F.col(id_col).alias("_id"), F.col(text).alias("_tx"), F.lit(0).alias("_side")
+    ).unionByName(
+        new.select(
+            F.col(id_col).alias("_id"),
+            F.col(text).alias("_tx"),
+            F.lit(1).alias("_side"),
+        )
+    )
+    base = tagged.select(
+        "_id",
+        "_side",
+        F.split(F.trim(F.lower(F.col("_tx"))), r"\s+").alias("_t"),
+    ).select("_id", "_side", chunk_arr.alias("_ca"))
+    base = base.localCheckpoint(eager=False)  # feeds index, probe, denominator
+    # feeds the bloom build AND the exact confirm join; the distinct
+    # is the build's ONE shuffle over snapshot chunks
+    ref_set = (
+        base.filter(F.col("_side") == 0)
+        .select(F.explode("_ca").alias("_chunk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # per-doc distinct already guaranteed by array_distinct — the
+    # explode is shuffle-free
+    new_chunks = base.filter(F.col("_side") == 1).select(
+        "_id", F.explode("_ca").alias("_chunk")
+    )
+
+    ks = F.explode(F.array(*[F.lit(j) for j in range(bloom_k)])).alias("_j")
+    bit = F.pmod(
+        md5_hash60(F.concat_ws(",", F.col("_j").cast("string"), F.col("_chunk"))),
+        F.lit(bloom_bits),
+    )
+    bits = ref_set.select(ks, "_chunk").select(bit.alias("_bit")).distinct()
+    probes = new_chunks.select("_id", "_chunk", ks).withColumn("_bit", bit)
+    candidates = (
+        probes.join(F.broadcast(bits), "_bit")
+        .groupBy("_id", "_chunk")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == bloom_k)
+        .select("_id", "_chunk")
+    )
+    seen = candidates.join(ref_set, "_chunk", "left_semi")
+    # denominator straight off the per-doc chunk array — no shuffle
+    per_doc = base.filter(F.col("_side") == 1).select(
+        "_id", F.size("_ca").cast("long").alias("n_chunks")
+    )
+    seen_counts = seen.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seen")
+    )
+    return per_doc.join(seen_counts, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_chunks",
+        F.coalesce(F.col("n_seen"), F.lit(0)).cast("long").alias("n_seen"),
+        (
+            F.coalesce(F.col("n_seen"), F.lit(0)) * F.lit(keep_den)
+            < F.col("n_chunks") * F.lit(keep_num)
+        )
+        .cast("long")
+        .alias("kept"),
+    )

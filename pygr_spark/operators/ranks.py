@@ -179,3 +179,66 @@ def dist_global_rank(
         .withColumn(out, (F.col("off") + F.row_number().over(w_in)).cast("long"))
         .select(id_col, out)
     )
+
+
+def dist_grouped_rank(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    id_col: str,
+    out: str = "rank",
+) -> DataFrame:
+    """Distributed per-group row_number over the total order
+    (key_col, id_col) WITHIN each group — the partitioned sibling of
+    :func:`dist_global_rank`, for "rank every row inside its segment"
+    workloads (per-language quality terciles, per-tenant quantile
+    tiers) where one group can be far too large for the single task
+    that ``Window.partitionBy(group)`` would hand it.
+
+    Same two-pass stitch, one level deeper: range buckets on
+    ``key_col`` (data-derived, consistent across the two jobs that
+    evaluate the plan — :func:`det_range_pids`), per-(group, bucket)
+    counts collected into per-group prefix offsets, then a
+    row_number window keyed by (group, pid). The collect is
+    ≤ n_groups × n_parts rows — callers must hold the LOW-CARDINALITY
+    GROUP contract (languages, tenants, markets: dozens, not
+    millions; a high-cardinality group column needs no stitch at all,
+    because plain ``Window.partitionBy(group)`` already spreads).
+
+    ``key_col`` must be numeric and non-null (null keys: see
+    :func:`det_range_pids`, they land in bucket 0). Returns
+    ``(id_col, group_col, out)`` with ``out`` starting at 1 inside
+    every group.
+    """
+    spark = df.sparkSession
+    parts = det_range_pids(df.select(id_col, group_col, key_col), key_col)
+    totals = (
+        parts.groupBy(group_col, "pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .collect()
+    )
+    by_group: dict = {}
+    for r in totals:
+        by_group.setdefault(r[group_col], []).append((r["pid"], r["t"]))
+    offs = []
+    for g, rows in by_group.items():
+        acc = 0
+        for pid, t in sorted(rows):
+            offs.append((g, pid, acc))
+            acc += t
+    if not offs:
+        return (
+            df.select(id_col, group_col)
+            .limit(0)
+            .withColumn(out, F.lit(0).cast("long"))
+        )
+    gtype = dict(df.dtypes)[group_col]
+    off_df = spark.createDataFrame(
+        offs, f"{group_col} {gtype}, pid int, off long"
+    )
+    w_in = Window.partitionBy(group_col, "pid").orderBy(key_col, id_col)
+    return (
+        parts.join(F.broadcast(off_df), [group_col, "pid"])
+        .withColumn(out, (F.col("off") + F.row_number().over(w_in)).cast("long"))
+        .select(id_col, group_col, out)
+    )

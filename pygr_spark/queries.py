@@ -13703,7 +13703,290 @@ FROM m
 """
 
 
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the classic filter-both-sides
+    3-way join with a deterministic top-10 — the segment filter
+    reduces customers to a broadcastable key set BEFORE the join, the
+    two date predicates push into the orders/lineitem parquet scans,
+    and the final top-10 runs on the already-aggregated one-row-per-
+    order result (TakeOrderedAndProject, never a global sort of
+    lineitem). Revenue in exact cents; tie-break by orderkey.
+    Reference parity: the multi-table filtered join of
+    sqlgraph.py's joined TupleDescriptor queries."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    # reduce orders FIRST (segment semi-join + date pushdown): the
+    # doubly-filtered orders side is ~1/10 of the table, so AQE's
+    # runtime stats convert the lineitem join to broadcast and the
+    # fact table never shuffles
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr("CAST(o_orderdate AS DATE) < DATE '1998-01-01'")
+    ).join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey, "left_semi")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr("CAST(l_shipdate AS DATE) > DATE '1998-01-01'")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue_c")
+        )
+        .orderBy(F.col("revenue_c").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            "orderdate",
+            "o_orderpriority",
+            "revenue_c",
+        )
+    )
+
+
+Q_Q3_SQL = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+  o_orderpriority,
+  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+    AS BIGINT) AS revenue_c
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_c DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the agg-then-join
+    reduction — lineitem collapses to its qualifying orderkeys
+    (HAVING sum(qty) > threshold) BEFORE any wide table is touched,
+    so the expensive side of the join is the small aggregate, not
+    the 100 TB fact scan; orders then equi-joins that reduced set and
+    the customer dim broadcasts. Quantities in exact centi-units;
+    top-100 by volume with an orderkey tiebreak (the spec's LIMIT)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).cast("long").alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > 15000)
+        .orderBy(F.col("sum_qty_c").desc(), "l_orderkey")
+        .limit(100)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            cents(F.col("o_totalprice")).cast("long").alias("totalprice_c"),
+            "sum_qty_c",
+        )
+    )
+
+
+Q_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(round(l_quantity*100) AS BIGINT)) > 15000
+  ORDER BY sum_qty_c DESC, l_orderkey
+  LIMIT 100
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+  CAST(o_orderkey AS BIGINT) AS o_orderkey,
+  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+  CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c,
+  sum_qty_c
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup against an already-ingested snapshot:
+    sources src0-src13 are the accumulated reference corpus, src14+
+    the fresh ingest batch; every new document is scored by the
+    fraction of its distinct 8-token chunks already present ANYWHERE
+    in the snapshot and kept iff < 4/5 are seen. The batch side is
+    pre-pruned by a broadcast Bloom filter over snapshot chunks
+    (no false negatives, so the exact confirm semi-join sees only
+    true duplicates + the bounded false-positive mass) — the
+    steady-state crawl-pipeline shape where each dump dedups against
+    a 100 TB index without re-clustering it. Exact long outputs."""
+    from pygr_spark.operators.pipeline import snapshot_dedup
+
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    srcnum = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    return snapshot_dedup(
+        docs.filter(srcnum < 14), docs.filter(srcnum >= 14)
+    )
+
+
+Q_SNAPSHOT_DEDUP_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS srcnum,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), ch AS (
+  SELECT doc_id, srcnum,
+    unnest(list_distinct(list_transform(range(1, len(t)+1, 8),
+      i -> array_to_string(list_slice(t, i, i+7), ' ')))) AS c
+  FROM base
+), refc AS (
+  SELECT DISTINCT c FROM ch WHERE srcnum < 14
+), newc AS (
+  SELECT doc_id, c FROM ch WHERE srcnum >= 14
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN refc.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_seen,
+  CAST(CASE WHEN sum(CASE WHEN refc.c IS NOT NULL THEN 1 ELSE 0 END) * 5
+            < count(*) * 4 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM newc LEFT JOIN refc ON newc.c = refc.c
+GROUP BY doc_id
+"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: per language, documents are
+    split into head/middle/tail terciles of an exact perplexity proxy
+    — the mean global frequency RANK of a document's tokens (rank 1 =
+    the corpus's most common token; rarer vocabulary = higher score =
+    'tail'), scaled to integer permille so both engines tile on
+    identical longs. The per-language tercile is dist_grouped_rank
+    (the partitioned stitch: a 100 TB corpus can put half its
+    documents in one language, which would crush a plain
+    Window.partitionBy(lang) task) + the exact ntile formula of
+    (rank, n). The vocabulary side deliberately does NOT stitch: a
+    vocabulary is Zipf-small next to its corpus (Heaps' law), so its
+    rank is one small-table window and the rank->token join
+    BROADCASTS — which also sidesteps the hot-token skew a shuffled
+    join would hit on 'the'. Output is the 15-row (lang, bucket)
+    summary."""
+    from pygr_spark.operators.ranks import dist_grouped_rank
+
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tk"),
+    )
+    # two passes over the token stream, both collapsing map-side
+    # (partial agg leaves per-partition vocab rows / per-doc rows on
+    # the wire, never the raw 100 TB token stream) — cheaper than
+    # materializing a (doc, token) intermediate, which measured 1.8s
+    # vs 0.4 + 0.6 for the two direct aggs at 16x
+    vocab = toks.groupBy("tk").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # broadcast-sized by Heaps' law -> a one-partition window is the
+    # right rank here (stitching a table this small costs more jobs
+    # than it saves; the DOCUMENT side below is where scale lives)
+    vr = vocab.select(
+        "tk",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "tk"))
+        .cast("long")
+        .alias("vrank"),
+    )
+    scored = (
+        toks.join(F.broadcast(vr), "tk")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("vrank").cast("long").alias("sr"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("CAST((sr * 1000) DIV n_tok AS BIGINT)").alias("score"),
+        )
+    )
+    scored = scored.localCheckpoint(eager=False)  # feeds rank AND final agg
+    ranked = dist_grouped_rank(scored, "lang", "score", "doc_id", out="lr")
+    sizes = ranked.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # exact ntile(3) as a formula of (rank, n): the first n mod 3
+    # tiles carry one extra row — same semantics both engines
+    tiled = (
+        ranked.join(F.broadcast(sizes), "lang")
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CAST(CASE WHEN lr <= ((n DIV 3) + 1) * (n % 3)"
+                " THEN (lr - 1) DIV ((n DIV 3) + 1) + 1"
+                " ELSE (n % 3) + (lr - ((n DIV 3) + 1) * (n % 3) - 1)"
+                " DIV (n DIV 3) + 1 END AS BIGINT)"
+            ),
+        )
+        .select("doc_id", "lang", "bucket")
+    )
+    return (
+        tiled.join(scored, ["doc_id", "lang"])
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+    )
+
+
+Q_CCNET_BUCKETS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, lang, unnest(t) AS tk FROM base
+), vocab AS (
+  SELECT tk, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tk
+), vr AS (
+  SELECT tk, CAST(row_number() OVER (ORDER BY -cnt, tk) AS BIGINT) AS vrank
+  FROM vocab
+), doc AS (
+  SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tok,
+    CAST(sum(vr.vrank) AS BIGINT) AS sr
+  FROM tok t JOIN vr USING (tk) GROUP BY 1, 2
+), scored AS (
+  SELECT doc_id, lang, CAST((sr * 1000) // n_tok AS BIGINT) AS score FROM doc
+), tiled AS (
+  SELECT lang, score,
+    ntile(3) OVER (PARTITION BY lang ORDER BY score, doc_id) AS bucket
+  FROM scored
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(score) AS BIGINT) AS sum_score
+FROM tiled GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q18_large_orders": q_q18_large_orders,
+    "snapshot_dedup": q_snapshot_dedup,
+    "ccnet_buckets": q_ccnet_buckets,
     "spearman_corr": q_spearman_corr,
     "ppr_seeds": q_ppr_seeds,
     "rfm_segments": q_rfm_segments,
@@ -13942,6 +14225,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q3_shipping_priority": Q_Q3_SQL,
+    "q18_large_orders": Q_Q18_SQL,
+    "snapshot_dedup": Q_SNAPSHOT_DEDUP_SQL,
+    "ccnet_buckets": Q_CCNET_BUCKETS_SQL,
     "spearman_corr": Q_SPEARMAN_CORR_SQL,
     "ppr_seeds": Q_PPR_SEEDS_SQL,
     "rfm_segments": Q_RFM_SEGMENTS_SQL,

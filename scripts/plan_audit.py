@@ -101,6 +101,12 @@ EXEMPT: dict[str, dict[str, str]] = {
     "weighted_sample": {
         "bnlj": "cross with the 1-row global max-price aggregate"
     },
+    "ccnet_buckets": {
+        "global_window": "vocabulary-rank window runs over the "
+                         "distinct-token VOCAB table (Heaps-law small "
+                         "— the same plan broadcasts it), never over "
+                         "docs or the token stream",
+    },
     "lag_correlation": {
         "bnlj": "cross with the broadcast 7-row lag parameter table"
     },

@@ -5,6 +5,7 @@ fixtures with hand-computed goldens."""
 from pyspark.sql import functions as F
 
 from pygr_spark.operators.pipeline import (
+    snapshot_dedup,
     chunk_dedup,
     corpus_mix,
     decontaminate,
@@ -214,3 +215,79 @@ def test_chunk_dedup_properties_hypothesis(spark):
                 assert any(ch == o for o in it)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# snapshot_dedup
+# ---------------------------------------------------------------------------
+
+
+def _brute_snapshot(ref_rows, new_rows, chunk_tokens=8):
+    """Single-machine oracle: distinct chunks per doc; seen = chunk in
+    the snapshot's distinct chunk set; kept iff seen*5 < chunks*4."""
+
+    def chunks(text):
+        t = text.strip().lower().split()
+        return {
+            " ".join(t[i : i + chunk_tokens])
+            for i in range(0, len(t), chunk_tokens)
+        }
+
+    ref_set = set()
+    for _, tx in ref_rows:
+        ref_set |= chunks(tx)
+    out = {}
+    for i, tx in new_rows:
+        cs = chunks(tx)
+        seen = len(cs & ref_set)
+        out[i] = (len(cs), seen, int(seen * 5 < len(cs) * 4))
+    return out
+
+
+def test_snapshot_dedup_threshold_semantics(spark):
+    """A new doc made of >= 4/5 snapshot chunks is dropped; partial
+    and fully-novel docs are kept with exact counts."""
+    w = lambda n, tag: " ".join(f"{tag}{j}" for j in range(n))
+    ref_rows = [(0, w(24, "a")), (1, w(16, "b"))]
+    new_rows = [
+        (10, w(24, "a")),                      # 3/3 chunks seen -> dropped
+        (11, w(16, "b") + " " + w(24, "c")),   # 2/5 seen -> kept
+        (12, w(32, "z")),                      # all novel -> kept
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_seen, r.kept)
+        for r in snapshot_dedup(ref, new).collect()
+    }
+    assert got == _brute_snapshot(ref_rows, new_rows)
+    assert got[10][2] == 0 and got[11][2] == 1 and got[12][2] == 1
+
+
+def test_snapshot_dedup_bloom_fp_immune(spark):
+    """The Bloom prefilter may only PRUNE work, never change the
+    answer: a 16-bit filter (massive false-positive rate) and a
+    65536-bit filter produce identical output, equal to the brute
+    set-containment oracle."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{j}" for j in range(30)]
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+    ref_rows = [(i, mk(40)) for i in range(8)]
+    # half the new docs replay snapshot text (dup), half are fresh
+    new_rows = [(100 + i, ref_rows[i % 8][1]) for i in range(4)] + [
+        (200 + i, mk(40)) for i in range(4)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    brute = _brute_snapshot(ref_rows, new_rows)
+    for bits in (16, 65536):
+        got = {
+            r.doc_id: (r.n_chunks, r.n_seen, r.kept)
+            for r in snapshot_dedup(ref, new, bloom_bits=bits).collect()
+        }
+        assert got == brute, f"bloom_bits={bits}"
+    # the replayed docs are exact dups -> dropped
+    for i in range(4):
+        assert brute[100 + i][2] == 0

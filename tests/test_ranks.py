@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pygr_spark.operators.ranks import (
     det_range_pids,
     dist_global_rank,
+    dist_grouped_rank,
     dist_prefix_sums,
 )
 
@@ -149,3 +150,85 @@ def test_prefix_sums_rejects_fractional_value_cols(spark):
     )
     with pytest.raises(TypeError, match="integer-typed"):
         dist_prefix_sums(df, ["k", "id"], ["v"])
+
+
+def test_grouped_rank_matches_pandas(spark):
+    """dist_grouped_rank == a per-group row_number over (key, id):
+    for every group the ranks are a bijection onto 1..n_g matching
+    the (key, id) sort order."""
+    import itertools
+
+    data = [
+        (i, g, k)
+        for i, (g, k) in enumerate(
+            itertools.product("abc", [5, -2, 5, 0, 7, -2, 3])
+        )
+    ]
+    df = spark.createDataFrame(data, "id long, g string, k long").repartition(4)
+    out = dist_grouped_rank(df, "g", "k", "id", out="r")
+    got = {(r.g, r.id): r.r for r in out.collect()}
+    assert len(got) == len(data)
+    by_g: dict = {}
+    for i, g, k in data:
+        by_g.setdefault(g, []).append((k, i))
+    for g, pairs in by_g.items():
+        for want_rank, (k, i) in enumerate(sorted(pairs), start=1):
+            assert got[(g, i)] == want_rank, (g, i, k)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", "de"]),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_grouped_rank_property(spark, rows_):
+    data = [(i, g, k) for i, (g, k) in enumerate(rows_)]
+    df = spark.createDataFrame(data, "id long, g string, k long").repartition(3)
+    out = dist_grouped_rank(df, "g", "k", "id", out="r")
+    got = {(r.g, r.id): r.r for r in out.collect()}
+    assert len(got) == len(data)
+    by_g: dict = {}
+    for i, g, k in data:
+        by_g.setdefault(g, []).append((k, i))
+    for g, pairs in by_g.items():
+        ranks = [got[(g, i)] for _, i in sorted(pairs)]
+        assert ranks == list(range(1, len(pairs) + 1))
+
+
+def test_grouped_rank_empty(spark):
+    df = spark.createDataFrame([], "id long, g string, k long")
+    out = dist_grouped_rank(df, "g", "k", "id", out="r")
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "g", "r"}
+
+
+def test_ntile_formula_matches_window_ntile(spark):
+    """The exact ntile(3) formula of (rank, n) used by ccnet_buckets
+    (and, with k=5, the RFM tiling) agrees with Spark's ntile window
+    for every group size 1..10, including the n < k degenerate sizes
+    where the ELSE branch must never be reached."""
+    from pyspark.sql import Window
+
+    rows = [(n, lr) for n in range(1, 11) for lr in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "n long, lr long")
+    got = df.withColumn(
+        "bucket",
+        F.expr(
+            "CAST(CASE WHEN lr <= ((n DIV 3) + 1) * (n % 3)"
+            " THEN (lr - 1) DIV ((n DIV 3) + 1) + 1"
+            " ELSE (n % 3) + (lr - ((n DIV 3) + 1) * (n % 3) - 1)"
+            " DIV (n DIV 3) + 1 END AS BIGINT)"
+        ),
+    )
+    want = df.withColumn(
+        "bucket", F.ntile(3).over(Window.partitionBy("n").orderBy("lr"))
+    )
+    g = {(r.n, r.lr): r.bucket for r in got.collect()}
+    w = {(r.n, r.lr): r.bucket for r in want.collect()}
+    assert g == w
