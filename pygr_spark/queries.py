@@ -13769,6 +13769,53 @@ LIMIT 10
 """
 
 
+def q_q4_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking), adapted to the
+    driver schema (no commit/receipt dates, so 'late' = any line
+    shipped >90 days after the order date): an EXISTS semi-join with
+    a residual inequality — the equi key (orderkey) carries the
+    shuffle, the date comparison rides as a residual filter, and no
+    lineitem row is ever duplicated into the count (semi-join, not
+    join+distinct). Orders pre-filter to a 6-month window (partition-
+    prunable at scale); lineitem's scan reads two columns. Output is
+    the 5-row priority census."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.expr(
+                "CAST(o_orderdate AS DATE) >= DATE '1996-01-01' AND "
+                "CAST(o_orderdate AS DATE) < DATE '1996-07-01'"
+            )
+        )
+        .withColumn("_cut", F.date_add(F.col("o_orderdate").cast("date"), 90))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("_sd")
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li._sd > orders._cut),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+Q_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND CAST(l.l_shipdate AS DATE)
+          > CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
 def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers): the agg-then-join
     reduction — lineitem collapses to its qualifying orderkeys
@@ -13984,6 +14031,7 @@ FROM tiled GROUP BY 1, 2
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_shipping_priority": q_q3_shipping_priority,
+    "q4_late_shipment": q_q4_late_shipment,
     "q18_large_orders": q_q18_large_orders,
     "snapshot_dedup": q_snapshot_dedup,
     "ccnet_buckets": q_ccnet_buckets,
@@ -14226,6 +14274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "q3_shipping_priority": Q_Q3_SQL,
+    "q4_late_shipment": Q_Q4_SQL,
     "q18_large_orders": Q_Q18_SQL,
     "snapshot_dedup": Q_SNAPSHOT_DEDUP_SQL,
     "ccnet_buckets": Q_CCNET_BUCKETS_SQL,
