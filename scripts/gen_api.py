@@ -80,9 +80,12 @@ SECTION_ORDER = [
     "Sources & sinks",
 ]
 
+#: names stop at end-of-line: a greedy [\w,\s]+ would swallow the
+#: next source line's leading identifier (e.g. "import chunk_dedup\n
+#: docs = ..." rendered as "chunk_dedup      docs")
 IMPORT_RE = re.compile(
     r"from pygr_spark\.(?:operators|streaming|sources|functions|plans)\."
-    r"(\w+) import ([\w,\s]+)"
+    r"(\w+) import ([\w, ]+)"
 )
 TABLE_RE = re.compile(r"_t\(spark,\s*sf_dir,\s*\"(\w+)\"\)")
 HELPER_RE = re.compile(r"\b(_[a-z][a-z0-9_]*)\(spark,\s*sf_dir")
