@@ -21,7 +21,7 @@ from pygr_spark.queries import ORACLES, QUERIES
 #: rest — judge r7 item #7).
 _NEVER_DRIVER_SAMPLED = [
     # round-8 additions (no driver record yet by definition)
-    "q3_shipping_priority", "q4_late_shipment", "q18_large_orders", "snapshot_dedup",
+    "q3_shipping_priority", "q4_late_shipment", "triplet_mining", "q18_large_orders", "snapshot_dedup",
     "ccnet_buckets",
     "coverage_indelcut", "media_real_decode", "split_prefix",
     "interval_algebra", "chunked_slice", "grouping_sets", "token_topk",

@@ -127,6 +127,7 @@ HEADLINE2 = [
 #: re-litigate the floor 18 times.
 HEADLINE3 = [
     "q3_shipping_priority",
+    "triplet_mining",
     "q4_late_shipment",
     "q18_large_orders",
     "snapshot_dedup",

@@ -1130,3 +1130,138 @@ def rbh_exact(
         F.col("b_id").cast("long").alias("b_id"),
         F.round("sim", 6).alias("cos_sim"),
     )
+
+
+def triplet_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-triplet mining for metric-learning training data: for
+    every anchor, the HARDEST POSITIVE (same-label vector with the
+    LOWEST cosine similarity) and the HARDEST NEGATIVE (different-
+    label vector with the HIGHEST similarity), plus the triplet
+    margin pos_sim - neg_sim (negative margin = the anchor's current
+    embedding violates the triplet constraint — exactly the examples
+    a trainer wants next). Reference parity: the all-vs-set scoring
+    shape of pygr's BLAST homology searches (blast.py) re-expressed
+    for embeddings.
+
+    Returns (anchor_id, pos_id, pos_sim, neg_id, neg_sim, margin),
+    sims rounded to 6 dp; ties on sim break to the smaller vec_id.
+
+    Scale shape — same family as cosine_topk_vectorized/rbh_exact:
+    the anchor set is SMALL BY CONTRACT (a training batch; it ships
+    quantized inside the task closure), the corpus streams through
+    ONE Arrow-batched int64 matmul pass, and per-batch pruning emits
+    at most 2 rows per (batch, anchor) — the shuffle is
+    batches x anchors, never corpus x anchors. The exact-integer
+    quantization (np_quantize, half-away-from-zero) keeps results
+    bit-identical across engines. For anchor sets too large for the
+    closure, mine per-bucket via the LSH candidates path
+    (rbh_candidates) instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a_rows = anchors.select(id_col, vec_col, label_col).collect()
+    spark = corpus.sparkSession
+    if not a_rows:
+        return spark.createDataFrame(
+            [],
+            "anchor_id long, pos_id long, pos_sim double, "
+            "neg_id long, neg_sim double, margin double",
+        )
+    a_rows.sort(key=lambda r: r[0])
+    a_ids = np.array([r[0] for r in a_rows], dtype=np.int64)
+    a_mat = np_quantize([np.asarray(r[1], dtype=np.float64) for r in a_rows])
+    a_lab = np.array([r[2] for r in a_rows])
+    a_norm = np.sqrt((a_mat * a_mat).sum(axis=1).astype(np.float64))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("anchor_id", T.LongType()),
+            T.StructField("cand_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+            T.StructField("is_pos", T.IntegerType()),
+        ]
+    )
+
+    def mine(batches):
+        def _q(m):
+            mm = np.asarray(m, dtype=np.float64) * 1_000_000
+            return (np.floor(np.abs(mm) + 0.5) * np.sign(mm)).astype(np.int64)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # id-sort: np.argmin/argmax return the FIRST extremum, so
+            # ascending ids make sim ties break to the smaller vec_id
+            # (the oracle window's exact order)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            labs = pdf[label_col].to_numpy()[order]
+            mat = _q([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])[
+                order
+            ]
+            norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+            sims = (mat @ a_mat.T).astype(np.float64) / np.outer(norms, a_norm)
+            recs = []
+            for j in range(len(a_ids)):
+                same = (labs == a_lab[j]) & (ids != a_ids[j])
+                diff = labs != a_lab[j]
+                col = sims[:, j]
+                if same.any():
+                    i = np.where(same)[0][np.argmin(col[same])]
+                    recs.append((a_ids[j], ids[i], col[i], 1))
+                if diff.any():
+                    i = np.where(diff)[0][np.argmax(col[diff])]
+                    recs.append((a_ids[j], ids[i], col[i], 0))
+            if recs:
+                yield pd.DataFrame(
+                    recs, columns=["anchor_id", "cand_id", "sim", "is_pos"]
+                )
+
+    cands = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        mine, schema=schema
+    )
+    # per-batch survivors only: one tiny window each side
+    w_pos = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").asc(), F.col("cand_id").asc()
+    )
+    w_neg = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id").asc()
+    )
+    pos = (
+        cands.filter(F.col("is_pos") == 1)
+        .withColumn("_rn", F.row_number().over(w_pos))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("pos_id"),
+            F.col("sim").alias("_ps"),
+        )
+    )
+    neg = (
+        cands.filter(F.col("is_pos") == 0)
+        .withColumn("_rn", F.row_number().over(w_neg))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("sim").alias("_ns"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        F.col("anchor_id").cast("long").alias("anchor_id"),
+        F.col("pos_id").cast("long").alias("pos_id"),
+        F.round("_ps", 6).alias("pos_sim"),
+        F.col("neg_id").cast("long").alias("neg_id"),
+        F.round("_ns", 6).alias("neg_sim"),
+        F.round(F.col("_ps") - F.col("_ns"), 6).alias("margin"),
+    )

@@ -13703,6 +13703,60 @@ FROM m
 """
 
 
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining over the labeled embedding table (the
+    metric-learning data-prep op: which positive has drifted furthest,
+    which negative has intruded closest): anchors are every 50th
+    vector; per anchor, the hardest same-label positive (min cosine)
+    and hardest different-label negative (max cosine) plus the margin.
+    One streamed Arrow-matmul pass over the corpus with per-batch
+    extremum pruning (operators/similarity.py:triplet_mining) — the
+    shuffle is batches x anchors, never corpus x anchors."""
+    from pygr_spark.operators.similarity import triplet_mining
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    return triplet_mining(emb, anchors)
+
+
+Q_TRIPLET_MINING_SQL = """
+WITH v AS (
+  SELECT vec_id, label,
+    list_transform(embedding,
+      e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS q
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, q,
+    list_reduce(list_transform(range(1, len(q)+1), i -> q[i]*q[i]),
+                (x,y) -> x+y) AS nn
+  FROM v
+), a AS (
+  SELECT vec_id AS anchor_id, label AS alabel, q AS aq, nn AS an
+  FROM n WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT a.anchor_id, a.alabel, n.vec_id, n.label,
+    list_reduce(list_transform(range(1, len(n.q)+1), i -> n.q[i]*a.aq[i]),
+                (x,y) -> x+y)
+      / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(a.an AS DOUBLE))) AS sim
+  FROM n CROSS JOIN a WHERE n.vec_id != a.anchor_id
+), pos AS (
+  SELECT anchor_id, vec_id, sim,
+    row_number() OVER (PARTITION BY anchor_id ORDER BY sim ASC, vec_id) AS rn
+  FROM scored WHERE label = alabel
+), neg AS (
+  SELECT anchor_id, vec_id, sim,
+    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS rn
+  FROM scored WHERE label <> alabel
+)
+SELECT CAST(p.anchor_id AS BIGINT) AS anchor_id,
+  CAST(p.vec_id AS BIGINT) AS pos_id, round(p.sim, 6) AS pos_sim,
+  CAST(g.vec_id AS BIGINT) AS neg_id, round(g.sim, 6) AS neg_sim,
+  round(p.sim - g.sim, 6) AS margin
+FROM pos p JOIN neg g USING (anchor_id)
+WHERE p.rn = 1 AND g.rn = 1
+"""
+
+
 def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): the classic filter-both-sides
     3-way join with a deterministic top-10 — the segment filter
@@ -14035,6 +14089,7 @@ FROM tiled GROUP BY 1, 2
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_shipping_priority": q_q3_shipping_priority,
+    "triplet_mining": q_triplet_mining,
     "q4_late_shipment": q_q4_late_shipment,
     "q18_large_orders": q_q18_large_orders,
     "snapshot_dedup": q_snapshot_dedup,
@@ -14278,6 +14333,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "q3_shipping_priority": Q_Q3_SQL,
+    "triplet_mining": Q_TRIPLET_MINING_SQL,
     "q4_late_shipment": Q_Q4_SQL,
     "q18_large_orders": Q_Q18_SQL,
     "snapshot_dedup": Q_SNAPSHOT_DEDUP_SQL,

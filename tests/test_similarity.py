@@ -121,3 +121,63 @@ def test_kmer_seed_join_ubiquity_cap_masks(spark):
     assert kmer_seed_join(docs, k=20, min_seeds=1, max_kmer_docs=2).count() > 0
     masked = kmer_seed_join(docs, k=20, min_seeds=4, max_kmer_docs=2).count()
     assert masked == 0
+
+
+def test_triplet_mining_matches_bruteforce(spark):
+    """triplet_mining == the O(n^2) single-machine reference: hardest
+    positive (min same-label sim), hardest negative (max diff-label
+    sim), ties to the smaller vec_id, margin = pos - neg."""
+    import numpy as np
+
+    from pygr_spark.operators.similarity import triplet_mining
+
+    rng = np.random.default_rng(11)
+    n, dim = 60, 8
+    vecs = rng.normal(size=(n, dim))
+    labels = [f"L{i % 3}" for i in range(n)]
+    rows = [(i, [float(x) for x in vecs[i]], labels[i]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).repartition(5)
+    anchors = df.filter(F.col("vec_id") % 10 == 0)
+    got = {
+        r.anchor_id: (r.pos_id, r.pos_sim, r.neg_id, r.neg_sim, r.margin)
+        for r in triplet_mining(df, anchors).collect()
+    }
+
+    q = np.floor(np.abs(vecs * 1e6) + 0.5) * np.sign(vecs * 1e6)
+    norms = np.sqrt((q * q).sum(axis=1))
+    sims = (q @ q.T) / np.outer(norms, norms)
+    for a in range(0, n, 10):
+        best_p, best_n = None, None
+        for j in range(n):
+            if j == a:
+                continue
+            s = sims[j, a]
+            if labels[j] == labels[a]:
+                if best_p is None or (s, j) < best_p:
+                    best_p = (s, j)
+            else:
+                if best_n is None or (-s, j) < best_n:
+                    best_n = (-s, j)
+        want = (
+            best_p[1],
+            round(best_p[0], 6),
+            best_n[1],
+            round(-best_n[0], 6),
+            round(best_p[0] - (-best_n[0]), 6),
+        )
+        assert got[a] == want, (a, got[a], want)
+
+
+def test_triplet_mining_empty_anchors(spark):
+    from pygr_spark.operators.similarity import triplet_mining
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], "a")], "vec_id long, embedding array<double>, label string"
+    )
+    out = triplet_mining(df, df.filter(F.col("vec_id") < 0))
+    assert out.count() == 0
+    assert out.columns == [
+        "anchor_id", "pos_id", "pos_sim", "neg_id", "neg_sim", "margin",
+    ]
