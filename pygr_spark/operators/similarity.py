@@ -1151,6 +1151,9 @@ def triplet_mining(
 
     Returns (anchor_id, pos_id, pos_sim, neg_id, neg_sim, margin),
     sims rounded to 6 dp; ties on sim break to the smaller vec_id.
+    An anchor with NO same-label peer or NO cross-label vector has no
+    complete triplet and is dropped (inner pos-neg join) — the
+    trainer contract, since such an anchor cannot form a triplet.
 
     Scale shape — same family as cosine_topk_vectorized/rbh_exact:
     the anchor set is SMALL BY CONTRACT (a training batch; it ships
