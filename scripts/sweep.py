@@ -141,7 +141,11 @@ def main() -> int:
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # Spark-written replicas (the 16x/64x scale fixtures) are
+            # DIRECTORIES of part files — glob them for DuckDB (same
+            # handling as bench.py's oracle pass)
+            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
     names = sys.argv[1:] or list(qs)
     bad = []
