@@ -170,6 +170,54 @@ def test_triplet_mining_matches_bruteforce(spark):
         assert got[a] == want, (a, got[a], want)
 
 
+def test_triplet_mining_anchor_cap_enforced(spark, monkeypatch):
+    """The anchor-set bound is ENFORCED before the collect (mirrors
+    rbh_exact's RBH_EXACT_MAX_A_ROWS): past the cap the call raises
+    with a pointer at the LSH candidates path instead of silently
+    OOMing the driver / bloating every task closure."""
+    import pytest
+
+    import pygr_spark.operators.similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i)], f"L{i % 2}") for i in range(8)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    monkeypatch.setattr(sim, "TRIPLET_MAX_ANCHOR_ROWS", 4)
+    with pytest.raises(ValueError, match="anchor set exceeds 4 rows"):
+        sim.triplet_mining(df, df)
+    # at or under the cap the path is untouched
+    assert sim.triplet_mining(df, df.limit(4)).count() > 0
+
+
+def test_triplet_mining_zero_norm_vectors(spark):
+    """Zero-norm anchors fail loudly (cosine undefined → NaN sims
+    would silently diverge from the SQL oracle); zero-norm CORPUS
+    vectors are excluded from candidacy rather than seeding NaN rows
+    that argmin/argmax would then pick."""
+    import pytest
+
+    from pygr_spark.operators.similarity import triplet_mining
+
+    schema = "vec_id long, embedding array<double>, label string"
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], "a"),
+            (1, [0.9, 0.1], "a"),
+            (2, [0.0, 0.0], "a"),  # zero-norm: never a pos/neg
+            (3, [-1.0, 0.2], "b"),
+        ],
+        schema,
+    )
+    anchors = corpus.filter(F.col("vec_id") == 0)
+    out = {r.anchor_id: r for r in triplet_mining(corpus, anchors).collect()}
+    assert out[0].pos_id == 1 and out[0].neg_id == 3  # 2 excluded
+
+    bad_anchor = spark.createDataFrame([(9, [0.0, 0.0], "a")], schema)
+    with pytest.raises(ValueError, match="zero-norm anchor"):
+        triplet_mining(corpus, bad_anchor)
+
+
 def test_triplet_mining_empty_anchors(spark):
     from pygr_spark.operators.similarity import triplet_mining
 
