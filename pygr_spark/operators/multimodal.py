@@ -158,6 +158,42 @@ def _real_image_decode(payload: bytes) -> dict:
     return {"width": w, "height": h, "duration_ms": None, "feature": feature}
 
 
+def _bmp_struct_decode(payload: bytes) -> dict:
+    """Stdlib image decode for the containers synthesize_media emits:
+    a genuine BMP container parse (magic check, DIB geometry, 24-bit
+    row stride incl. 4-byte padding) with pure ``struct`` — the image
+    twin of the ``wave``-module audio fallback, so the real-decode
+    path has NO optional-library dependency for its own synthesized
+    containers. Feature: 8 grayscale band-means over the pixel rows
+    (bottom-up storage order, like PIL's top-down view reversed —
+    band means are row-order-insensitive per band group here because
+    we aggregate over equal row bands of the raw array)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP container")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)[0:2]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(abs(h)):
+        base = off + y * stride
+        tot = 0
+        for x in range(w):
+            b, g, r = payload[base + 3 * x: base + 3 * x + 3]
+            tot += (r + g + b) / 3.0
+        rows.append(tot / max(w, 1) / 255.0)
+    if h > 0:  # bottom-up storage → top-down view
+        rows.reverse()
+    k = max(1, len(rows) // 8)
+    bands = [rows[i * k:(i + 1) * k] for i in range(8)]
+    feature = [sum(c) / len(c) if c else 0.0 for c in bands]
+    return {"width": w, "height": abs(h), "duration_ms": None, "feature": feature}
+
+
 def _real_audio_decode(payload: bytes) -> dict:
     """Audio decode: soundfile when importable, else the stdlib wave
     module (a genuine WAV container parse either way). Feature: mean
@@ -195,15 +231,21 @@ def _real_audio_decode(payload: bytes) -> dict:
 
 def real_decoders() -> dict[str, Callable[[bytes], dict]]:
     """The decoders whose libraries import in THIS environment: audio
-    always (stdlib wave fallback), image only with PIL, video never in
-    this container (no av/imageio — stays a documented fake)."""
+    always (stdlib wave fallback), image always (PIL when importable,
+    else the stdlib BMP struct parse — still a genuine container
+    parse), video never in this container (no av/imageio — stays a
+    documented fake). Consequence: for synthesize_media's containers,
+    every METADATA column (width/height/duration_ms/n_bytes/feat_dim)
+    is decoder-independent — the header stores what the synthesizer
+    wrote — so media_real_decode's projection is fully oracleable;
+    only the feature VALUES depend on the installed codec."""
     reg: dict[str, Callable[[bytes], dict]] = {"audio": _real_audio_decode}
     try:
         import PIL.Image  # noqa: F401
 
         reg["image"] = _real_image_decode
     except ImportError:
-        pass
+        reg["image"] = _bmp_struct_decode
     return reg
 
 

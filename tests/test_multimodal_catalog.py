@@ -142,7 +142,33 @@ def test_default_decoders_registry():
 
         assert d["image"] is mm._real_image_decode
     except ImportError:
-        assert d["image"] is mm._fake_image_decode
+        assert d["image"] is mm._bmp_struct_decode
+
+
+def test_bmp_struct_decode_roundtrip():
+    """The stdlib BMP parse recovers exactly the geometry synth_bmp
+    wrote into the header (decoder-independence of the metadata
+    columns — the basis of media_real_decode's oracle), and the
+    8-band grayscale feature is bounded and width-sensitive."""
+    import hashlib
+
+    from pygr_spark.operators.multimodal import _bmp_struct_decode, synth_bmp
+
+    for seed in (b"alpha", b"", b"some longer document text 123"):
+        h = hashlib.sha256(seed).digest()
+        out = _bmp_struct_decode(synth_bmp(seed))
+        assert out["width"] == 8 + h[0] % 8
+        assert out["height"] == 8 + h[1] % 8
+        assert out["duration_ms"] is None
+        assert len(out["feature"]) == 8
+        assert all(0.0 <= f <= 1.0 for f in out["feature"])
+    # explicit geometry (incl. a stride-padded width) round-trips too
+    out = _bmp_struct_decode(synth_bmp(b"x", width=10, height=3))
+    assert (out["width"], out["height"]) == (10, 3)
+    import pytest
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        _bmp_struct_decode(b"PNG not really")
 
 
 def test_media_real_decode_pipeline(spark, sf_dir):
