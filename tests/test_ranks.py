@@ -246,3 +246,23 @@ def test_grouped_rank_rejects_null_groups(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         dist_grouped_rank(df, "g", "k", "id").collect()
+
+
+def test_grouped_rank_rejects_high_cardinality_groups(spark, monkeypatch):
+    """The low-cardinality group contract is enforced, not narrated:
+    past DIST_GROUPED_RANK_MAX_OFFSET_ROWS (group, bucket) offset rows
+    the stitch raises with a pointer at plain Window.partitionBy —
+    instead of silently collecting n_groups x n_parts rows."""
+    import pytest
+
+    from pygr_spark.operators import ranks
+
+    df = spark.createDataFrame(
+        [(i, f"g{i}", i) for i in range(40)], "id long, g string, k long"
+    )
+    monkeypatch.setattr(ranks, "DIST_GROUPED_RANK_MAX_OFFSET_ROWS", 10)
+    with pytest.raises(ValueError, match="high-cardinality"):
+        ranks.dist_grouped_rank(df, "g", "k", "id").collect()
+    # under the cap the path is untouched
+    monkeypatch.setattr(ranks, "DIST_GROUPED_RANK_MAX_OFFSET_ROWS", 100_000)
+    assert ranks.dist_grouped_rank(df, "g", "k", "id").count() == 40
