@@ -12701,13 +12701,19 @@ def _bootstrap_sql() -> str:
 WITH o AS (
   SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
   FROM orders
+), hg AS (
+  -- one md5 carries SIX 20-bit draws: ceil(B/6) digests per row,
+  -- not B (mirrors poisson_bootstrap's chunked hashing exactly)
+  SELECT c, g,
+    md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(g AS VARCHAR)) AS m
+  FROM o CROSS JOIN (SELECT unnest(range(({_BOOTSTRAP_B} + 5) // 6)) AS g)
 ), hashed AS (
-  SELECT o_orderkey, c, CAST(b AS BIGINT) AS b,
-    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
-      CAST(b AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS h
-  FROM o CROSS JOIN (SELECT unnest(range({_BOOTSTRAP_B})) AS b)
+  SELECT c, CAST(g * 6 + j AS BIGINT) AS b,
+    ('0x' || substr(m, 1 + 5 * CAST(j AS INT), 5))::BIGINT % 1000000 AS h
+  FROM hg CROSS JOIN (SELECT unnest(range(6)) AS j)
+  WHERE g * 6 + j < {_BOOTSTRAP_B}
 ), reps AS (
-  SELECT o_orderkey, c, b, CASE {cases} ELSE 8 END AS w FROM hashed
+  SELECT c, b, CASE {cases} ELSE 8 END AS w FROM hashed
 ), g AS (
   SELECT b, CAST(sum(w) AS BIGINT) AS n_b,
     CAST(sum(w * c) AS BIGINT) AS s_b
