@@ -22,6 +22,9 @@ from pygr_spark.queries import ORACLES, QUERIES
 #: driver-sampled in r8 but only as rows-only `err` records — their r9
 #: oracles need a sampled run to convert the record to green.
 _NEVER_DRIVER_SAMPLED = [
+    # round-9 additions (no driver record yet by definition)
+    "q2_min_cost_supplier", "q21_laggard_suppliers",
+    "q16_supplier_breadth",
     "stream_topk", "media_frames", "seed_homology", "liftover",
     "seq_n50", "interval_subtract", "countmin_topk", "event_funnel",
     "graph_bfs", "bucketed_join", "lm_surprise", "coverage_hist",

@@ -426,9 +426,15 @@ def _ensure_16x(sf_dir: str) -> str | None:
 
 
 def _oracle_pass(sf_dir: str, names: list[str]) -> float | None:
-    """Single-pass DuckDB timing of the given tier's oracles on the
-    same parquet, in-process — the denominator of the judge's
-    same-machine ratio. Returns None if DuckDB is unavailable."""
+    """DuckDB timing of the given tier's oracles on the same parquet,
+    in-process — the denominator of the judge's same-machine ratio.
+    One THROWAWAY warm pass precedes the timed pass (judge r8 item #7):
+    the Spark side times min-of-N replays against warm pages while a
+    cold oracle leg was swinging 55→113s with the page-cache state the
+    fixture builds left behind, making the round-to-round ratio partly
+    an artifact of what ran before bench.py. Warm-vs-warm is the
+    honest form of the comparison (and the stricter one: a warm oracle
+    is a FASTER denominator). Returns None if DuckDB is unavailable."""
     try:
         import duckdb
     except ImportError:
@@ -450,6 +456,9 @@ def _oracle_pass(sf_dir: str, names: list[str]) -> float | None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
+    for name in names:  # throwaway warm pass, untimed
+        if name in ORACLES:
+            con.execute(ORACLES[name]).fetchall()
     total = 0.0
     for name in names:
         if name not in ORACLES:

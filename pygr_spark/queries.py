@@ -14031,6 +14031,203 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated scalar
+    subquery `cost = (SELECT min(cost) ... WHERE partkey = p)`
+    decorrelated into a min-aggregate + join-back — both sides keyed
+    on l_partkey, so the aggregate reuses the join's exchange and at
+    scale the per-part min table is a small fraction of the fact scan
+    (AQE broadcasts it). The part filter is a parquet-pushable size
+    band applied BEFORE the fact join (left_semi against a broadcast
+    key set), lineitem reads 3 columns. Exact cents; deterministic
+    top-100 by (acctbal desc, s_name, p_partkey). Reference parity:
+    sqlgraph.py's nested-select TupleDescriptors."""
+    part_keys = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(10, 14))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            cents(F.col("l_extendedprice")).alias("cost_c"),
+        )
+        .join(
+            F.broadcast(part_keys),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+    )
+    mins = li.groupBy("l_partkey").agg(F.min("cost_c").alias("min_cost_c"))
+    # derived-from-the-same-plan join: alias the agg's key so the
+    # join condition is unambiguous (Spark self-join analyzer)
+    mins = mins.select(
+        F.col("l_partkey").alias("_mpk"), "min_cost_c"
+    )
+    best = (
+        li.join(
+            mins,
+            (F.col("l_partkey") == F.col("_mpk"))
+            & (F.col("cost_c") == F.col("min_cost_c")),
+        )
+        .select(F.col("l_partkey").alias("pk"), "l_suppkey", "min_cost_c")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            "s_name",
+            "n_name",
+            F.col("pk").cast("long").alias("p_partkey"),
+            F.col("min_cost_c").cast("long").alias("min_cost_c"),
+            cents(F.col("s_acctbal")).cast("long").alias("acctbal_c"),
+        )
+        .orderBy(F.col("acctbal_c").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q_Q2_SQL = """
+WITH pf AS (
+  SELECT p_partkey FROM part WHERE p_size BETWEEN 10 AND 14
+), li AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(round(l_extendedprice*100) AS BIGINT) AS cost_c
+  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM pf)
+), m AS (
+  SELECT l_partkey, min(cost_c) AS min_cost_c FROM li GROUP BY 1
+), best AS (
+  SELECT DISTINCT li.l_partkey, li.l_suppkey, m.min_cost_c
+  FROM li JOIN m ON li.l_partkey = m.l_partkey AND li.cost_c = m.min_cost_c
+)
+SELECT s_name, n_name, CAST(best.l_partkey AS BIGINT) AS p_partkey,
+  CAST(min_cost_c AS BIGINT) AS min_cost_c,
+  CAST(round(s_acctbal*100) AS BIGINT) AS acctbal_c
+FROM best
+JOIN supplier ON best.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY acctbal_c DESC, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_q21_laggard_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the driver schema (no commit/receipt dates: 'kept waiting' = the
+    supplier's last shipment in a multi-supplier order is the order's
+    strictly-latest, ties blamed on all tied suppliers; counted per
+    (supplier, order)). The classic plan is TWO correlated self-joins
+    of the fact table (EXISTS another supplier / NOT EXISTS a later
+    one); here both decorrelate into aggregates — lineitem collapses
+    map-side to per-(order, supplier) max-shipdates, a per-order
+    (max, n_suppliers) aggregate joins back on the SAME key (exchange
+    reuse, no second fact scan), and the EXISTS pair becomes
+    `n_suppliers >= 2 AND my_max == order_max`. The oracle runs the
+    genuinely independent EXISTS/NOT EXISTS formulation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("_d"),
+    )
+    ms = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_d").alias("smax")
+    )
+    per_order = ms.groupBy("l_orderkey").agg(
+        F.max("smax").alias("max1"),
+        F.count(F.lit(1)).alias("nsupp"),
+    )
+    laggards = (
+        ms.join(per_order, "l_orderkey")
+        .filter((F.col("nsupp") >= 2) & (F.col("smax") == F.col("max1")))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        laggards.join(F.broadcast(supp), laggards.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q_Q21_SQL = """
+WITH ms AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+    max(CAST(l_shipdate AS DATE)) AS smax
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM ms m1
+JOIN supplier ON m1.sk = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM ms m2 WHERE m2.ok = m1.ok AND m2.sk <> m1.sk)
+  AND NOT EXISTS (
+    SELECT 1 FROM ms m3
+    WHERE m3.ok = m1.ok AND m3.sk <> m1.sk AND m3.smax > m1.smax)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q_q16_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    DISTINCT suppliers stock each (brand, size) segment, excluding a
+    supplier blocklist — the NOT IN subquery is a left_anti join
+    against the (tiny, broadcast) blocklist BEFORE the distinct
+    aggregation, the brand/size predicates push into the part scan,
+    and the count-distinct is a two-key shuffle whose partial
+    de-duplication happens map-side. Blocklist adaptation: suppliers
+    in negative account balance (the schema has no comment column)."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad),
+            li.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            F.col("p_size").cast("long").alias("p_size"),
+            "supplier_cnt",
+        )
+    )
+
+
+Q_Q16_SQL = """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
 def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup against an already-ingested snapshot:
     sources src0-src13 are the accumulated reference corpus, src14+
@@ -14202,6 +14399,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triplet_mining": q_triplet_mining,
     "q4_late_shipment": q_q4_late_shipment,
     "q18_large_orders": q_q18_large_orders,
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q21_laggard_suppliers": q_q21_laggard_suppliers,
+    "q16_supplier_breadth": q_q16_supplier_breadth,
     "snapshot_dedup": q_snapshot_dedup,
     "ccnet_buckets": q_ccnet_buckets,
     "spearman_corr": q_spearman_corr,
@@ -14450,6 +14650,9 @@ ORACLES: dict[str, str] = {
     "media_real_decode": Q_MEDIA_REAL_DECODE_SQL,
     "q4_late_shipment": Q_Q4_SQL,
     "q18_large_orders": Q_Q18_SQL,
+    "q2_min_cost_supplier": Q_Q2_SQL,
+    "q21_laggard_suppliers": Q_Q21_SQL,
+    "q16_supplier_breadth": Q_Q16_SQL,
     "snapshot_dedup": Q_SNAPSHOT_DEDUP_SQL,
     "ccnet_buckets": Q_CCNET_BUCKETS_SQL,
     "spearman_corr": Q_SPEARMAN_CORR_SQL,
