@@ -130,6 +130,9 @@ HEADLINE3 = [
     "triplet_mining",
     "q4_late_shipment",
     "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q21_laggard_suppliers",
+    "q16_supplier_breadth",
     "snapshot_dedup",
     "ccnet_buckets",
     "suffix_array",
