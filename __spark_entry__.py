@@ -24,7 +24,8 @@ from pygr_spark.queries import ORACLES, QUERIES
 _NEVER_DRIVER_SAMPLED = [
     # round-9 additions (no driver record yet by definition)
     "q2_min_cost_supplier", "q21_laggard_suppliers",
-    "q16_supplier_breadth",
+    "q16_supplier_breadth", "q7_nation_volume", "q14_promo_share",
+    "q19_disjunctive_revenue", "q22_dormant_customers",
     "stream_topk", "media_frames", "seed_homology", "liftover",
     "seq_n50", "interval_subtract", "countmin_topk", "event_funnel",
     "graph_bfs", "bucketed_join", "lm_surprise", "coverage_hist",

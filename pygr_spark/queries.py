@@ -14243,6 +14243,224 @@ GROUP BY p_brand, p_size
 """
 
 
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two trading nations):
+    the fact table enriched by TWO independent broadcast dimension
+    chains — supplier→nation on one side, orders→customer→nation on
+    the other — with the nation-PAIR disjunction applied as early as
+    each chain allows: both nation dims filter to the two nations
+    BEFORE broadcasting (so the fact rows that survive each semi are
+    already candidates), and the pair predicate then only rejects the
+    two same-nation combinations. One year-bucketed aggregate, exact
+    cents. The classic plan mistake this entry pins against is joining
+    the full nation dims and filtering last."""
+    n1 = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_19", "NATION_20")
+    )
+    n2 = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_19", "NATION_20")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == n1.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == n2.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    orders = _t(spark, sf_dir, "orders").join(
+        F.broadcast(cust), F.col("o_custkey") == cust.c_custkey
+    ).select("o_orderkey", "cust_nation")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue_c")
+        )
+    )
+
+
+Q_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+  CAST(sum(vol_c) AS BIGINT) AS revenue_c
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+    CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vol_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE ns.n_name IN ('NATION_19', 'NATION_20')
+    AND nc.n_name IN ('NATION_19', 'NATION_20')
+    AND ns.n_name <> nc.n_name
+) GROUP BY 1, 2, 3
+"""
+
+
+def q_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of monthly
+    revenue from PROMO-type parts — a conditional aggregate
+    (sum(CASE WHEN promo)) over the fact table after ONE broadcast
+    dim join; the month filter pushes into the lineitem scan. Exact
+    integer numerator/denominator are returned instead of the
+    percentage so the oracle hash stays division-free."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("_promo")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "CAST(l_shipdate AS DATE) >= DATE '1997-01-01' AND "
+            "CAST(l_shipdate AS DATE) < DATE '1997-04-01'"
+        )
+    )
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM")
+            .alias("month")
+        )
+        .agg(
+            F.sum(F.when(F.col("_promo"), rev).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("promo_revenue_c"),
+            F.sum(rev).cast("long").alias("total_revenue_c"),
+        )
+    )
+
+
+Q_Q14_SQL = """
+SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+  CAST(sum(CASE WHEN p_type = 'PROMO'
+    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+    ELSE 0 END) AS BIGINT) AS promo_revenue_c,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+    AS BIGINT) AS total_revenue_c
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+GROUP BY 1
+"""
+
+
+def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    an OR of three (brand, size-band, quantity-band) conjunction
+    groups spanning BOTH join sides — the optimizer test is that the
+    per-side implied disjunctions still push down (part scans only
+    the three brands' rows via `p_brand IN`, lineitem prunes on the
+    quantity hull) before the broadcast join evaluates the exact
+    cross-side OR. Single exact-cents total."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue_c"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+Q_Q19_SQL = """
+SELECT
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+    AS BIGINT) AS revenue_c,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-acquisition opportunity): customers
+    whose balance exceeds the GLOBAL average positive balance yet
+    placed no orders SINCE 1999 (dormant accounts) — a 1-row scalar
+    aggregate broadcast into the filter (the documented 1-row
+    cross-join waiver class) composed with a left_anti join against
+    the date-filtered orders fact, grouped by nation. The anti join
+    is the scale lever: the orders scan prunes on the date predicate
+    and only ever ships its custkey column, and the anti probe is a
+    broadcast-hash when the qualifying customer set is small (AQE
+    decides)."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(cents(F.col("c_acctbal"))).alias("_ab")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.expr("CAST(o_orderdate AS DATE) >= DATE '1999-01-01'"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(cents(F.col("c_acctbal")) > F.col("_ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum(cents(F.col("c_acctbal"))).cast("long").alias("total_bal_c"),
+        )
+    )
+
+
+Q_Q22_SQL = """
+WITH ab AS (
+  SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+  CAST(count(*) AS BIGINT) AS n_cust,
+  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+    AS total_bal_c
+FROM customer, ab
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) > ab.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
+GROUP BY 1
+"""
+
+
 def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup against an already-ingested snapshot:
     sources src0-src13 are the accumulated reference corpus, src14+
@@ -14417,6 +14635,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q21_laggard_suppliers": q_q21_laggard_suppliers,
     "q16_supplier_breadth": q_q16_supplier_breadth,
+    "q7_nation_volume": q_q7_nation_volume,
+    "q14_promo_share": q_q14_promo_share,
+    "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+    "q22_dormant_customers": q_q22_dormant_customers,
     "snapshot_dedup": q_snapshot_dedup,
     "ccnet_buckets": q_ccnet_buckets,
     "spearman_corr": q_spearman_corr,
@@ -14668,6 +14890,10 @@ ORACLES: dict[str, str] = {
     "q2_min_cost_supplier": Q_Q2_SQL,
     "q21_laggard_suppliers": Q_Q21_SQL,
     "q16_supplier_breadth": Q_Q16_SQL,
+    "q7_nation_volume": Q_Q7_SQL,
+    "q14_promo_share": Q_Q14_SQL,
+    "q19_disjunctive_revenue": Q_Q19_SQL,
+    "q22_dormant_customers": Q_Q22_SQL,
     "snapshot_dedup": Q_SNAPSHOT_DEDUP_SQL,
     "ccnet_buckets": Q_CCNET_BUCKETS_SQL,
     "spearman_corr": Q_SPEARMAN_CORR_SQL,

@@ -41,6 +41,10 @@ EXEMPT: dict[str, dict[str, str]] = {
     "above_avg_orders": {
         "bnlj": "cross with the 1-row global-average aggregate"
     },
+    "q22_dormant_customers": {
+        "bnlj": "cross with the 1-row global avg-positive-balance "
+                "aggregate (the TPC-H Q22 scalar subquery)"
+    },
     "welch_ttest": {
         "bnlj": "cross with the 1-row pooled-moment total (complement "
                 "group derived by subtraction, no second scan)"
