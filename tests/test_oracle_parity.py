@@ -99,17 +99,17 @@ def test_oracle_parity(spark, sf_dir, name):
 def test_catalog_registry_invariants():
     """Registry hygiene the driver depends on: every oracle key has a
     query, every query is a callable with the (spark, sf_dir)
-    signature, names are snake_case, and the rows-only set (entries
-    deliberately without an oracle) stays the documented pair — any
-    new oracle-less entry must be an explicit decision, not an
-    oversight."""
+    signature, names are snake_case, and EVERY entry has an oracle —
+    the last two rows-only entries (approx_aggs, media_real_decode)
+    were restructured to oracleable projections in round 9, so an
+    oracle-less entry is now always an oversight."""
     import inspect
     import re
 
     from pygr_spark.queries import ORACLES, QUERIES
 
     assert set(ORACLES) <= set(QUERIES)
-    assert set(QUERIES) - set(ORACLES) == {"approx_aggs", "media_real_decode"}
+    assert set(QUERIES) - set(ORACLES) == set()
     for name, fn in QUERIES.items():
         assert re.fullmatch(r"[a-z0-9_]+", name), name
         assert callable(fn), name

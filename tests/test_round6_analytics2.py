@@ -424,7 +424,10 @@ def test_bootstrap_weights_are_md5_poisson(spark, sf_dir):
     o["c"] = np.round(o.o_totalprice * 100).astype("int64")
 
     def w(key, b):
-        h = int(hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:15], 16) % 10**6
+        # r9 chunked scheme: replicate b reads 5-hex-char chunk b%6 of
+        # md5(key:(b div 6)) — one digest carries six 20-bit draws
+        dig = hashlib.md5(f"{key}:{b // 6}".encode()).hexdigest()
+        h = int(dig[5 * (b % 6): 5 * (b % 6) + 5], 16) % 10**6
         for k, p in enumerate(_POISSON_PPM):
             if h < p:
                 return k
