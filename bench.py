@@ -133,6 +133,10 @@ HEADLINE3 = [
     "q2_min_cost_supplier",
     "q21_laggard_suppliers",
     "q16_supplier_breadth",
+    "q7_nation_volume",
+    "q14_promo_share",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
     "snapshot_dedup",
     "ccnet_buckets",
     "suffix_array",
