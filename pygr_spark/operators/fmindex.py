@@ -350,3 +350,90 @@ def suffix_ranks(
     return cur.select(
         id_col, F.col("pos").cast("long").alias("pos"), F.col("rank").alias("sa_rank")
     )
+
+
+def lcp_table_per_doc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seq: str = "seq",
+) -> DataFrame:
+    """Suffix array + LCP array per document in ONE Arrow-batched
+    numpy kernel — the bounded-document fast path to the same table
+    :func:`suffix_ranks` + the binary climb produce (r9: the climb is
+    the catalog's one super-linear 256× probe — every step's
+    substring-equality materializes UTF8String copies, and repetitive
+    corpora make adjacent-suffix LCPs deep, so 256× on one JVM turns
+    into ~100 GB of compare+allocation traffic; see SCALING.md).
+
+    Per doc (length n, bounded by the caller's length filter): the
+    0-padded suffix matrix is a stride view of seq+zeros (no O(n²)
+    Python fill), rows viewed as fixed-width byte strings argsort
+    lexicographically (0-pad < every real byte ⟹ a proper prefix
+    sorts first — plain string comparison semantics, identical to the
+    climb path and the DuckDB oracle's VARCHAR sort), and the LCP of
+    adjacent rank neighbours is the argmax of the first byte mismatch
+    — one vectorized (n−1)×n comparison at memory bandwidth, zero
+    per-compare allocation. Suffixes within a doc are pairwise
+    distinct, so a mismatch always exists.
+
+    Scale shape: one map pass, one row per doc in (docs shard by
+    hash), n rows per doc out; per-doc scratch is n² bytes (≤ 256 KiB
+    at the 512 cap). The distributed prefix-doubling path
+    (suffix_ranks) remains the giant-single-sequence story and is
+    exercised by the suffix_array entry; a parity test pins the two
+    paths to identical output. Returns (id, sa_rank, pos, lcp) with
+    lcp(rank 1) = 0."""
+    import sys
+
+    from pygr_spark.sources import ship_to_workers
+
+    ship_to_workers(sys.modules[__name__])
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sa_rank", T.LongType()),
+            T.StructField("pos", T.LongType()),
+            T.StructField("lcp", T.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for did, s in zip(pdf[id_col], pdf[seq]):
+                b = np.frombuffer(str(s).encode("ascii"), dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    continue
+                pad = np.concatenate([b, np.zeros(n, dtype=np.uint8)])
+                mat = np.ascontiguousarray(
+                    np.lib.stride_tricks.sliding_window_view(pad, n)[:n]
+                )
+                order = np.argsort(
+                    mat.view(f"S{n}").ravel(), kind="stable"
+                ).astype(np.int64)
+                a = mat[order[:-1]]
+                c = mat[order[1:]]
+                lcp = np.concatenate(
+                    [[0], (a != c).argmax(axis=1)]
+                ).astype(np.int64)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.full(n, int(did), dtype=np.int64),
+                            "sa_rank": np.arange(1, n + 1, dtype=np.int64),
+                            "pos": order + 1,
+                            "lcp": lcp,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return docs.select(id_col, seq).mapInPandas(kernel, schema)

@@ -10936,29 +10936,43 @@ def q_lcp_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest repeated substring, distinct-substring counting and
     matching statistics all read off it): per doc, for each suffix in
     rank order, the longest-common-prefix length with its rank
-    predecessor (LCP at rank 1 = 0 by convention). Ranks come from
-    the prefix-doubling suffix_ranks; the LCP itself is a BINARY
-    CLIMB folded over a 9-element step array with aggregate() —
-    prefix equality is monotone in length, so greedily extending by
+    predecessor (LCP at rank 1 = 0 by convention). Since r9 the entry
+    runs the per-doc vectorized kernel
+    (fmindex.py:lcp_table_per_doc): one Arrow map pass, stride-view
+    suffix matrix, byte-string argsort, and a single vectorized
+    first-mismatch scan per doc — no per-compare string allocation,
+    which is what made the previous window+climb plan the catalog's
+    one super-linear 256× probe (112.7s → see SCALING.md r9 bis).
+    The distributed prefix-doubling + binary-climb path stays in the
+    library (lcp_via_ranks) as the giant-single-sequence story, with
+    a parity pytest pinning the two paths identical; the DuckDB
+    oracle is unchanged (sorts suffix strings, walks the climb in
+    chained CTEs) — any rank or mismatch-scan bug hash-mismatches."""
+    from pygr_spark.operators.fmindex import lcp_table_per_doc
+
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq"),
+    ).filter(F.length("seq").between(4, 512))
+    return lcp_table_per_doc(docs)
+
+
+def lcp_via_ranks(docs: DataFrame) -> DataFrame:
+    """The distributed LCP plan (pre-r9 entry body, kept as the
+    giant-single-sequence path): prefix-doubling suffix_ranks + a
+    BINARY CLIMB folded over a 9-element step array with aggregate()
+    — prefix equality is monotone in length, so greedily extending by
     256,128,...,1 whenever the next `step` chars agree is exact, and
     the lambda runs 9 times per row (two substring compares each),
     never per character. Suffixes within a doc are pairwise distinct,
-    so the climb cannot overshoot past the shorter suffix. The
-    oracle sorts suffix strings and walks the same climb in chained
-    CTEs — any rank or climb bug hash-mismatches."""
+    so the climb cannot overshoot past the shorter suffix. Allocation
+    cost of the substring compares documented in SCALING.md r9;
+    parity with lcp_table_per_doc pinned in tests/test_fmindex.py."""
     from pygr_spark.operators.fmindex import suffix_ranks
 
-    docs = (
-        _spread(_t(spark, sf_dir, "documents"))
-        .select(
-            "doc_id",
-            F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("seq"),
-        )
-        .filter(F.length("seq").between(4, 512))
-        # consumed twice (rank build + the climb join): eager so the
-        # parquet scan + regexp runs once
-        .localCheckpoint(eager=True)
-    )
+    # consumed twice (rank build + the climb join): eager so the
+    # upstream scan runs once
+    docs = docs.localCheckpoint(eager=True)
     ranks = suffix_ranks(docs, max_len=512)
     w = Window.partitionBy("doc_id").orderBy("sa_rank")
     steps = ", ".join(str(s) for s in _LCP_STEPS)

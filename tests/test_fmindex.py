@@ -105,3 +105,37 @@ def test_out_of_alphabet_pattern_is_zero(spark):
     zero for every doc without building the index."""
     docs = spark.createDataFrame([(0, "acgt")], ["doc_id", "seq"])
     assert [tuple(r) for r in fm_count(docs, "aNc").collect()] == [(0, 0)]
+
+
+def test_lcp_kernel_matches_distributed_climb(spark):
+    """The per-doc vectorized LCP kernel (r9 entry path) and the
+    prefix-doubling + binary-climb plan (the giant-single-sequence
+    path, lcp_via_ranks) produce IDENTICAL (doc, rank, pos, lcp)
+    tables — byte-string argsort == suffix string sort, vectorized
+    first-mismatch == the climb."""
+    import random
+
+    from pygr_spark.operators.fmindex import lcp_table_per_doc
+    from pygr_spark.queries import lcp_via_ranks
+
+    random.seed(13)
+    rows = [
+        (d, "".join(random.choice("acgt") for _ in range(random.randint(4, 90))))
+        for d in range(15)
+    ]
+    # a deliberately repetitive doc (deep LCPs, the climb's hard case)
+    rows.append((99, "acgt" * 20 + "ac"))
+    docs = spark.createDataFrame(rows, "doc_id long, seq string").repartition(4)
+    a = {tuple(r) for r in lcp_table_per_doc(docs).collect()}
+    b = {tuple(r) for r in lcp_via_ranks(docs).collect()}
+    assert a == b and len(a) == sum(len(s) for _, s in rows)
+
+
+def test_lcp_kernel_prefix_suffix_order(spark):
+    """A proper-prefix suffix sorts FIRST (0-pad < every real byte):
+    'aa' has suffixes 'aa','a' -> ranks a(1), aa(2), lcp(rank2)=1."""
+    from pygr_spark.operators.fmindex import lcp_table_per_doc
+
+    docs = spark.createDataFrame([(0, "aa")], "doc_id long, seq string")
+    got = sorted(tuple(r) for r in lcp_table_per_doc(docs).collect())
+    assert got == [(0, 1, 2, 0), (0, 2, 1, 1)]
