@@ -11052,7 +11052,13 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     min) straight into the per-doc aggregate — no checkpoint, no
     join, and the gram table is consumed exactly once; it stays
     linear in corpus chars, the same shape fingerprint_chars/winnow
-    already carry."""
+    already carry. (r9 negative result, kept on purpose: rewriting
+    the window as checkpointed sibling hash-aggregates — the oracle's
+    formulation — was 1s SLOWER at the gated 16× and OOMed outright
+    at 256× on local[32] (AGGREGATE_OUT_OF_MEMORY: 32 concurrent
+    per-task hash maps vs one spillable sort); the window's sort
+    spills gracefully, making it the plan that actually survives the
+    single-JVM wall. See SCALING.md r9.)"""
     docs = _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.lower("text").alias("s")
     ).filter(F.length("s") >= 8)
