@@ -150,7 +150,15 @@ def test_reciprocal_best_hits_mutual_and_correct(spark, sf_dir):
         np.stack(emb.embedding.map(np.asarray)).astype(np.float64) * 1e6
     ).astype(np.int64)
     ids = emb.vec_id.to_numpy()
-    a_mask = ids % 10 == 0
+    # side A = the exact 200 lowest md5(vec_id||'a') — the entry's
+    # fixed-size oracle-reproducible probe set (judge r9)
+    import hashlib
+
+    order = sorted(
+        ids.tolist(), key=lambda v: (hashlib.md5(f"{v}a".encode()).hexdigest(), v)
+    )
+    a_set = set(order[:200])
+    a_mask = np.array([v in a_set for v in ids])
     sims = (q[a_mask] @ q[~a_mask].T) / (
         np.linalg.norm(q[a_mask], axis=1)[:, None]
         * np.linalg.norm(q[~a_mask], axis=1)[None, :]
@@ -414,7 +422,7 @@ def test_bootstrap_weights_are_md5_poisson(spark, sf_dir):
 
     from pygr_spark.queries import (
         _BOOTSTRAP_B,
-        _POISSON_PPM,
+        _POISSON_CUT20,
         q_bootstrap_ci,
     )
 
@@ -427,8 +435,8 @@ def test_bootstrap_weights_are_md5_poisson(spark, sf_dir):
         # r9 chunked scheme: replicate b reads 5-hex-char chunk b%6 of
         # md5(key:(b div 6)) — one digest carries six 20-bit draws
         dig = hashlib.md5(f"{key}:{b // 6}".encode()).hexdigest()
-        h = int(dig[5 * (b % 6): 5 * (b % 6) + 5], 16) % 10**6
-        for k, p in enumerate(_POISSON_PPM):
+        h = int(dig[5 * (b % 6): 5 * (b % 6) + 5], 16)
+        for k, p in enumerate(_POISSON_CUT20):
             if h < p:
                 return k
         return 8
@@ -594,8 +602,15 @@ def test_mmr_matches_greedy_reference(spark, sf_dir):
     norm = np.linalg.norm(q.astype(np.float64), axis=1)
     sim_all = (q @ q.T) / (norm[:, None] * norm[None, :])
     idx = {v: i for i, v in enumerate(ids)}
+    # query batch = the exact 20 lowest md5(vec_id||'q') (fixed-size,
+    # judge r9), iterated in ascending id to mirror the sorted output
+    import hashlib
+
+    qpick = sorted(
+        ids.tolist(), key=lambda v: (hashlib.md5(f"{v}q".encode()).hexdigest(), v)
+    )[:20]
     expect = []
-    for qid in ids[ids % 97 == 0]:
+    for qid in sorted(qpick):
         qi = idx[qid]
         others = [i for i in range(len(ids)) if i != qi]
         rel = {ids[i]: sim_all[qi, i] for i in others}

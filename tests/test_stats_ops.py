@@ -145,7 +145,7 @@ def test_bootstrap_weight_distribution_matches_cdf(spark):
     follow the Poisson(1) pmf implied by the literal CDF cutoffs."""
     from collections import Counter
 
-    from pygr_spark.operators.stats import POISSON_PPM, poisson_bootstrap
+    from pygr_spark.operators.stats import POISSON_CUT20, poisson_bootstrap
 
     n = 3000
     df = spark.range(n).select(F.col("id").alias("k"), F.lit(1).alias("v"))
@@ -156,13 +156,13 @@ def test_bootstrap_weight_distribution_matches_cdf(spark):
         assert abs(s_ - n) < 4 * (n ** 0.5) * 1.5  # ~4.5 sigma
     # exact pmf check on one replicate worth of raw weights via SQL
     one = df.selectExpr(
-        "CAST(conv(substr(md5(CAST(k AS STRING) || ':0'), 1, 15), 16, 10)"
-        " AS BIGINT) % 1000000 AS h"
+        "CAST(conv(substr(md5(CAST(k AS STRING) || ':0'), 1, 5), 16, 10)"
+        " AS BIGINT) AS h"
     ).toPandas()
     buckets = Counter()
     for h in one.h:
         w = 8
-        for k_, p in enumerate(POISSON_PPM):
+        for k_, p in enumerate(POISSON_CUT20):
             if h < p:
                 w = k_
                 break
