@@ -513,3 +513,96 @@ def test_hits_scores_distributed_topk(spark, sf_dir):
     p = plan_of(QUERIES["hits_scores"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p
     assert "Window" not in p
+
+
+def test_q6_is_single_scan_aggregate_no_join(spark, sf_dir):
+    """Q6 is THE pushdown benchmark: one filtered scan feeding a
+    map-side-combinable aggregate — any join in this plan is wrong."""
+    p = plan_of(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    assert "Join" not in p
+    assert "HashAggregate" in p
+    assert "SortAggregate" not in p
+
+
+def test_q8_broadcasts_all_dim_chains(spark, sf_dir):
+    """Q8's part/customer-region/supplier-nation chains must all hit
+    the fact table as broadcasts; the only shuffle join is
+    lineitem x orders."""
+    p = plan_of(QUERIES["q8_market_share"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q9_part_and_supplier_broadcast(spark, sf_dir):
+    p = plan_of(QUERIES["q9_product_profit"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q10_top20_is_take_ordered(spark, sf_dir):
+    """The top-20 must be TakeOrderedAndProject on the per-customer
+    aggregate (never a global sort of the join result), and the
+    customer/nation enrichment must be broadcast."""
+    p = plan_of(QUERIES["q10_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_q11_share_scalar_is_one_row_broadcast(spark, sf_dir):
+    """The HAVING-over-global-share scalar ships as ONE 1-row
+    broadcast (the documented parameter-sized waiver); the per-part
+    aggregate is hash, and the nation semi-reduction is broadcast."""
+    p = plan_of(QUERIES["q11_important_stock"](spark, sf_dir))
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # the 1-row cross only
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_q12_single_join_conditional_agg(spark, sf_dir):
+    """Q12's high/low counts are one conditional aggregate over ONE
+    fact-fact join — the canonical sum(CASE) idiom, never two joins."""
+    import re
+
+    p = plan_of(QUERIES["q12_shipmode_priority"](spark, sf_dir))
+    assert len(re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p)) == 1
+    assert "CartesianProduct" not in p
+
+
+def test_q13_outer_join_preserves_zero_order_customers(spark, sf_dir):
+    """Q13 is the outer-join-then-distribution shape: the plan must
+    keep a LEFT OUTER join (zero-order customers survive) and two
+    hash aggregates (per-customer count, then histogram)."""
+    p = plan_of(QUERIES["q13_customer_distribution"](spark, sf_dir))
+    assert "LeftOuter" in p
+    assert p.count("HashAggregate") >= 2
+    # semantic pin: zero-order customers appear as c_count = 0
+    rows = {r.c_count: r.custdist for r in QUERIES["q13_customer_distribution"](spark, sf_dir).collect()}
+    assert all(c >= 0 for c in rows)
+
+
+def test_q15_max_scalar_is_one_row_broadcast(spark, sf_dir):
+    p = plan_of(QUERIES["q15_top_supplier"](spark, sf_dir))
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # the 1-row max cross
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_q17_correlated_avg_decorrelates_to_keyed_join(spark, sf_dir):
+    """The correlated-avg subquery must run as an aggregate +
+    join-back on partkey — keyed joins only, no nested loop, and the
+    part filter semi-reduces the fact scan."""
+    p = plan_of(QUERIES["q17_small_quantity_revenue"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p
+
+
+def test_q20_nested_double_semi_join(spark, sf_dir):
+    """Q20's shape IS the nested double semi-join: part-name prune →
+    dominant-supplier set → supplier semi → nation semi."""
+    p = plan_of(QUERIES["q20_excess_suppliers"](spark, sf_dir))
+    assert p.count("LeftSemi") >= 3
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
