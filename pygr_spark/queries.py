@@ -6603,7 +6603,12 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch anomaly_events entry. Exact integer z-test in unbounded
     Python ints inside the state function; the single-batch
     availableNow drain reproduces the batch running-frame oracle
-    row-for-row."""
+    row-for-row. State eviction runs with the DEFAULT-ON idle TTL
+    (r10): the event_time column feeds the watermark, and because a
+    timeout can only fire in a batch AFTER the one that advanced the
+    watermark, the one-batch drain's output is oracle-identical while
+    a long-running deployment of the same plan keeps state bounded to
+    the hot key working set."""
     from pygr_spark.streaming.events import (
         read_events_stream,
         run_stream_to_table,
@@ -6615,6 +6620,9 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").alias("ts"),
         F.col("event_id").cast("long").alias("event_id"),
         cents(F.col("value")).alias("c"),
+        F.timestamp_micros(
+            F.expr("CAST(ts DIV 1000 AS LONG)")
+        ).alias("event_time"),
     )
     out = streaming_prefix_anomaly(stream)
     return run_stream_to_table(out, spark, mode="append")

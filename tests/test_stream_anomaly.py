@@ -20,8 +20,15 @@ def test_anomaly_eviction_shrinks_state(spark):
     """Keys idle past evict_idle_sec in event time have their state
     rows REMOVED once the watermark passes their idle horizon; output
     on admitted rows is the exact serial prefix reference for every
-    key that was never evicted mid-stream."""
-    from pygr_spark.streaming.stateful import streaming_prefix_anomaly
+    key that was never evicted mid-stream. Eviction is asserted at
+    the DEFAULT (r10: default-on, TTL 3600s) — no evict_idle_sec is
+    passed below."""
+    from pygr_spark.streaming.stateful import (
+        DEFAULT_ANOMALY_TTL_SEC,
+        streaming_prefix_anomaly,
+    )
+
+    assert DEFAULT_ANOMALY_TTL_SEC == 3600  # the TTL the test's b1 jump relies on
 
     # batch 0: six cold types in the first hour (off epoch 0 — a row
     # AT the initial watermark would be dropped as late)
@@ -65,7 +72,7 @@ def test_anomaly_eviction_shrinks_state(spark):
         .parquet(indir)
     )
     q = (
-        streaming_prefix_anomaly(stream, evict_idle_sec=3600, ts_col="ets")
+        streaming_prefix_anomaly(stream, ts_col="ets")  # default TTL
         .writeStream.format("memory")
         .queryName("anom_evict")
         .outputMode("append")
@@ -101,6 +108,8 @@ def test_anomaly_eviction_shrinks_state(spark):
 
 
 def test_anomaly_evict_requires_ts_col(spark):
+    """Eviction (the default) fails loudly when the stream lacks the
+    watermark column — no silent fallback to unbounded state."""
     import pytest
 
     from pygr_spark.streaming.stateful import streaming_prefix_anomaly
@@ -108,3 +117,6 @@ def test_anomaly_evict_requires_ts_col(spark):
     df = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="needs ts_col"):
         streaming_prefix_anomaly(df, evict_idle_sec=60)
+    # the DEFAULT itself enforces the same contract (no ts_col arg)
+    with pytest.raises(ValueError, match="needs ts_col"):
+        streaming_prefix_anomaly(df)
