@@ -137,6 +137,17 @@ HEADLINE3 = [
     "q14_promo_share",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
+    # round 10: the remaining TPC-H plan shapes
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_excess_suppliers",
     "snapshot_dedup",
     "ccnet_buckets",
     "suffix_array",

@@ -10969,6 +10969,14 @@ GROUP BY 1, 2, 3 HAVING count(*) < 5
 
 #: binary-climb steps for LCP over <= 512-char suffixes
 _LCP_STEPS = [256, 128, 64, 32, 16, 8, 4, 2, 1]
+#: phase-1 segment of the climb (r10 segmented climb): exact for
+#: LCP < 32 — and if its TOP step succeeds (k >= 32) the row
+#: escalates to the full climb. Adjacent-suffix LCPs are short on
+#: low-repetition text, so the common case allocates at most
+#: 2x(32+16+...+1) = 126 bytes of substring copies instead of the
+#: full climb's 2x1022 — the UTF8String churn SCALING.md r9 measured
+#: as this plan's 256x wall.
+_LCP_STEPS_LO = [32, 16, 8, 4, 2, 1]
 
 
 def q_lcp_array(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11001,14 +11009,28 @@ def q_lcp_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lcp_via_ranks(docs: DataFrame) -> DataFrame:
     """The distributed LCP plan (pre-r9 entry body, kept as the
     giant-single-sequence path): prefix-doubling suffix_ranks + a
-    BINARY CLIMB folded over a 9-element step array with aggregate()
-    — prefix equality is monotone in length, so greedily extending by
-    256,128,...,1 whenever the next `step` chars agree is exact, and
-    the lambda runs 9 times per row (two substring compares each),
-    never per character. Suffixes within a doc are pairwise distinct,
-    so the climb cannot overshoot past the shorter suffix. Allocation
-    cost of the substring compares documented in SCALING.md r9;
-    parity with lcp_table_per_doc pinned in tests/test_fmindex.py."""
+    BINARY CLIMB folded over a step array with aggregate() — prefix
+    equality is monotone in length, so greedily extending by
+    step-sized jumps whenever the next `step` chars agree is exact,
+    and the lambda runs a fixed number of times per row (two
+    substring compares each), never per character. Suffixes within a
+    doc are pairwise distinct, so the climb cannot overshoot past the
+    shorter suffix.
+
+    r10 SEGMENTED CLIMB: the climb runs in two phases — a cheap
+    phase-1 over ``_LCP_STEPS_LO`` (exact whenever its result < 32),
+    escalating to the full 256-climb ONLY for rows whose first 32
+    chars match the predecessor. On low-repetition text almost every
+    adjacent LCP is short, so the per-row UTF8String copy churn drops
+    from ~2 KB to ≤126 B for the common case — the allocation wall
+    SCALING.md r9 measured at 256× (112.7s) falls to the r10 rows
+    without changing a single output value (phase-1 result is reused
+    via a projection, evaluated once). Sharding: every window/join in
+    the plan hashes on doc_id, so docs spread across executors; ONE
+    genome-length doc serializes into a single task by design here —
+    the per-position range sharding a true single-genome deployment
+    needs is bwt_table's block discipline, documented there. Parity
+    with lcp_table_per_doc pinned in tests/test_fmindex.py."""
     from pygr_spark.operators.fmindex import suffix_ranks
 
     # consumed twice (rank build + the climb join): eager so the
@@ -11016,28 +11038,42 @@ def lcp_via_ranks(docs: DataFrame) -> DataFrame:
     docs = docs.localCheckpoint(eager=True)
     ranks = suffix_ranks(docs, max_len=512)
     w = Window.partitionBy("doc_id").orderBy("sa_rank")
-    steps = ", ".join(str(s) for s in _LCP_STEPS)
+
     # compare in place against the ONE seq string — substring(_a,
     # k+1, step) over a materialized suffix copy _a = substring(seq,
     # ppos) equals substring(seq, ppos + k, step), so the climb never
     # builds the two ≤512-byte suffix copies per row (5M rows x 1 KB
     # of string churn at 16x)
-    climb = (
-        f"aggregate(array({steps}), 0, (k, step) -> k + "
-        "IF(substring(seq, ppos + k, step) = substring(seq, pos + k, step) "
-        "AND ppos + k <= length(seq), step, 0))"
-    )
+    def climb(step_list: list[int]) -> str:
+        steps = ", ".join(str(s) for s in step_list)
+        return (
+            f"aggregate(array({steps}), 0, (k, step) -> k + "
+            "IF(substring(seq, ppos + k, step) = substring(seq, pos + k, step) "
+            "AND ppos + k <= length(seq), step, 0))"
+        )
+
     return (
         ranks.withColumn("ppos", F.lag("pos").over(w))
         # shuffle_hash: both sides already hash on doc_id; SMJ would
         # re-sort the 5M char rows just to stream the 80k-doc side
         .join(docs.hint("shuffle_hash"), "doc_id")
+        # phase 1: projected ONCE, reused by both the predicate and
+        # the common-case value below
+        .withColumn(
+            "_k1",
+            F.when(F.col("ppos").isNull(), F.lit(0)).otherwise(
+                F.expr(climb(_LCP_STEPS_LO))
+            ),
+        )
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("sa_rank").cast("long").alias("sa_rank"),
             F.col("pos").cast("long").alias("pos"),
-            F.when(F.col("ppos").isNull(), F.lit(0))
-            .otherwise(F.expr(climb))
+            F.when(
+                F.col("ppos").isNull() | (F.col("_k1") < _LCP_STEPS_LO[0]),
+                F.col("_k1"),
+            )
+            .otherwise(F.expr(climb(_LCP_STEPS)))
             .cast("long")
             .alias("lcp"),
         )

@@ -125,6 +125,11 @@ def test_lcp_kernel_matches_distributed_climb(spark):
     ]
     # a deliberately repetitive doc (deep LCPs, the climb's hard case)
     rows.append((99, "acgt" * 20 + "ac"))
+    # a run-doc whose adjacent LCPs reach 299: forces the r10
+    # segmented climb's escalation branch (phase-1 saturates at 32,
+    # the full climb's 256-step must fire) — every seam of the
+    # two-phase plan is crossed somewhere in 0..299
+    rows.append((98, "a" * 300))
     docs = spark.createDataFrame(rows, "doc_id long, seq string").repartition(4)
     a = {tuple(r) for r in lcp_table_per_doc(docs).collect()}
     b = {tuple(r) for r in lcp_via_ranks(docs).collect()}
