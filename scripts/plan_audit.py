@@ -45,6 +45,16 @@ EXEMPT: dict[str, dict[str, str]] = {
         "bnlj": "cross with the 1-row global avg-positive-balance "
                 "aggregate (the TPC-H Q22 scalar subquery)"
     },
+    "q11_important_stock": {
+        "bnlj": "cross with the 1-row (total, n_parts) re-aggregate "
+                "of the per-part value table (the TPC-H Q11 "
+                "HAVING-over-global-share scalar)"
+    },
+    "q15_top_supplier": {
+        "bnlj": "cross with the 1-row max re-aggregate of the "
+                "per-supplier revenue view (the TPC-H Q15 max-scalar "
+                "subquery)"
+    },
     "welch_ttest": {
         "bnlj": "cross with the 1-row pooled-moment total (complement "
                 "group derived by subtraction, no second scan)"
