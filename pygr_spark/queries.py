@@ -14372,6 +14372,12 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").join(
         F.broadcast(asia_nat), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
     ).select("c_custkey")
+    # customer/supplier are DATA-SCALE dims (they grow with SF): no
+    # forced broadcast — AQE/static size estimates pick broadcast
+    # while they fit and degrade to a shuffle join when they don't
+    # (a forced broadcast of a linear dim is the JVM-side twin of the
+    # corpus-linear driver collect the ANN guard bans). nation/region
+    # stay forced: parameter-sized by spec.
     orders = (
         _t(spark, sf_dir, "orders")
         .filter(
@@ -14380,7 +14386,7 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(o_orderdate AS DATE) < DATE '1998-01-01'"
             )
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey, "left_semi")
+        .join(cust, F.col("o_custkey") == cust.c_custkey, "left_semi")
         .select(
             "o_orderkey",
             F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year"),
@@ -14392,12 +14398,12 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", (F.col("n_name") == "NATION_19").alias("_target"))
     )
     li = _t(spark, sf_dir, "lineitem").join(
-        F.broadcast(part_keys), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        part_keys, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
     rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("o_year")
         .agg(
             F.sum(F.when(F.col("_target"), rev).otherwise(F.lit(0)))
@@ -14476,9 +14482,10 @@ def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = cents(
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
     ) - F.col("_cost_c") * F.col("l_quantity").cast("long")
+    # part/supplier are data-scale dims: no forced broadcast (see q8)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", "o_year")
         .agg(F.sum(profit).cast("long").alias("sum_profit_c"))
@@ -14530,8 +14537,11 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
+    # customer is a data-scale dim: the per-customer AGGREGATE side is
+    # the one that stays small relative to it, so let the planner pick
+    # the build side from real sizes (see q8); nation stays forced
     return (
-        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .select(
             F.col("c_custkey").cast("long").alias("c_custkey"),
@@ -14740,10 +14750,13 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = rev.agg(F.max("total_revenue_c").alias("_mx"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # no broadcast hint on supplier (a data-scale dim): the max-filter
+    # side is the ~1-row one, and the planner's size estimates build
+    # THAT side — forcing supplier would build the big side forever
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue_c") == F.col("_mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             F.col("s_suppkey").cast("long").alias("s_suppkey"),
             "s_name",
@@ -14880,9 +14893,11 @@ def q_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
         .select("n_nationkey")
     )
+    # dominant is bounded by the supplier universe (data-scale): let
+    # runtime sizes pick the semi-join strategy; nation stays forced
     return (
         _t(spark, sf_dir, "supplier")
-        .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .join(
             F.broadcast(nat_keys),
             F.col("s_nationkey") == F.col("n_nationkey"),
