@@ -10308,10 +10308,16 @@ def q_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket the feature (order price, $1000 bins), accumulate
     cumulative (count, positives) per candidate threshold with one
     window over the SMALL bucket summary, and emit each threshold's
-    weighted Gini impurity as the EXACT integer pair
-    num = n_r·(n_l² − pos_l² − neg_l²) + n_l·(n_r² − pos_r² − neg_r²),
-    den = n·n_l·n_r — impurity = num/den, no float near the gate.
-    Degenerate splits (empty side) are excluded. Scale shape: one
+    weighted Gini impurity
+    (n_r·(n_l² − pos_l² − neg_l²) + n_l·(n_r² − pos_r² − neg_r²))
+    / (n·n_l·n_r) as a DOUBLE rounded to 9 (r10: the previous exact
+    int64 num/den pair overflowed at n ≳ 2.1M orders — n·n_l·n_r is
+    cubic in row count; measured ARITHMETIC_OVERFLOW at the 64×
+    replica. Both engines now evaluate the identical double
+    expression over exact int64 cumulative counts — products enter
+    float64 late, the same IEEE result bit-for-bit — and the integer
+    carriers n_l/pos_l still cross the gate exactly). Degenerate
+    splits (empty side) are excluded. Scale shape: one
     map-side-combinable bucket aggregate over orders, then windows
     over <= |buckets| rows; the histogram-not-sort discipline is
     exactly how GBDT nodes scale to 100 TB."""
@@ -10342,19 +10348,29 @@ def q_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") - F.col("pos_l")).alias("pos_r"),
         "n",
     ).filter((F.col("n_l") > 0) & (F.col("n_r") > 0))
-    neg_l = F.col("n_l") - F.col("pos_l")
-    neg_r = F.col("n_r") - F.col("pos_r")
+    # exact int64 counters cast to double BEFORE the cubic products:
+    # counts ≤ 2^53 convert exactly, and the identical expression
+    # tree gives the same IEEE double on any engine — no int64
+    # overflow ceiling (the old n·n_l·n_r bigint blew up at 64×)
+    nl_d = F.col("n_l").cast("double")
+    posl_d = F.col("pos_l").cast("double")
+    negl_d = (F.col("n_l") - F.col("pos_l")).cast("double")
+    nr_d = F.col("n_r").cast("double")
+    posr_d = F.col("pos_r").cast("double")
+    negr_d = (F.col("n_r") - F.col("pos_r")).cast("double")
+    n_d = F.col("n").cast("double")
     return sided.select(
         "threshold",
         "n_l",
         "pos_l",
-        (
-            F.col("n_r")
-            * (F.col("n_l") * F.col("n_l") - F.col("pos_l") * F.col("pos_l") - neg_l * neg_l)
-            + F.col("n_l")
-            * (F.col("n_r") * F.col("n_r") - F.col("pos_r") * F.col("pos_r") - neg_r * neg_r)
-        ).cast("long").alias("gini_num"),
-        (F.col("n") * F.col("n_l") * F.col("n_r")).cast("long").alias("gini_den"),
+        F.round(
+            (
+                nr_d * (nl_d * nl_d - posl_d * posl_d - negl_d * negl_d)
+                + nl_d * (nr_d * nr_d - posr_d * posr_d - negr_d * negr_d)
+            )
+            / (n_d * nl_d * nr_d),
+            9,
+        ).alias("gini"),
     )
 
 
@@ -10381,10 +10397,14 @@ WITH feat AS (
   FROM cum WHERE n_l > 0 AND n - n_l > 0
 )
 SELECT threshold, n_l, pos_l,
-  CAST(n_r * (n_l*n_l - pos_l*pos_l - (n_l-pos_l)*(n_l-pos_l))
-     + n_l * (n_r*n_r - pos_r*pos_r - (n_r-pos_r)*(n_r-pos_r))
-     AS BIGINT) AS gini_num,
-  CAST(n * n_l * n_r AS BIGINT) AS gini_den
+  round((CAST(n_r AS DOUBLE) * (CAST(n_l AS DOUBLE)*CAST(n_l AS DOUBLE)
+           - CAST(pos_l AS DOUBLE)*CAST(pos_l AS DOUBLE)
+           - CAST(n_l - pos_l AS DOUBLE)*CAST(n_l - pos_l AS DOUBLE))
+       + CAST(n_l AS DOUBLE) * (CAST(n_r AS DOUBLE)*CAST(n_r AS DOUBLE)
+           - CAST(pos_r AS DOUBLE)*CAST(pos_r AS DOUBLE)
+           - CAST(n_r - pos_r AS DOUBLE)*CAST(n_r - pos_r AS DOUBLE)))
+     / (CAST(n AS DOUBLE) * CAST(n_l AS DOUBLE) * CAST(n_r AS DOUBLE)), 9)
+    AS gini
 FROM sided
 """
 

@@ -135,7 +135,7 @@ def test_gini_split_matches_bruteforce(spark, sf_dir):
         want = (n_l / n) * gini_l + (n_r / n) * gini_r
         r = out[bucket]
         assert r.n_l == n_l and r.pos_l == p_l
-        assert abs(r.gini_num / r.gini_den - want) < 1e-12
+        assert abs(r.gini - want) < 1e-9
         checked += 1
     assert checked == len(out) > 0
 
