@@ -14,22 +14,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pygr_spark.queries import ORACLES, QUERIES
 
-#: Catalog entries with no driver CORRECTNESS record through round 8
-#: (the driver samples ~50/round; the judge's full 239-entry sweeps
-#: cover these, but they are listed FIRST so any driver sampling
-#: order derived from this dict reaches them before the long-green
-#: rest — judge r7 item #7). approx_aggs and media_real_decode follow:
-#: driver-sampled in r8 but only as rows-only `err` records — their r9
-#: oracles need a sampled run to convert the record to green.
+#: Driver-sampling priority list (judge r7 item #7 / r10 item #6).
+#: Every catalog entry now has a green driver CORRECTNESS record
+#: (r10: the never-sampled set emptied), so this rotates to the
+#: STALEST-green entries — last driver-green in round 3 — listed
+#: FIRST so the driver's ~50/round sample re-covers the long-green
+#: tail instead of re-drawing from the recently-verified head.
 _NEVER_DRIVER_SAMPLED = [
-    # round-9 additions (no driver record yet by definition)
-    "q2_min_cost_supplier", "q21_laggard_suppliers",
-    "q16_supplier_breadth", "q7_nation_volume", "q14_promo_share",
-    "q19_disjunctive_revenue", "q22_dormant_customers",
-    "stream_topk", "media_frames", "seed_homology", "liftover",
-    "seq_n50", "interval_subtract", "countmin_topk", "event_funnel",
-    "graph_bfs", "bucketed_join", "lm_surprise", "coverage_hist",
-    "approx_aggs", "media_real_decode",
+    # last driver-green r03 (oldest records in CORRECTNESS_r*.json)
+    "top_orders_per_cust", "market_share_cube", "overlap_join",
+    "overlap_signed", "sessionize_events", "coverage_segments",
+    "dedup_exact", "text_stats", "customers_without_orders",
+    "order_fill_counts", "pivot_status", "setops_nations",
+    "triangle_motif", "doc_slices", "ngram_jaccard", "cosine_topk",
+    "doc_quality", "lang_guess", "fingerprint_chars", "event_windows",
+    "two_hop_align", "splice_graph", "letter_identity", "rollup_dates",
+    "above_avg_orders", "string_date_funcs", "json_events",
+    "interval_mask", "six_frames", "fasta_roundtrip",
 ]
 
 

@@ -5876,7 +5876,13 @@ def q_sales_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = n*Sxx - Sx^2) so the gate compares integers, not engine
     float rounding. Two-level aggregate: month rollup then the slope
     sums — both map-side partial, no window, no skew; the join chain
-    orders->customer->nation broadcasts the dims."""
+    orders->customer->nation broadcasts the dims.
+
+    int64 carrier bound (scripts/overflow_audit.py): n*sxy ≈ 1.0e17
+    at sf0.1, linear in data volume (month index is date-domain
+    bounded) → safe to ~89x sf0.1 (~sf9). Past that, rebase cents to
+    whole dollars (x100 headroom) or emit the slope as the gini_split
+    late-cast double."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -7411,7 +7417,10 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from its event until the type's next event (lead over the
     per-type stream); TWAP = Σ value·duration / Σ duration as an
     EXACT integer (cents × seconds) pair. Per-type window (bounded
-    partitions), one aggregate."""
+    partitions), one aggregate. int64 carrier bound
+    (overflow_audit.py): twap_num ≤ max_cents·time-span ≈ 1.5e11 —
+    DOMAIN-bounded: more rows only split segments, never grow the
+    sum; safe at any replication."""
     ev = read_events(spark, sf_dir)
     # Order by the TRUNCATED second (not the ns-resolution ts) so the
     # lead sequence matches the oracle's ORDER BY (tsec, event_id)
@@ -8583,7 +8592,9 @@ def q_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hour-bucket aggregation is map-side combinable; the lag join is
     a self-join on shifted hour keys over the SMALL bucket table
     (hours, not events) — at 100 TB the event→bucket reduction does
-    all the heavy lifting before any join."""
+    all the heavy lifting before any join. int64 carrier bound
+    (scripts/overflow_audit.py): den_y = n·syy−sy² ≈ 1.7e9 at sf0.1,
+    quadratic in volume → safe to ~74,700x sf0.1."""
     ev = read_events(spark, sf_dir).select(
         "event_type", F.expr("CAST(ts_sec DIV 3600 AS BIGINT)").alias("h")
     )
@@ -8719,7 +8730,12 @@ def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     over per-customer totals (≈25 groups); all sums are integer
     cents. At 100 TB: the heavy orders→customer rollup is one keyed
     shuffle with map-side combine; the ranked pass runs over the
-    much smaller per-customer table."""
+    much smaller per-customer table.
+
+    int64 carrier bound (scripts/overflow_audit.py): gini_den =
+    n_cust·sum_cents ≈ 1.0e14 per nation at sf0.1, quadratic in data
+    volume → safe to ~299x sf0.1; past that, carry spend in whole
+    dollars (x10^4 headroom on the product)."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     spend = (
@@ -8890,7 +8906,9 @@ def q_auc_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤ n_partitions rows) are collected and turned into broadcast
     offsets, and the within-partition running sum is a window KEYED
     by partition id — the two-pass prefix-scan every 100 TB ranking
-    pipeline uses. plan_audit stays clean: no empty PARTITION BY."""
+    pipeline uses. plan_audit stays clean: no empty PARTITION BY.
+    int64 carrier bound (overflow_audit.py): auc_den2 = 2·n_pos·n_neg
+    ≈ 2.0e6 at sf0.1, quadratic → safe to ~2.1e6x sf0.1."""
     scored = _margin_scored(spark, sf_dir)
     # eager checkpoint: the per-score table feeds THREE downstream jobs
     # (quantile bounds, offset collect, final aggregate) — without it
@@ -9810,7 +9828,9 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * F.col("s_k") - F.col("k") * F.col("s_n")
         ).alias("dev"),
     )
-    # dev reaches ~n·|S_n| (≈2e13 at sf0.1) so the packed-long argmax
+    # dev reaches ~n·|S_n| (measured 1.6e10 at sf0.1, quadratic in
+    # volume → int64-safe to ~24,000x sf0.1, overflow_audit.py) so
+    # the packed-long argmax
     # trick would overflow; argmax = per-type max WINDOW + filter +
     # min-k — one pass over stat (an agg + join-back would recompute
     # the whole upstream window pipeline for the second consumer), no
@@ -10246,7 +10266,8 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     event→day rollup is one map-side-combinable keyed aggregate; the
     regression runs over the tiny (type, day) table, and x is
     re-based to days-since-first so the moments stay far from 2^63
-    at any corpus size."""
+    at any corpus size (overflow_audit.py: n·sxy ≈ 2.9e13 at sf0.1,
+    linear in volume → safe to ~315,000x)."""
     ev = read_events(spark, sf_dir).select(
         "event_type",
         F.expr("CAST(ts_sec DIV 86400 AS BIGINT)").alias("day"),
@@ -11504,7 +11525,12 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean-difference rational (md_num/md_den) rides along so the gate
     has an integer carrier too. Scale shape: one partial-agg shuffle
     of 5 groups regardless of row count. Library form:
-    operators/stats.py group_moments + welch_t_expr."""
+    operators/stats.py group_moments + welch_t_expr.
+
+    int64 carrier bound (scripts/overflow_audit.py): md_num's s1·n2
+    term ≈ 8.0e12 at sf0.1, quadratic in data volume → safe to
+    ~1072x sf0.1; q1 = Σc² is value-domain bounded per row, linear,
+    safe to ~9e6x."""
     from pygr_spark.operators.stats import group_moments, welch_t_expr
 
     ev = read_events(spark, sf_dir).select(
@@ -12427,8 +12453,11 @@ def q_multi_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-feature OLS — quadratic trend of daily order revenue:
     regress daily dollars on [1, t, t²] (t = days since 1995-01-01)
     by solving the 3×3 normal equations with Cramer's rule. The five
-    x-moments and three xy-moments are EXACT bigints (bounded:
-    Σt⁴ ≈ 8e16 at sf0.1 — documented headroom); the determinants are
+    x-moments and three xy-moments are EXACT bigints (bounded —
+    scripts/overflow_audit.py: s4 = Σt⁴ ≈ 1.6e16 is date-domain
+    FIXED; the binding carrier is stty = Σt²y ≈ 7.2e16 at sf0.1,
+    linear in revenue volume → safe to ~128x sf0.1; past that,
+    rebase y to thousands of dollars); the determinants are
     fixed double expressions over those integers (only ·, +, − — all
     IEEE-deterministic, no libm), and the coefficients are rounded
     to 6. Scale shape: one map-side-combinable day rollup, then a
@@ -12690,7 +12719,12 @@ def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_post − θ·(mean_pre_g − mean_pre_all) as a fixed double
     expression over exact bigint moments, rounded to 6. Scale shape:
     one per-user agg, one 1-row global moment aggregate (broadcast),
-    one 2-group aggregate — θ never sees raw rows twice."""
+    one 2-group aggregate — θ never sees raw rows twice.
+
+    int64 carrier bound (scripts/overflow_audit.py): sxx = Σ(per-user
+    cents)² ≈ 1.7e14 at sf0.1, quadratic under replication (per-user
+    totals grow with volume, user count fixed) → safe to ~233x
+    sf0.1; θ's n·sxx−sx² itself is already evaluated in double."""
     ev = read_events(spark, sf_dir).select(
         "user_id",
         F.expr("CAST(ts_sec DIV 86400 AS BIGINT)").alias("day"),
@@ -13858,8 +13892,9 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pearson: both rankings use the DISTRIBUTED global-rank stitch
     (total order (metric, custkey): deterministic, no midrank floats)
     and ρ = 1 − 6Σd²/(n(n²−1)) is carried as the EXACT pair
-    rho_num = n(n²−1) − 6Σd², rho_den = n(n²−1). Headroom: Σd² ≤ n³/3,
-    so int64 holds to n ≈ 1.4M customers per group — shard by segment
+    rho_num = n(n²−1) − 6Σd², rho_den = n(n²−1). Headroom
+    (scripts/overflow_audit.py): worst-case 6Σd² = 2n³−2n, so int64
+    holds to n ≈ 1.66M customers ≈ 111x sf0.1 — shard by segment
     beyond that (documented knob). Scale shape: one per-customer agg,
     two range-bucket ranking passes, one 1-row moment aggregate."""
     cust = _t(spark, sf_dir, "customer").select(
