@@ -89,6 +89,9 @@ def pagerank(
     e = e.join(out_deg, src).localCheckpoint(eager=False)
     nodes = nodes_of(e, src, dst)
     ranks = nodes.withColumn("rank", F.lit(1.0))
+    # zero rows unioned into the aggregate replace the nodes LEFT
+    # JOIN — one less exchange per round (see pagerank_exact)
+    zero_rows = nodes.select("node", F.lit(0.0).alias("_c"))
     for i in range(n_iter):
         # broadcast the node-sized rank vector: the edge table is
         # never shuffled — per round one edge scan + partial agg
@@ -96,14 +99,13 @@ def pagerank(
         contribs = (
             e.join(rank_side, e[src] == rank_side["node"])
             .select(F.col(dst).alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .unionByName(zero_rows)
             .groupBy("node")
             .agg(F.sum("_c").alias("_sum"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
+        ranks = contribs.select(
             "node",
-            (F.lit(1 - damping) + damping * F.coalesce("_sum", F.lit(0.0))).alias(
-                "rank"
-            ),
+            (F.lit(1 - damping) + damping * F.col("_sum")).alias("rank"),
         )
         # sparse lineage cuts: a checkpoint materialization splits the
         # run into extra jobs, pure overhead at small n_iter — a
@@ -170,27 +172,50 @@ def pagerank_exact(
         )
     else:
         ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    # per-iteration zero rows for every node: unioned INTO the
+    # contribution aggregate (below) instead of a nodes LEFT JOIN
+    # after it — same semantics (a node with no in-edges sums to 0,
+    # exactly what coalesce(_sum, 0) produced), one less exchange +
+    # join stage per round (r11 job-floor cut: the 6-round entries
+    # ran ~3 exchanges/round; this removes the node-sized one)
+    if seeds is not None:
+        zero_rows = nodes.select(
+            "node", "_is_seed", F.lit(0).cast("long").alias("_c")
+        )
+    else:
+        zero_rows = nodes.select("node", F.lit(0).cast("long").alias("_c"))
     for i in range(n_iter):
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
-        contribs = (
-            e.join(rank_side, e[src] == rank_side["node"])
-            .select(
-                F.col(dst).alias("node"),
-                F.expr("rank DIV _deg").alias("_c"),
+        edge_c = e.join(rank_side, e[src] == rank_side["node"]).select(
+            F.col(dst).alias("node"),
+            F.expr("rank DIV _deg").alias("_c"),
+        )
+        if seeds is not None:
+            # _is_seed rides the zero rows only (one exact row per
+            # node); max() recovers it after the union — edge rows
+            # carry NULL there and never override
+            contribs = (
+                edge_c.withColumn("_is_seed", F.lit(None).cast("int"))
+                .unionByName(zero_rows)
+                .groupBy("node")
+                .agg(
+                    F.sum("_c").alias("_sum"),
+                    F.max("_is_seed").alias("_is_seed"),
+                )
             )
-            .groupBy("node")
-            .agg(F.sum("_c").alias("_sum"))
-        )
-        base_col = (
-            (F.col("_is_seed") * base).cast("long")
-            if seeds is not None
-            else F.lit(base).cast("long")
-        )
-        ranks = nodes.join(contribs, "node", "left").select(
+            base_col = (F.col("_is_seed") * base).cast("long")
+        else:
+            contribs = (
+                edge_c.unionByName(zero_rows)
+                .groupBy("node")
+                .agg(F.sum("_c").alias("_sum"))
+            )
+            base_col = F.lit(base).cast("long")
+        ranks = contribs.select(
             "node",
             (
                 base_col
-                + F.expr(f"({damping_num} * coalesce(_sum, 0L)) DIV {damping_den}")
+                + F.expr(f"({damping_num} * _sum) DIV {damping_den}")
             ).alias("rank"),
         )
         # sparse lineage cuts: a checkpoint materialization splits the
@@ -553,31 +578,36 @@ def kcore_peel(
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        # ONE driver job per round: deg is lazily checkpointed and
-        # materialized by the min-degree probe action that
-        # immediately follows (its ONLY consumer at that point, so
-        # the sibling-stage double-materialization hazard doesn't
+    for r in range(max_rounds):
+        # deg is lazily checkpointed and materialized by the
+        # min-degree probe action (its ONLY consumer at that point,
+        # so the sibling-stage double-materialization hazard doesn't
         # apply); the probe's 1-row answer doubles as the early-exit
         # check, and the two join legs then reuse the materialized
-        # blocks. The previous eager-checkpoint + isEmpty shape cost
-        # 3 jobs/round — pure scheduler floor on the shrinking
-        # edge set (measured 10.2s -> ~4s at 16x for the whole peel).
+        # blocks. r11: the probe now fires every OTHER round — two
+        # peel rounds compose lazily into one materialization, so the
+        # fixed scheduler floor is paid max_rounds/2 times instead of
+        # max_rounds (the skipped probe only delays early exit past a
+        # no-op round, which peels nothing — the surviving edge set
+        # per round is IDENTICAL to the probe-every-round unroll, and
+        # both are the oracle's full unroll; tests/test_peel_knobs.py
+        # pins the equivalence).
         deg = (
             e.groupBy("u")
             .agg(F.count(F.lit(1)).alias("d"))
             .localCheckpoint(eager=False)
         )
-        min_d = deg.agg(F.min("d")).first()[0]
-        # early exit when a round removes nothing: the remaining
-        # rounds are no-ops, so the result is IDENTICAL to the full
-        # unroll the oracle runs — this just skips their fixed job
-        # overhead (rounds don't shrink with data size)
-        if min_d is None or min_d >= k:
-            break
+        if r % 2 == 1 or r == max_rounds - 1:
+            min_d = deg.agg(F.min("d")).first()[0]
+            # early exit when a round removes nothing: the remaining
+            # rounds are no-ops, so the result is IDENTICAL to the
+            # full unroll the oracle runs — this just skips their
+            # fixed job overhead (rounds don't shrink with data size)
+            if min_d is None or min_d >= k:
+                break
         keep = deg.filter(F.col("d") >= k).select("u")
-        # lazy: materialized by the NEXT round's deg probe (or the
-        # caller's first action), whose scan covers all of e
+        # lazy: materialized by the NEXT probe (or the caller's first
+        # action), whose scan covers all of e
         e = (
             e.join(keep, "u")
             .join(keep.withColumnRenamed("u", "v"), "v")

@@ -8867,7 +8867,7 @@ def _margin_scored(spark: SparkSession, sf_dir: str):
 # private aliases keep this module's call sites stable.
 from pygr_spark.operators.ranks import (  # noqa: E402
     det_range_pids as _det_range_pids,
-    dist_global_rank as _dist_global_rank,
+    dist_global_rank_multi as _dist_global_rank_multi,
     dist_prefix_sums as _dist_prefix_sums,
 )
 
@@ -13399,45 +13399,53 @@ _KTRUSS_K = 3
 _KTRUSS_ROUNDS = 4
 
 
-def _sized_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (basket, item) rows under the shared skew cap — THE
+def _capped_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-basket distinct-item ARRAYS under the shared skew cap — THE
     single home of the basket-cap knob for every co-purchase-graph
-    consumer (truss, k-core, association rules). EAGER checkpoint:
-    the self-join inside _truss_pairs consumes it as two SIBLING legs
-    of one shuffle join, so a lazy checkpoint would materialize the
-    distinct+window build once per leg (and assoc_rules adds two
-    more consumers)."""
+    consumer (truss, k-core, association rules). dedup + size-cap in
+    ONE exchange: collect_set(item) per basket (partial
+    ObjectHashAggregate combines map-side), filter on set size. EAGER
+    checkpoint of the ARRAY form (one row per basket — the smallest
+    representation): every consumer derives lazily from these blocks.
+    Cap semantics unchanged: same ≤50 distinct items per basket the
+    oracles apply."""
     li = _t(spark, sf_dir, "lineitem")
-    # dedup + size-cap in ONE exchange: collect_set(item) per basket
-    # (partial ObjectHashAggregate combines map-side), filter on set
-    # size, explode back. This replaces the round-7 distinct +
-    # checkpoint + size-agg + semi-join pipeline — 3 shuffles and 2
-    # eager materializations — with one shuffle and one checkpoint;
-    # it was the small-scale constant behind the r7 sf0.1 regression
-    # on ktruss/assoc (cap semantics unchanged: same ≤50 distinct
-    # items per basket the oracle applies).
     return (
         li.groupBy(F.col("l_orderkey").alias("bk"))
         .agg(F.collect_set("l_partkey").alias("_items"))
         .filter(F.size("_items") <= 50)
-        .select("bk", F.explode("_items").alias("item"))
         .localCheckpoint(eager=True)
     )
 
 
+def _sized_baskets(
+    spark: SparkSession, sf_dir: str, capped: DataFrame | None = None
+) -> DataFrame:
+    """Distinct (basket, item) rows under the skew cap — the exploded
+    view of :func:`_capped_baskets` (lazy: the explode is codegen over
+    the checkpointed array blocks, no shuffle)."""
+    if capped is None:
+        capped = _capped_baskets(spark, sf_dir)
+    return capped.select("bk", F.explode("_items").alias("item"))
+
+
 def _truss_pairs(
-    spark: SparkSession, sf_dir: str, sized: DataFrame | None = None
+    spark: SparkSession, sf_dir: str, capped: DataFrame | None = None
 ) -> DataFrame:
     """Frequent co-purchase pair graph over the shared capped basket
-    set: undirected edges kept as u < v rows with their pair count."""
-    if sized is None:
-        sized = _sized_baskets(spark, sf_dir)
-    a = sized.select("bk", F.col("item").alias("u"))
-    b = sized.select("bk", F.col("item").alias("v"))
-    # shuffle_hash: SMJ would sort both multi-million-row legs by bk
-    # before the in-basket fan-out; hash join streams them
+    set: undirected edges kept as u < v rows with their pair count.
+
+    r11: pairs come from a DOUBLE EXPLODE of the per-basket item
+    array — the in-basket fan-out needs no join at all (the previous
+    shuffle_hash self-join on bk re-exchanged both exploded legs; the
+    array rows already hold every pair). One exchange total (the
+    final (u, v) count); fan-out stays ≤ C(50,2) per basket under the
+    shared cap, exactly the skew bound the join form had."""
+    if capped is None:
+        capped = _capped_baskets(spark, sf_dir)
     return (
-        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "bk")
+        capped.select(F.explode("_items").alias("u"), "_items")
+        .select("u", F.explode("_items").alias("v"))
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("pc"))
@@ -13691,9 +13699,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-bucket offsets + a pid-KEYED window), never a global ntile
     # window that would sort every customer in one task. ntile
     # semantics are then a pure formula of (rank, n): the first
-    # n mod 5 tiles carry one extra row.
+    # n mod 5 tiles carry one extra row. All three tiles ride ONE
+    # multi-key stitch (r11 job-floor cut: one approxQuantile + one
+    # offsets collect for r/f/m together, and n is a free by-product
+    # — was 3 single stitches + an eager count, ~9 build jobs).
     per = per.localCheckpoint(eager=True)
-    n = per.count()
+    ranks, n = _dist_global_rank_multi(
+        per.select(
+            "custkey",
+            F.expr("CAST(-recency AS BIGINT)").alias("_neg_r"),
+            "freq",
+            "monetary",
+        ),
+        [("_neg_r", "_rk_r"), ("freq", "_rk_f"), ("monetary", "_rk_m")],
+        "custkey",
+    )
     if n == 0:
         # empty input: no tiles to assign (and tile_col would emit a
         # DIV 0 fragment) — return the empty frame with the contract
@@ -13716,20 +13736,16 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         )
 
-    def dist_rank(key_expr: str, out: str) -> DataFrame:
-        t = per.select("custkey", F.expr(key_expr).alias("k"))
-        ranked = _dist_global_rank(t, "k", "custkey", out="_rk")
-        return ranked.select("custkey", tile_col("_rk").alias(out))
-
     # recency: most-recent (smallest days-since) = tile 5 → rank on
     # NEGATED recency ascending
-    r_t = dist_rank("-recency", "r_score")
-    f_t = dist_rank("freq", "f_score")
-    m_t = dist_rank("monetary", "m_score")
+    tiles = ranks.select(
+        "custkey",
+        tile_col("_rk_r").alias("r_score"),
+        tile_col("_rk_f").alias("f_score"),
+        tile_col("_rk_m").alias("m_score"),
+    )
     return (
-        per.join(r_t, "custkey")
-        .join(f_t, "custkey")
-        .join(m_t, "custkey")
+        per.join(tiles, "custkey")
         .select(
             "custkey",
             "recency",
@@ -13783,12 +13799,14 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     num/den pairs, emitted in both directions. Scale shape: the
     shared frequent-pair build plus one broadcast item-count join and
     a 1-row basket total."""
-    sized = _sized_baskets(spark, sf_dir)
-    pairs = _truss_pairs(spark, sf_dir, sized=sized)
+    capped = _capped_baskets(spark, sf_dir)
+    pairs = _truss_pairs(spark, sf_dir, capped=capped)
+    sized = _sized_baskets(spark, sf_dir, capped=capped)
     item_counts = sized.groupBy("item").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    n_baskets = sized.select("bk").distinct().agg(
+    # one row per basket already — a plain count, no distinct needed
+    n_baskets = capped.agg(
         F.count(F.lit(1)).cast("long").alias("nb")
     )
     both = pairs.select(
@@ -13915,15 +13933,16 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "custkey", "bal", F.coalesce("spend", F.lit(0)).alias("spend")
     ).localCheckpoint(eager=True)
-    rx = _dist_global_rank(
-        per.select("custkey", "bal"), "bal", "custkey", out="rx"
+    # both rankings ride ONE multi-key stitch (r11 job-floor cut:
+    # one approxQuantile + one offsets collect for bal and spend
+    # together, and the rx⋈ry join disappears — the ranks land on
+    # one row per custkey already)
+    ranks, _n = _dist_global_rank_multi(
+        per.select("custkey", "bal", "spend"),
+        [("bal", "rx"), ("spend", "ry")],
+        "custkey",
     )
-    ry = _dist_global_rank(
-        per.select("custkey", "spend"), "spend", "custkey", out="ry"
-    )
-    d = rx.join(ry, "custkey").select(
-        (F.col("rx") - F.col("ry")).alias("d")
-    )
+    d = ranks.select((F.col("rx") - F.col("ry")).alias("d"))
     m = d.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.expr("d * d")).cast("long").alias("sd2"),
