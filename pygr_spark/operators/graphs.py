@@ -289,6 +289,13 @@ def connected_components(
             # lineage otherwise
             .localCheckpoint(eager=False)
         )
+        # The per-round probe is LOAD-BEARING beyond early exit: its
+        # action materializes new_labels' lazy checkpoint before the
+        # next round's THREE sibling consumers (neighbor join, hop
+        # legs) can race to compute it concurrently. An r11 attempt
+        # to fire it every other round (the kcore batching) measured
+        # MORE jobs (54 vs 20 at sf0.01): each unmaterialized round
+        # re-ran per sibling stage. Probe every round.
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -10640,12 +10640,17 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full-key distinct, not dropDuplicates(["doc_id","term"]): lang is
     # functionally dependent on doc_id, and the subset form compiles to
     # first(lang) which falls back to SortAggregate
+    # lazy checkpoint: three consumers (top, n_lt, n_term) would each
+    # replay the explode+distinct shuffle; the broadcast-feeding `top`
+    # stage runs first and materializes the blocks for the other two
+    # (r11: measured 3.77s -> 3.34s at 16x)
     doc_terms = (
         docs.select(
             "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
         )
         .filter(F.length("term") > 0)
         .distinct()
+        .localCheckpoint(eager=False)
     )
     top = (
         doc_terms.groupBy("term")
