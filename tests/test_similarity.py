@@ -259,3 +259,38 @@ def test_triplet_mining_empty_anchors(spark):
     assert out.columns == [
         "anchor_id", "pos_id", "pos_sim", "neg_id", "neg_sim", "margin",
     ]
+
+
+def test_plan_row_bound_static_guard(spark):
+    """plan_row_bound (r11 job-floor cut) reads a top-chain
+    GlobalLimit from the optimized plan with NO job, and refuses to
+    claim a bound through row-EXPANDING or multi-child operators —
+    the soundness property that lets the ANN guards skip their
+    limit-probe job only when the cap is provably satisfied."""
+    from pygr_spark.operators.similarity import plan_row_bound
+
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    # md5-ranked fixed batch — the catalog's ANN query-set idiom
+    assert (
+        plan_row_bound(
+            df.orderBy(F.md5(F.col("id").cast("string")))
+            .limit(100)
+            .select("id", "v")
+        )
+        == 100
+    )
+    # filters above the limit only shrink the bound — still sound
+    assert plan_row_bound(df.limit(10).filter(F.col("id") > 3)) == 10
+    # no visible bound → None (probe still runs)
+    assert plan_row_bound(df) is None
+    # a limit BELOW an explode does not bound the output
+    assert (
+        plan_row_bound(
+            df.limit(10).select(
+                F.explode(F.array_repeat(F.col("id"), 5)).alias("e")
+            )
+        )
+        is None
+    )
+    # a limit below a join does not bound the output
+    assert plan_row_bound(df.limit(10).join(df, "id")) is None
