@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 from pygr_spark.operators.groupmerge import gap_merge
 from pygr_spark.operators.overlap import overlap_join
 from pygr_spark.operators.sweep import coverage_segments
+from pygr_spark.tuning import (
+    sort_scaled_partitions as _sort_scaled_partitions,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -7881,9 +7884,14 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
-    # eager checkpoint: r1 feeds the argmax collect AND the final
-    # union — without it the character fan-out scans the corpus twice
-    r1 = pair_counts(docs, "text").localCheckpoint()
+    # LAZY checkpoint: r1 feeds the argmax collect AND the final
+    # union — without it the character fan-out scans the corpus
+    # twice. The argmax first() that immediately follows is the
+    # checkpoint's ONLY consumer at that point, so it materializes r1
+    # exactly once and the union leg reuses the blocks (r11: eager +
+    # first was 2 jobs of the same scan — the kcore probe
+    # discipline).
+    r1 = pair_counts(docs, "text").localCheckpoint(eager=False)
     top = r1.orderBy(F.col("cnt").desc(), "pair").first()  # 1 row
     # \Q...\E quoting keeps regexp_replace literal (the oracle uses
     # plain replace()), whatever characters the corpus pair contains
@@ -11195,8 +11203,15 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ONE exchange for the whole plan: hash-partitioning on g
         # satisfies the (doc_id, g) clustering the distinct needs AND
         # the per-gram window below, so neither inserts its own
-        # 15M-row shuffle (two big exchanges -> one at 16x)
-        .repartition("g")
+        # 15M-row shuffle (two big exchanges -> one at 16x). Width
+        # follows the SORT-SCALED rule (pygr_spark/tuning.py — this
+        # entry's declared class): partitions ∝ input bytes so the
+        # per-partition gram sort stays spill-free; ≤16× resolves to
+        # the 32 floor (identical plan to r10's gated bench), 256×
+        # resolves to ~113 ≈ the measured-good 128 (278.9s → 88.7s).
+        .repartition(
+            _sort_scaled_partitions(spark, sf_dir, ("documents",)), "g"
+        )
         .distinct()
     )
     wg = Window.partitionBy("g")

@@ -1,0 +1,95 @@
+"""Shuffle-parallelism rules, codified from the round-10 measurements
+(SCALING.md "The shuffle-partitions knob, measured"): two classes of
+heavy plan scale DIFFERENTLY with partition count, and the knob must
+follow the class, not a global default.
+
+- **sort-scaled** (window/sort-bound): the plan's cost center is a
+  per-key sort whose run size grows with input (novelty_scores' 15M+
+  gram window). Partitions must grow ∝ input bytes so each sort run
+  stays spill-free: measured 278.9s → 88.7s (3.1×) at 256× moving
+  32 → 128 partitions. On a real cluster this is the default posture
+  (partitions ∝ input splits); on local[32] it must be set.
+- **cores-bound** (map-side-combinable aggregates): partial
+  aggregation collapses rows before the exchange, so reduce-side
+  width beyond the core count buys nothing — the same r10 probe
+  REFUTED the knob for four_cycles (the residual is single-JVM
+  shuffle bandwidth, the kcore class). Partitions stay ∝ cores,
+  which is the session default; entries in this class need no code.
+
+`SHUFFLE_CLASS` records the measured class per heavy entry —
+tests/test_tuning.py asserts every 256×-probed entry declares one, so
+a new heavy entry cannot ship without stating which rule it follows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Measured class per heavy catalog entry (the 256×-probe set of
+#: SCALING.md rounds 9-11). "sort_scaled" entries route their big
+#: exchange through :func:`sort_scaled_partitions`; "cores" entries
+#: keep the session default (shuffle.partitions = cores).
+SHUFFLE_CLASS: dict[str, str] = {
+    "novelty_scores": "sort_scaled",   # per-gram window sort (3.1× at 256×)
+    "suffix_array": "cores",           # doc-keyed windows: width follows the
+                                       # key distribution, not a global sort
+    "lcp_array": "cores",              # r10 256× fix was algorithmic
+                                       # (segmented climb), not a width knob
+    "four_cycles": "cores",            # map-side-combinable agg (knob refuted r10)
+    "kcore_decomp": "cores",           # shrinking-edge-set partial aggs
+    "ktruss_edges": "cores",           # same class as kcore
+    "copurchase": "cores",             # capped in-basket agg, map-side combine
+    "hits_scores": "cores",            # partial-agg power iterations
+    "assoc_rules": "cores",            # shared pair build, map-side combine
+    "frequent_triples": "cores",       # capped basket fan-out + agg
+}
+
+
+def table_bytes(sf_dir: str, tables: tuple[str, ...]) -> int:
+    """On-disk parquet bytes of the given driver tables — a pure
+    filesystem stat (no Spark job, identical across a plan's multiple
+    evaluations; file size is the same signal maxPartitionBytes
+    splits scans by)."""
+    total = 0
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def sort_scaled_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...],
+    expansion: float = 50.0,
+    target_partition_bytes: int = 64 << 20,
+    cap: int = 4096,
+) -> int:
+    """Partition count for the SORT-SCALED class: grow the exchange
+    width with input so each partition's sort run stays around
+    ``target_partition_bytes`` of in-flight rows.
+
+    ``expansion`` is the plan's rows-bytes-per-input-byte fan-out
+    (novelty's 8-gram explode turns ~1 compressed parquet byte into
+    ~50 bytes of shuffled gram rows: ~2-3× parquet text compression
+    × ~8 gram rows/char × ~2.5 row overhead). The floor is the
+    session's core count (never narrower than the machine); the cap
+    bounds scheduler pressure. Reproduces the r10 measurement:
+    documents at 256× (~145 MB parquet) → ~113 partitions ≈ the
+    measured-good 128, while ≤16× stays at the 32 floor (no change
+    to the gated bench plans)."""
+    floor = spark.sparkContext.defaultParallelism
+    want = int(table_bytes(sf_dir, tables) * expansion) // max(
+        target_partition_bytes, 1
+    )
+    return max(floor, min(cap, want))
