@@ -375,3 +375,78 @@ def dist_global_rank_multi(
         ]
     )
     return out, n_rows
+
+def dist_grouped_dense_rank(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    id_col: str,
+    out: str = "rank",
+    n_parts: int = 8,
+) -> DataFrame:
+    """Distributed per-group DENSE rank over a numeric key — the
+    dense sibling of :func:`dist_grouped_rank`, built for the sharded
+    suffix-array refinement (fmindex.suffix_ranks_sharded) where ONE
+    group (a genome-length document) must never serialize into a
+    single task's window.
+
+    Same two-pass stitch: deterministic range buckets on the key
+    (:func:`det_range_pids` — equal keys always land in one bucket,
+    so a dense run never straddles the seam), per-(group, bucket)
+    DISTINCT-key counts collected into per-group prefix offsets, then
+    a (group, pid)-KEYED dense_rank window plus the offset. The
+    collect is <= n_groups x n_parts rows under the same
+    low-cardinality-groups contract (and cap) as dist_grouped_rank.
+
+    ``key_col`` must be numeric and non-null. Returns
+    (id_col, group_col, out) with ``out`` starting at 1 per group.
+    """
+    spark = df.sparkSession
+    parts = det_range_pids(
+        df.select(id_col, group_col, key_col), key_col, n_parts
+    )
+    totals = (
+        parts.groupBy(group_col, "pid")
+        .agg(F.countDistinct(key_col).cast("long").alias("t"))
+        .limit(DIST_GROUPED_RANK_MAX_OFFSET_ROWS + 1)
+        .collect()
+    )
+    if len(totals) > DIST_GROUPED_RANK_MAX_OFFSET_ROWS:
+        raise ValueError(
+            "dist_grouped_dense_rank: > "
+            f"{DIST_GROUPED_RANK_MAX_OFFSET_ROWS} (group, bucket) "
+            "offset rows - group_col is high-cardinality; use plain "
+            "Window.partitionBy(group_col) instead"
+        )
+    by_group: dict = {}
+    for r in totals:
+        if r[group_col] is None:
+            raise ValueError(
+                "dist_grouped_dense_rank: group_col contains NULLs - "
+                "coalesce them to a sentinel group first"
+            )
+        by_group.setdefault(r[group_col], []).append((r["pid"], r["t"]))
+    offs = []
+    for g, rows in by_group.items():
+        acc = 0
+        for pid, t in sorted(rows):
+            offs.append((g, pid, acc))
+            acc += t
+    if not offs:
+        return (
+            df.select(id_col, group_col)
+            .limit(0)
+            .withColumn(out, F.lit(0).cast("long"))
+        )
+    gtype = dict(df.dtypes)[group_col]
+    off_df = spark.createDataFrame(
+        offs, f"{group_col} {gtype}, pid int, off long"
+    )
+    w_in = Window.partitionBy(group_col, "pid").orderBy(key_col)
+    return (
+        parts.join(F.broadcast(off_df), [group_col, "pid"])
+        .withColumn(
+            out, (F.col("off") + F.dense_rank().over(w_in)).cast("long")
+        )
+        .select(id_col, group_col, out)
+    )
