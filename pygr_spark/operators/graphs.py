@@ -423,6 +423,7 @@ def bellman_ford_k(
     dst: str = "dst",
     weight: str = "w",
     k: int = 6,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Cheapest path cost within <= ``k`` hops from a source set —
     level-synchronous Bellman-Ford (the weighted sibling of
@@ -436,9 +437,17 @@ def bellman_ford_k(
     CTE with a depth bound), not the algorithm. Integer weights keep
     the gate exact.
 
-    Scale shape: per round one equi-join keyed by node + one keyed
-    min-aggregate — no global structure, no driver state; lineage cut
-    per round (localCheckpoint) exactly like pagerank/BFS.
+    Scale shape (r11, the pagerank union-agg discipline): per round
+    the node-sized frontier BROADCASTS into the edge scan (edges are
+    never shuffled), and the standing distances ride the SAME
+    union-aggregate as the relax candidates — ONE exchange per round
+    (map-side partial agg) where the previous frontier⋈edges shuffle
+    + groupBy + full_outer merge ran four (r11 job audit:
+    transcript_chain 44 → 22 jobs / 4.5 → 4.1s, cheapest_path
+    26 → 18 / 2.4 → 1.9s at sf0.1). A graph whose node table
+    outgrows broadcast wants the keyed-join form back — flip
+    ``broadcast_frontier=False`` (same semantics, the union-agg
+    stays).
     """
     dist = (
         sources.select(F.col(sources.columns[0]).cast("long").alias("node"))
@@ -454,35 +463,61 @@ def bellman_ford_k(
         F.col(weight).cast("long").alias("_w"),
     ).localCheckpoint(eager=False)
     frontier = dist
-    for _ in range(k):
-        relaxed = (
-            frontier.join(e, frontier.node == e._s)
+    for r in range(k):
+        # relax candidates: broadcast the node-sized frontier into the
+        # edge scan — edges stay un-shuffled (leg 1); the standing
+        # distances ride the same aggregate (leg 0), replacing the
+        # separate groupBy + full_outer merge with ONE map-side-
+        # combinable exchange.
+        f_side = F.broadcast(frontier) if broadcast_frontier else frontier
+        cand_rows = (
+            e.join(f_side, e._s == frontier.node)
             .select(
                 F.col("_d").alias("node"),
-                (F.col("dist") + F.col("_w")).alias("cand"),
+                (F.col("dist") + F.col("_w")).alias("_v"),
+                F.lit(1).alias("_leg"),
             )
-            .groupBy("node")
-            .agg(F.min("cand").alias("cand"))
         )
         merged = (
-            dist.join(relaxed, "node", "full_outer")
+            dist.select("node", F.col("dist").alias("_v"), F.lit(0).alias("_leg"))
+            .unionByName(cand_rows)
+            .groupBy("node")
+            .agg(
+                F.min(F.when(F.col("_leg") == 0, F.col("_v"))).alias("_old"),
+                F.min(F.when(F.col("_leg") == 1, F.col("_v"))).alias("_cand"),
+            )
             .select(
                 "node",
                 F.least(
-                    F.coalesce(F.col("dist"), F.lit(2**62)),
-                    F.coalesce(F.col("cand"), F.lit(2**62)),
+                    F.coalesce(F.col("_old"), F.lit(2**62)),
+                    F.coalesce(F.col("_cand"), F.lit(2**62)),
                 ).alias("dist"),
                 (
-                    F.col("dist").isNull()
-                    | (F.col("cand") < F.col("dist"))
+                    F.col("_old").isNull()
+                    | (F.col("_cand") < F.col("_old"))
                 ).alias("_improved"),
             )
         )
-        merged = merged.localCheckpoint()
+        # Probe every OTHER round (kcore discipline): on probe rounds
+        # the any-improved FULL-scan aggregate materializes the lazy
+        # checkpoint; on non-probe rounds the NEXT round's broadcast
+        # build of `frontier` is itself a full scan of merged and
+        # does the materializing — either way exactly one action
+        # lands the blocks before the dist leg reuses them. The
+        # skipped probe only delays early exit past a no-op round
+        # (relaxing a converged graph changes nothing), so the result
+        # is IDENTICAL to the per-round-probe unroll. (The r10 shape
+        # — eager checkpoint + isEmpty every round — paid 2 actions
+        # per round for the same scan.)
+        merged = merged.localCheckpoint(eager=False)
         frontier = merged.filter(F.col("_improved")).select("node", "dist")
         dist = merged.select("node", "dist")
-        if frontier.isEmpty():
-            break
+        if r % 2 == 1 or r == k - 1:
+            any_improved = merged.agg(
+                F.max(F.col("_improved").cast("int")).alias("i")
+            ).first()[0]
+            if not any_improved:
+                break
     return dist
 
 
@@ -495,6 +530,7 @@ def max_chain_k(
     node: str = "node",
     node_w: str = "w",
     k: int = 6,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Max-weight chain score per node within <= ``k`` edges — the
     max-plus sibling of ``bellman_ford_k`` (longest path, only safe
@@ -505,8 +541,9 @@ def max_chain_k(
     ``node_weights`` seeds every node with its own weight (a chain of
     one); each round extends the best known chains across ``edges``
     (whose ``weight`` is the DST node's weight), keeping per-node max.
-    Only improved nodes re-propagate. Same scale shape as BFS/BF: one
-    keyed join + one keyed max per round, lineage cut per round.
+    Only improved nodes re-propagate. Same r11 scale shape as
+    ``bellman_ford_k``: broadcast frontier into the edge scan, ONE
+    union-aggregate exchange per round, lineage cut per round.
     """
     dist = node_weights.select(
         F.col(node).cast("long").alias("node"),
@@ -521,35 +558,50 @@ def max_chain_k(
         F.col(weight).cast("long").alias("_w"),
     ).localCheckpoint(eager=False)
     frontier = dist
-    for _ in range(k):
-        relaxed = (
-            frontier.join(e, frontier.node == e._s)
+    for r in range(k):
+        f_side = F.broadcast(frontier) if broadcast_frontier else frontier
+        cand_rows = (
+            e.join(f_side, e._s == frontier.node)
             .select(
                 F.col("_d").alias("node"),
-                (F.col("score") + F.col("_w")).alias("cand"),
+                (F.col("score") + F.col("_w")).alias("_v"),
+                F.lit(1).alias("_leg"),
             )
-            .groupBy("node")
-            .agg(F.max("cand").alias("cand"))
         )
         merged = (
-            dist.join(relaxed, "node", "full_outer")
+            dist.select(
+                "node", F.col("score").alias("_v"), F.lit(0).alias("_leg")
+            )
+            .unionByName(cand_rows)
+            .groupBy("node")
+            .agg(
+                F.max(F.when(F.col("_leg") == 0, F.col("_v"))).alias("_old"),
+                F.max(F.when(F.col("_leg") == 1, F.col("_v"))).alias("_cand"),
+            )
             .select(
                 "node",
                 F.greatest(
-                    F.coalesce(F.col("score"), F.lit(-(2**62))),
-                    F.coalesce(F.col("cand"), F.lit(-(2**62))),
+                    F.coalesce(F.col("_old"), F.lit(-(2**62))),
+                    F.coalesce(F.col("_cand"), F.lit(-(2**62))),
                 ).alias("score"),
                 (
-                    F.col("score").isNull()
-                    | (F.col("cand") > F.col("score"))
+                    F.col("_old").isNull()
+                    | (F.col("_cand") > F.col("_old"))
                 ).alias("_improved"),
             )
         )
-        merged = merged.localCheckpoint()
+        # Probe every OTHER round — same alternation + materialization
+        # argument as bellman_ford_k above (the next round's broadcast
+        # build full-scans merged on non-probe rounds).
+        merged = merged.localCheckpoint(eager=False)
         frontier = merged.filter(F.col("_improved")).select("node", "score")
         dist = merged.select("node", "score")
-        if frontier.isEmpty():
-            break
+        if r % 2 == 1 or r == k - 1:
+            any_improved = merged.agg(
+                F.max(F.col("_improved").cast("int")).alias("i")
+            ).first()[0]
+            if not any_improved:
+                break
     return dist
 
 

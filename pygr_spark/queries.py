@@ -13097,11 +13097,43 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.abs(F.col("cy") - F.col("cy2")) <= 1)
         & (F.col("cell") < F.col("cell2")),
     ).select(F.col("cell").alias("src"), F.col("cell2").alias("dst"))
-    from pygr_spark.operators.graphs import connected_components
+    # The cell graph is DOMAIN-bounded, not data-bounded: coordinates
+    # live on the fixed m/g = 20×20 grid, so adj has ≤400 nodes and
+    # ≤1,578 edges at ANY corpus size (more points only grow per-cell
+    # counts, which are already aggregated away). Union-find over the
+    # collected edge list replaces the distributed label-propagation
+    # loop here — connected_components() spent ~78 scheduler-floor
+    # jobs (probe + checkpoint per round) on a ≤400-node graph
+    # (r11 job audit: 83 → 8 jobs; 16× probe 1.4s vs 3.8s baseline).
+    # Identical min-reachable-label semantics; the collect is bounded
+    # by grid geometry exactly like the kmeans centroid state.
+    edge_rows = adj.collect()
+    parent: dict[int, int] = {}
 
-    cc = connected_components(adj)
+    def _find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edge_rows:
+        s, d = r["src"], r["dst"]
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd = _find(s), _find(d)
+        if rs != rd:
+            parent[rd] = rs
+    comp_min: dict[int, int] = {}
+    for node in parent:
+        root = _find(node)
+        comp_min[root] = min(comp_min.get(root, node), node)
+    cc_rows = [(int(n), int(comp_min[_find(n)])) for n in sorted(parent)]
+    cc = spark.createDataFrame(
+        cc_rows or spark.sparkContext.emptyRDD(),
+        "node long, component long",
+    )
     return (
-        core.join(cc, core.cell == cc.node, "left")
+        core.join(F.broadcast(cc), core.cell == cc.node, "left")
         .select(
             F.col("cx").cast("long").alias("cx"),
             F.col("cy").cast("long").alias("cy"),
