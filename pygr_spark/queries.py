@@ -9137,17 +9137,34 @@ def q_target_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
       over the read events stacked with the target probes, ordered
       (pos, kind) so the strict/inclusive tie semantics are exact.
 
-    Scale shape: two stacked-event window passes + one distinct +
-    one tiny island join — linear in |reads| + |targets| at ANY
-    coverage depth."""
-    targets = _order_ivals(spark, sf_dir).select(
-        "id",
-        "o_orderkey",
-        "start",
-        "stop",
-        (F.col("stop") - F.col("start")).alias("target_len"),
+    Scale shape: ONE stacked-event window pass (r11: both rank
+    passes ride a single exchange+sort keyed by (id, _pass) — the
+    passes differ only in which endpoints they stack and the tie
+    order, so a pass tag + a per-pass tie key fuses them) + one
+    distinct + one tiny island join — linear in |reads| + |targets|
+    at ANY coverage depth."""
+    # targets feeds 3 consumers (island overlap, the stacked pass,
+    # the final length join) and reads feeds 2 (geometry distinct,
+    # stacked pass) — EAGER checkpoints so the orders/lineitem scans
+    # (and reads' _spread exchange) run once, not once per consumer.
+    # r11 controlled A/B at 16× (alternating min-of-4, same session):
+    # fused n_reads sub-plan 6.8 → 5.7s; whole entry 17 → 15 jobs.
+    targets = (
+        _order_ivals(spark, sf_dir)
+        .select(
+            "id",
+            "o_orderkey",
+            "start",
+            "stop",
+            (F.col("stop") - F.col("start")).alias("target_len"),
+        )
+        .localCheckpoint(eager=True)
     )
-    reads = _spread(_lineitem_ivals(spark, sf_dir))
+    reads = (
+        _spread(_lineitem_ivals(spark, sf_dir))
+        .select("id", "start", "stop")
+        .localCheckpoint(eager=True)
+    )
 
     # --- covered: disjoint islands of the distinct read geometry ---
     geo = reads.select("id", "start", "stop").distinct()
@@ -9166,43 +9183,60 @@ def q_target_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("_c").cast("long").alias("covered"))
     )
 
-    # --- n_reads: two event-rank passes, no join ---
-    # pass 1: #reads with start < target.stop — probes (kind 0) sort
-    # BEFORE read events at equal pos, so the running sum a probe
-    # sees is the strict count
-    def _rank_pass(read_pos, probe_pos, probes_first, out):
-        ev = reads.select(
+    # --- n_reads: BOTH event-rank passes in ONE window pass ---
+    # pass 1 (#reads with start < target.stop): probes (_r 0) sort
+    # BEFORE read events at equal pos — strict count. pass 2
+    # (#reads with stop <= target.start): reads sort first —
+    # inclusive count. One union stacks all four legs with a _pass
+    # tag; the tie key _r·(+1/−1) per pass reproduces each pass's
+    # exact tie order inside a single (id, _pass)-keyed sort, and the
+    # n_lt ⋈ n_le join collapses into the per-target aggregate.
+    def _leg(src, pos_col, r, tag):
+        return src.select(
             "id",
-            F.col(read_pos).alias("pos"),
-            F.lit(1).alias("_r"),
-            F.lit(None).cast("long").alias("o_orderkey"),
-        ).unionByName(
-            targets.select(
-                "id",
-                F.col(probe_pos).alias("pos"),
-                F.lit(0).alias("_r"),
-                "o_orderkey",
-            )
-        )
-        order = [F.col("pos")] + (
-            [F.col("_r").asc()] if probes_first else [F.col("_r").desc()]
-        )
-        w = Window.partitionBy("id").orderBy(*order)
-        return (
-            ev.withColumn(
-                "_n",
-                F.sum("_r").over(
-                    w.rowsBetween(Window.unboundedPreceding, 0)
-                ),
-            )
-            .filter(F.col("_r") == 0)
-            .select("o_orderkey", F.coalesce("_n", F.lit(0)).alias(out))
+            F.col(pos_col).alias("pos"),
+            F.lit(r).alias("_r"),
+            (
+                F.lit(None).cast("long").alias("o_orderkey")
+                if r == 1
+                else F.col("o_orderkey")
+            ),
+            F.lit(tag).alias("_pass"),
         )
 
-    n_lt = _rank_pass("start", "stop", probes_first=True, out="_nlt")
-    n_le = _rank_pass("stop", "start", probes_first=False, out="_nle")
-    counts = n_lt.join(n_le, "o_orderkey").select(
-        "o_orderkey", (F.col("_nlt") - F.col("_nle")).alias("n_reads")
+    ev = (
+        _leg(reads, "start", 1, 1)
+        .unionByName(_leg(targets, "stop", 0, 1))
+        .unionByName(_leg(reads, "stop", 1, 2))
+        .unionByName(_leg(targets, "start", 0, 2))
+    )
+    tie = F.when(F.col("_pass") == 1, F.col("_r")).otherwise(-F.col("_r"))
+    w = Window.partitionBy("id", "_pass").orderBy(F.col("pos"), tie)
+    counts = (
+        ev.withColumn(
+            "_n",
+            F.sum("_r").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("_r") == 0)
+        .groupBy("o_orderkey")
+        .agg(
+            (
+                F.max(
+                    F.when(
+                        F.col("_pass") == 1,
+                        F.coalesce("_n", F.lit(0)),
+                    )
+                )
+                - F.max(
+                    F.when(
+                        F.col("_pass") == 2,
+                        F.coalesce("_n", F.lit(0)),
+                    )
+                )
+            )
+            .cast("long")
+            .alias("n_reads")
+        )
     )
     return (
         covered.join(counts, "o_orderkey")
