@@ -210,10 +210,13 @@ def fm_count(
     )
     cl_names = [f"_cl_{c}" for c in ALPHABET[1:]]
     for ch in reversed(pattern):
-        state = _occ_wide_at(
-            state, occw, F.col("lo") - 1, "occ_lo", ch, id_col
-        )
-        state = _occ_wide_at(state, occw, F.col("hi"), "occ_hi", ch, id_col)
+        # lazy checkpoint per step: each step consumes the previous
+        # state twice (the broadcast probe build, then the pivot-back
+        # join) and every probe build would otherwise replay ALL
+        # earlier steps' Occ scans — the broadcast build materializes
+        # the ≤1-row/doc blocks, the join reuses them
+        state = state.localCheckpoint(eager=False)
+        state = _occ_step(state, occw, ch, id_col)
         # a doc with no ch at all still has the true C[ch]; occ reads
         # 0 at both probes, so the range goes empty — correct
         state = state.select(
@@ -230,26 +233,58 @@ def fm_count(
     )
 
 
-def _occ_wide_at(
+def _occ_step(
     state: DataFrame,
     occw: DataFrame,
-    pos_col,
-    out_col: str,
     ch: str,
     id_col: str,
 ) -> DataFrame:
-    """Left-join the wide Occ table at one exact position per doc and
-    read char ``ch``'s cumulative count; position 0 (or any position
-    with no row) reads as 0."""
-    probe = occw.select(
-        id_col, F.col("i").alias("_pos"), F.col(f"_o_{ch}").alias(out_col)
+    """Both Occ probes of one LF step (positions lo−1 and hi) in ONE
+    shuffle-free pass over the Occ table.
+
+    The r10 shape left-joined state against occw once per probe —
+    and because state's size estimate inherits the documents scan's
+    (text-sized) stats, the planner ran each probe as a sort-merge
+    join that SHUFFLED AND SORTED the n-row Occ table: 8 Occ
+    shuffles for a 4-char pattern (r11 A/B at 16×, alternating
+    min-of-3: SMJ 10.3s vs 7.7s here; a shuffle-hash hint ties at
+    7.5s locally but still shuffles Occ 8×, which is what the form
+    here removes). Here the ≤2-row/doc probe set is BROADCAST
+    into an inner hash join that merely streams the checkpointed Occ
+    blocks (one scan per STEP, not per probe; no exchange, no sort),
+    and the hit rows pivot back onto state through broadcast-sized
+    aggregates. Position 0 (or any absent position) reads as 0 via
+    the left-join + coalesce recovery. The probe side is one row per
+    doc — at an index scale where THAT outgrows broadcast, flip the
+    probes to a bucketed-parquet co-located join on (doc, i)."""
+    probes = state.select(
+        id_col,
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("lo") - 1).alias("_pos"), F.lit(0).alias("_k")
+                ),
+                F.struct(F.col("hi").alias("_pos"), F.lit(1).alias("_k")),
+            )
+        ).alias("_p"),
+    ).select(id_col, F.col("_p._pos").alias("_pos"), F.col("_p._k").alias("_k"))
+    hits = (
+        occw.join(
+            F.broadcast(probes),
+            (occw[id_col] == probes[id_col]) & (occw["i"] == probes["_pos"]),
+        )
+        .select(occw[id_col].alias(id_col), "_k", F.col(f"_o_{ch}").alias("_occ"))
     )
-    joined = state.withColumn("_pos", pos_col).join(
-        probe, [id_col, "_pos"], "left"
+    vals = hits.groupBy(id_col).agg(
+        F.max(F.when(F.col("_k") == 0, F.col("_occ"))).alias("_vlo"),
+        F.max(F.when(F.col("_k") == 1, F.col("_occ"))).alias("_vhi"),
     )
-    return joined.withColumn(
-        out_col, F.coalesce(F.col(out_col), F.lit(0)).cast("long")
-    ).drop("_pos")
+    return (
+        state.join(F.broadcast(vals), id_col, "left")
+        .withColumn("occ_lo", F.coalesce(F.col("_vlo"), F.lit(0)).cast("long"))
+        .withColumn("occ_hi", F.coalesce(F.col("_vhi"), F.lit(0)).cast("long"))
+        .drop("_vlo", "_vhi")
+    )
 
 
 def suffix_ranks(
