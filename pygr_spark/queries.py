@@ -9765,38 +9765,67 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     its selectivity bites. tests/test_round5_analytics.py's
     brute-force completeness check asserts output equivalence.
 
-    Baskets are localCheckpoint-ed once: sized is referenced by the
-    support count and the triple gen ×3, and without the lineage cut
-    each reference re-runs the distinct upstream."""
+    r11 shape: baskets live as ONE sorted per-basket item array
+    (collect_set dedups and size() caps in the same single exchange —
+    the r10 distinct + window-size pipeline paid two), and the L1
+    trim set is collected (DOMAIN-bounded: i = partkey % 500, ≤500
+    rows — the kmeans-centroid class of driver state) and applied as
+    a literal InSet filter on the exploded view, dropping the trim's
+    broadcast semi-join (r11: 10 → 8 jobs, A/B wall parity at 16×,
+    14.6 vs 14.3s min-of-3). The triple fan-out stays the narrow-row
+    self-join (see in-line note: the all-explode form measured
+    slower)."""
     li = _t(spark, sf_dir, "lineitem")
     # category id stand-in: this testdata has no p_brand/p_type
     # column, so a modulus hash plays the category role — raw part
     # keys are too sparse for any triple to repeat (verified: zero
     # support-3 triples corpus-wide at part granularity)
-    items = li.select(
-        F.col("l_orderkey").alias("b"),
-        (F.col("l_partkey") % 500).alias("i"),
-    ).distinct()
-    sized = items.withColumn(
-        "_bsz", F.count(F.lit(1)).over(Window.partitionBy("b"))
-    ).filter(F.col("_bsz") <= 50).select("b", "i").localCheckpoint(eager=True)
+    arrs = (
+        li.select(
+            F.col("l_orderkey").alias("b"),
+            (F.col("l_partkey") % 500).alias("i"),
+        )
+        .groupBy("b")
+        .agg(F.sort_array(F.collect_set("i")).alias("xs"))
+        .filter(F.size("xs") <= 50)
+        .localCheckpoint(eager=True)
+    )
     min_sup = 3
     # transaction trimming via L1 item support (downward closure on
     # singletons): an item in fewer than min_sup baskets cannot occur
-    # in any frequent triple — trim set is ≤ #distinct items, broadcast
-    freq_items = (
-        sized.groupBy("i")
+    # in any frequent triple. The trim set is ≤500 values by the
+    # category-domain bound, so it rides as a literal array filter.
+    freq_rows = (
+        arrs.select(F.explode("xs").alias("i"))
+        .groupBy("i")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .filter(F.col("n") >= min_sup)
         .select("i")
+        .collect()
     )
-    trimmed = sized.join(F.broadcast(freq_items), "i", "left_semi")
-    # in-basket triple generation over TRIMMED baskets (bounded by
-    # the basket cap), then one count shuffle. Joining candidates to
-    # baskets item-first instead fans each candidate out to every
-    # basket containing its first item (measured: minutes at sf0.1);
-    # basket-first generation is linear in baskets times the capped
-    # in-basket triple count.
+    if not freq_rows:
+        return (
+            arrs.select(
+                F.col("b").cast("long").alias("item_a"),
+                F.col("b").cast("long").alias("item_b"),
+                F.col("b").cast("long").alias("item_c"),
+                F.col("b").cast("long").alias("support"),
+            ).limit(0)
+        )
+    # trim as a literal InSet filter over the exploded view (no
+    # broadcast join); the explode is codegen over the checkpointed
+    # array blocks. Triple generation stays the narrow-row self-join:
+    # an all-explode variant carrying the ≤50-long array through two
+    # generate levels measured SLOWER (the array rides every
+    # intermediate row). Joining candidates to baskets item-first
+    # instead fans each candidate out to every basket containing its
+    # first item (measured: minutes at sf0.1); basket-first
+    # generation is linear in baskets times the capped in-basket
+    # triple count.
+    freq_set = sorted(int(r["i"]) for r in freq_rows)
+    trimmed = arrs.select("b", F.explode("xs").alias("i")).filter(
+        F.col("i").isin(freq_set)
+    )
     t3 = (
         trimmed.alias("x")
         .join(trimmed.alias("y"), "b")
