@@ -9968,7 +9968,16 @@ def q_overlap_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     the implied overlap length L = len_a − p + 1 is then verified by
     ONE codegen substring compare (right(a, L) = left(b, L)), and
     max L wins per pair. No all-pairs compare anywhere: candidate
-    volume is anchor-collision-bound, the seed_homology discipline."""
+    volume is anchor-collision-bound, the seed_homology discipline.
+
+    r11 (guide §2.3, shuffle metadata not payloads): every compare
+    touches only the ≤64-char suffix of a (exactly the candidate
+    overlap) and the ≤64-char prefix of b, so the exploded a-rows
+    carry that suffix instead of the full ≤512-char seq (×53 copies
+    per doc crossing the join exchange) and the b side carries its
+    64-char prefix — ~8× fewer string bytes through both join legs,
+    byte-identical survivors (16× local wall parity, 8.4 vs 8.5s —
+    the win is network shuffle volume, which local[] can't see)."""
     docs = (
         _spread(_t(spark, sf_dir, "documents"))
         .select(
@@ -9980,7 +9989,6 @@ def q_overlap_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, max_l = 12, 64
     a = docs.select(
         F.col("doc_id").alias("id_a"),
-        F.col("seq").alias("seq_a"),
         F.length("seq").alias("len_a"),
         F.explode(
             F.sequence(
@@ -9988,17 +9996,22 @@ def q_overlap_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.length("seq") - k + 1,
             )
         ).alias("p"),
+        "seq",
     ).select(
         "id_a",
-        "seq_a",
         "len_a",
         "p",
-        F.expr(f"substring(seq_a, p, {k})").alias("g"),
+        # sfx IS the candidate overlap: substring(seq, p) has length
+        # len_a − p + 1 = olap ≤ 64; its 12-char head is the anchor
+        F.expr("substring(seq, p)").alias("sfx"),
+    ).select(
+        "id_a", "len_a", "p", "sfx",
+        F.expr(f"substring(sfx, 1, {k})").alias("g"),
     )
     b = docs.select(
         F.col("doc_id").alias("id_b"),
-        F.col("seq").alias("seq_b"),
         F.length("seq").alias("len_b"),
+        F.expr(f"substring(seq, 1, {max_l})").alias("pfx"),
         F.expr(f"substring(seq, 1, {k})").alias("g"),
     )
     cand = (
@@ -10006,9 +10019,7 @@ def q_overlap_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") != F.col("id_b"))
         .withColumn("olap", F.col("len_a") - F.col("p") + 1)
         .filter(F.col("olap") <= F.col("len_b"))
-        .filter(
-            F.expr("substring(seq_a, p) = substring(seq_b, 1, olap)")
-        )
+        .filter(F.expr("sfx = substring(pfx, 1, olap)"))
     )
     return (
         cand.groupBy("id_a", "id_b")
