@@ -7966,41 +7966,37 @@ def q_sparse_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     count matrix (split+explode), B a term-feature projection with two
     nonzeros per term (md5-derived feature ids and small integer
     weights, engine-portable). The product is the canonical two-stage
-    shape — join A with B on term, then hash-aggregate (doc, feature)
-    partial sums — exactly how a 100 TB featurization/embedding
-    projection runs: no collect, both shuffles keyed, map-side
-    combine on the agg. Exact integers throughout."""
+    shape WHEN B is a stored matrix — join A with B on term, then
+    hash-aggregate (doc, feature) partial sums. THIS B, though, is a
+    pure hash FUNCTION of the term (two md5-derived nonzeros), which
+    the optimizer cannot see through the join — so the r11 form
+    computes B's two (feature, w) pairs inline on the token stream
+    (stack generator) and aggregates straight to (doc, feature):
+    Σ_term cnt·w ≡ Σ_tokens w, exact integers, identical output.
+    ONE map-side-combinable exchange replaces the r10 chain of
+    doc-term agg + eager checkpoint + term distinct + product join
+    (4 exchanges; r11: 9 → 5 jobs, 9.1 → 1.8s at 16× min-of-3).
+    A MATERIALIZED B (learned weights) would bring the join back —
+    that regime is q_classifier_filter's literal-weight codegen."""
     from pygr_spark.operators.dedup import md5_hash60
 
     docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
-    # eager checkpoint: A feeds the term-universe distinct (B's input)
-    # AND the product join — one corpus fan-out, not two
-    a = (
-        docs.select(
-            "doc_id", F.explode(F.split("text", " ", -1)).alias("term")
-        )
-        .filter(F.col("term") != "")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()
-    )
-    terms = a.select("term").distinct()
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("term")
+    ).filter(F.col("term") != "")
     # integer DIV, not `/`: float division of a 60-bit hash loses
     # exactness past 2^53 and would diverge from DuckDB's `//`
-    b = terms.withColumn("_hv", md5_hash60(F.col("term"))).select(
-        "term",
-        F.expr("_hv % 16").alias("f1"),
-        F.expr("(_hv DIV 16) % 16").alias("f2"),
-        F.expr("_hv % 7 - 3").alias("w1"),
-        F.expr("(_hv DIV 7) % 7 - 3").alias("w2"),
-    )
-    b2 = b.select("term", F.col("f1").alias("feature"), F.col("w1").alias("w")).unionByName(
-        b.select("term", F.col("f2").alias("feature"), F.col("w2").alias("w"))
+    h = toks.select("doc_id", md5_hash60(F.col("term")).alias("_hv"))
+    stacked = h.select(
+        "doc_id",
+        F.expr(
+            "stack(2, _hv % 16, _hv % 7 - 3,"
+            " (_hv DIV 16) % 16, (_hv DIV 7) % 7 - 3) AS (feature, w)"
+        ),
     )
     return (
-        a.join(b2, "term")
-        .groupBy("doc_id", "feature")
-        .agg(F.sum(F.col("cnt") * F.col("w")).alias("score"))
+        stacked.groupBy("doc_id", "feature")
+        .agg(F.sum("w").alias("score"))
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("feature").cast("long").alias("feature"),
