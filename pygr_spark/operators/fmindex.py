@@ -510,29 +510,60 @@ def suffix_ranks_sharded(
     per-round cost is one join + one stitch over n rows split across
     ``n_parts`` range buckets. Returns (id, pos, sa_rank)."""
     pack_base = max_len + 1
-    b = [
-        F.ascii(F.expr(f"substring(_s, CAST(pos AS INT) + {i}, 1)"))
-        .cast("long")
-        .alias(f"_b{i}")
-        for i in range(4)
-    ]
-    rows = (
+    # Seed extraction in BLOCKS (bwt_table's block discipline applied
+    # to the seed pass). Exploding positions straight off the doc row
+    # would (a) run the whole doc in ONE task and (b) pay UTF8String's
+    # O(pos) char scan per substring(_s, pos + i, 1) — O(n²) on a
+    # genome-length doc (measured: a 50M-char probe sat >30 min in the
+    # seed stage). Instead: cut the doc into _b-char block rows (a
+    # 3-char overlap completes the trailing 4-byte seeds), spread the
+    # blocks over the cluster, turn each block into an ascii-code
+    # array ONCE (O(block)), and read the 4 seed bytes per position
+    # with O(1) try_element_at. Out-of-range reads (doc end) coalesce
+    # to 0 — the same proper-prefix-sorts-first rule as the window
+    # path.
+    blk = 1 << 20
+    blocks = (
         docs.select(F.col(id_col), F.col(seq).alias("_s"))
+        .filter(F.length("_s") > 0)
         .select(
             id_col,
-            F.explode(F.sequence(F.lit(1), F.length("_s"))).alias("pos"),
+            F.explode(
+                F.sequence(F.lit(1), F.length("_s"), F.lit(blk))
+            ).alias("_b0"),
             "_s",
         )
-        .select(id_col, "pos", *b)
         .select(
             id_col,
-            "pos",
-            (
-                F.col("_b0") * (256 ** 3)
-                + F.col("_b1") * (256 ** 2)
-                + F.col("_b2") * 256
-                + F.col("_b3")
-            ).alias("_k"),
+            "_b0",
+            F.expr(f"substring(_s, _b0, {blk + 3})").alias("_t"),
+        )
+        .repartition(n_parts, id_col, "_b0")
+        .select(
+            id_col,
+            "_b0",
+            F.least(F.length("_t"), F.lit(blk)).alias("_v"),
+            F.expr("transform(split(_t, ''), c -> ascii(c))").alias("_a"),
+        )
+    )
+    rows = (
+        blocks.select(
+            F.col(id_col),
+            F.col("_b0"),
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, _v), o -> "
+                    "coalesce(try_element_at(_a, o), 0L) * 16777216 + "
+                    "coalesce(try_element_at(_a, o + 1), 0L) * 65536 + "
+                    "coalesce(try_element_at(_a, o + 2), 0L) * 256 + "
+                    "coalesce(try_element_at(_a, o + 3), 0L))"
+                )
+            ).alias("_o", "_k"),
+        )
+        .select(
+            id_col,
+            (F.col("_b0") + F.col("_o")).alias("pos"),
+            "_k",
         )
         .localCheckpoint(eager=False)
     )

@@ -195,7 +195,9 @@ def dist_grouped_rank(
     key_col: str,
     id_col: str,
     out: str = "rank",
-) -> DataFrame:
+    keep: tuple = (),
+    with_sizes: bool = False,
+):
     """Distributed per-group row_number over the total order
     (key_col, id_col) WITHIN each group — the partitioned sibling of
     :func:`dist_global_rank`, for "rank every row inside its segment"
@@ -217,9 +219,20 @@ def dist_grouped_rank(
     :func:`det_range_pids`, they land in bucket 0). Returns
     ``(id_col, group_col, out)`` with ``out`` starting at 1 inside
     every group.
+
+    ``keep`` names extra columns of ``df`` to carry through to the
+    output (they ride the one window exchange — no consumer-side
+    re-join against the input to recover them; key_col itself may be
+    named). ``with_sizes=True`` additionally returns the exact
+    per-group row counts as a dict — the offsets collect already
+    holds them (sum of per-bucket counts), so a consumer needing
+    group sizes (exact ntile formulas) pays zero extra jobs.
     """
     spark = df.sparkSession
-    parts = det_range_pids(df.select(id_col, group_col, key_col), key_col)
+    cols = [id_col, group_col, key_col] + [
+        c for c in keep if c not in (id_col, group_col, key_col)
+    ]
+    parts = det_range_pids(df.select(*cols), key_col)
     # the LOW-CARDINALITY GROUP contract is ENFORCED, not narrated
     # (judge r8 advice): limit(cap+1) bounds the collect in the same
     # job that fetches it — a high-cardinality group column raises
@@ -259,22 +272,31 @@ def dist_grouped_rank(
         for pid, t in sorted(rows):
             offs.append((g, pid, acc))
             acc += t
+    out_cols = [id_col, group_col, out] + [
+        c for c in keep if c not in (id_col, group_col, out)
+    ]
     if not offs:
-        return (
-            df.select(id_col, group_col)
+        empty = (
+            df.select(*cols)
             .limit(0)
             .withColumn(out, F.lit(0).cast("long"))
+            .select(*out_cols)
         )
+        return (empty, {}) if with_sizes else empty
     gtype = dict(df.dtypes)[group_col]
     off_df = spark.createDataFrame(
         offs, f"{group_col} {gtype}, pid int, off long"
     )
     w_in = Window.partitionBy(group_col, "pid").orderBy(key_col, id_col)
-    return (
+    ranked = (
         parts.join(F.broadcast(off_df), [group_col, "pid"])
         .withColumn(out, (F.col("off") + F.row_number().over(w_in)).cast("long"))
-        .select(id_col, group_col, out)
+        .select(*out_cols)
     )
+    if with_sizes:
+        sizes = {g: sum(t for _, t in rows) for g, rows in by_group.items()}
+        return ranked, sizes
+    return ranked
 
 def dist_global_rank_multi(
     df: DataFrame,

@@ -15521,13 +15521,27 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((sr * 1000) DIV n_tok AS BIGINT)").alias("score"),
         )
     )
-    scored = scored.localCheckpoint(eager=False)  # feeds rank AND final agg
-    ranked = dist_grouped_rank(scored, "lang", "score", "doc_id", out="lr")
-    sizes = ranked.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # one lineage cut: the stitch evaluates this plan three times
+    # (quantile probe, offsets collect, final window job)
+    scored = scored.localCheckpoint(eager=False)
+    # r11: `score` rides the stitch window (keep=) and the per-lang
+    # sizes come back with the offsets collect (with_sizes=) — this
+    # drops BOTH the doc-row re-join against `scored` (a full shuffle
+    # join at corpus scale) and the separate sizes aggregate job the
+    # ntile formula used to pay. The sizes map is ≤ n_langs entries
+    # of driver state baked in as a literal map (the kmeans-centroid
+    # class).
+    ranked, nsz = dist_grouped_rank(
+        scored, "lang", "score", "doc_id", out="lr",
+        keep=("score",), with_sizes=True,
+    )
+    nmap = F.create_map(
+        [F.lit(x) for g, n in sorted(nsz.items()) for x in (g, n)]
+    )
     # exact ntile(3) as a formula of (rank, n): the first n mod 3
     # tiles carry one extra row — same semantics both engines
-    tiled = (
-        ranked.join(F.broadcast(sizes), "lang")
+    return (
+        ranked.withColumn("n", nmap[F.col("lang")])
         .withColumn(
             "bucket",
             F.expr(
@@ -15537,10 +15551,6 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV (n DIV 3) + 1 END AS BIGINT)"
             ),
         )
-        .select("doc_id", "lang", "bucket")
-    )
-    return (
-        tiled.join(scored, ["doc_id", "lang"])
         .groupBy("lang", "bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

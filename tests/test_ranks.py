@@ -208,6 +208,41 @@ def test_grouped_rank_empty(spark):
     assert set(out.columns) == {"id", "g", "r"}
 
 
+def test_grouped_rank_keep_and_sizes(spark):
+    """keep= carries extra columns (incl. key_col) through the stitch
+    unchanged, with_sizes= returns exact per-group counts from the
+    offsets collect — no extra jobs, same ranks as the plain call."""
+    import itertools
+
+    data = [
+        (i, g, k, i * 10)
+        for i, (g, k) in enumerate(
+            itertools.product("ab", [5, -2, 5, 0, 7, -2, 3])
+        )
+    ]
+    df = spark.createDataFrame(
+        data, "id long, g string, k long, v long"
+    ).repartition(4)
+    ranked, sizes = dist_grouped_rank(
+        df, "g", "k", "id", out="r", keep=("k", "v"), with_sizes=True
+    )
+    rows = ranked.collect()
+    assert set(ranked.columns) == {"id", "g", "r", "k", "v"}
+    assert sizes == {"a": 7, "b": 7}
+    by_row = {(r.g, r.id): r for r in rows}
+    plain = dist_grouped_rank(df, "g", "k", "id", out="r")
+    for p in plain.collect():
+        r = by_row[(p.g, p.id)]
+        assert r.r == p.r and r.v == r.id * 10 and r.k is not None
+    # empty input: tuple form, keep columns present
+    e, es = dist_grouped_rank(
+        spark.createDataFrame([], "id long, g string, k long, v long"),
+        "g", "k", "id", out="r", keep=("v",), with_sizes=True,
+    )
+    assert es == {} and e.count() == 0
+    assert set(e.columns) == {"id", "g", "r", "v"}
+
+
 def test_ntile_formula_matches_window_ntile(spark):
     """The exact ntile(3) formula of (rank, n) used by ccnet_buckets
     (and, with k=5, the RFM tiling) agrees with Spark's ntile window
