@@ -431,6 +431,7 @@ def lcp_table_per_doc(
     docs: DataFrame,
     id_col: str = "doc_id",
     seq: str = "seq",
+    compute_lcp: bool = True,
 ) -> DataFrame:
     """Suffix array + LCP array per document in ONE Arrow-batched
     numpy kernel — the bounded-document fast path to the same table
@@ -454,10 +455,12 @@ def lcp_table_per_doc(
     Scale shape: one map pass, one row per doc in (docs shard by
     hash), n rows per doc out; per-doc scratch is n² bytes (≤ 256 KiB
     at the 512 cap). The distributed prefix-doubling path
-    (suffix_ranks) remains the giant-single-sequence story and is
-    exercised by the suffix_array entry; a parity test pins the two
-    paths to identical output. Returns (id, sa_rank, pos, lcp) with
-    lcp(rank 1) = 0."""
+    (suffix_ranks) remains the giant-single-sequence story in the
+    library (parity tests pin the two paths to identical output).
+    Returns (id, sa_rank, pos, lcp) with lcp(rank 1) = 0; with
+    ``compute_lcp=False`` (r12: the suffix_array entry needs only the
+    rank permutation) the (n−1)×n adjacent-mismatch scan is skipped
+    and the lcp column is omitted."""
     import sys
 
     from pygr_spark.sources import ship_to_workers
@@ -466,14 +469,14 @@ def lcp_table_per_doc(
 
     from pyspark.sql import types as T
 
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("sa_rank", T.LongType()),
-            T.StructField("pos", T.LongType()),
-            T.StructField("lcp", T.LongType()),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField("sa_rank", T.LongType()),
+        T.StructField("pos", T.LongType()),
+    ]
+    if compute_lcp:
+        fields.append(T.StructField("lcp", T.LongType()))
+    schema = T.StructType(fields)
 
     def kernel(batches):
         import numpy as np
@@ -493,21 +496,18 @@ def lcp_table_per_doc(
                 order = np.argsort(
                     mat.view(f"S{n}").ravel(), kind="stable"
                 ).astype(np.int64)
-                a = mat[order[:-1]]
-                c = mat[order[1:]]
-                lcp = np.concatenate(
-                    [[0], (a != c).argmax(axis=1)]
-                ).astype(np.int64)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            id_col: np.full(n, int(did), dtype=np.int64),
-                            "sa_rank": np.arange(1, n + 1, dtype=np.int64),
-                            "pos": order + 1,
-                            "lcp": lcp,
-                        }
-                    )
-                )
+                cols = {
+                    id_col: np.full(n, int(did), dtype=np.int64),
+                    "sa_rank": np.arange(1, n + 1, dtype=np.int64),
+                    "pos": order + 1,
+                }
+                if compute_lcp:
+                    a = mat[order[:-1]]
+                    c = mat[order[1:]]
+                    cols["lcp"] = np.concatenate(
+                        [[0], (a != c).argmax(axis=1)]
+                    ).astype(np.int64)
+                outs.append(pd.DataFrame(cols))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 

@@ -10105,11 +10105,22 @@ def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-string suffix sort, i.e. the suffix index a CLUSTER builds
     (each round: one equi-join on (doc, pos) + a per-doc dense_rank
     over <= 512 rows; ceil(log2(512)) = 9 rounds, parameter-sized).
-    The oracle sorts suffix STRINGS directly — so any doubling bug
-    (offset bookkeeping, absent-lookahead convention, rank collapse)
+    The oracle sorts suffix STRINGS directly — so any rank bug
     hash-mismatches. Output is one row per character: the rank
-    permutation itself."""
-    from pygr_spark.operators.fmindex import suffix_ranks
+    permutation itself.
+
+    r12: the entry runs the per-doc vectorized kernel
+    (fmindex.lcp_table_per_doc(compute_lcp=False) — the same r9
+    switch lcp_array made): one Arrow map pass, stride-view suffix
+    matrix, byte-string argsort; the previous prefix-doubling plan
+    paid 12 build jobs (seed checkpoint + convergence probes +
+    doubling-round materializations; job audit r12) for the same
+    ≤512-char-doc contract. The distributed doubling paths stay in
+    the library as the giant-single-sequence story
+    (suffix_ranks — exercised by bwt/fm entries and the
+    suffix_ranks_sharded parity tests), with parity between the two
+    paths pinned in tests/test_fmindex.py."""
+    from pygr_spark.operators.fmindex import lcp_table_per_doc
 
     docs = (
         _spread(_t(spark, sf_dir, "documents"))
@@ -10119,8 +10130,7 @@ def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.length("seq").between(4, 512))
     )
-    out = suffix_ranks(docs, max_len=512)
-    return out.select(
+    return lcp_table_per_doc(docs, compute_lcp=False).select(
         F.col("doc_id").cast("long").alias("doc_id"), "pos", "sa_rank"
     )
 
@@ -10830,14 +10840,20 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = doc_terms.join(F.broadcast(top.select("term")), "term")
     n_lt = hits.groupBy("lang", "term").agg(
         F.count(F.lit(1)).cast("long").alias("n_lt")
-    )
+    ).localCheckpoint(eager=False)
     n_class = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_class")
+    ).localCheckpoint(eager=False)
+    # r12 (guide §2.4): every doc has exactly one lang, so the term
+    # and corpus margins are SUMS of the per-lang margins already
+    # computed — n_term = Σ_lang n_lt, n_docs = Σ_lang n_class. The
+    # previous forms re-scanned hits and docs for them (2 extra full
+    # passes); these derive from the ≤30·n_langs-row / n_langs-row
+    # checkpointed partials (the broadcast builds materialize them).
+    n_term = n_lt.groupBy("term").agg(
+        F.sum("n_lt").cast("long").alias("n_term")
     )
-    n_term = hits.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("n_term")
-    )
-    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_docs = n_class.agg(F.sum("n_class").cast("long").alias("n_docs"))
     return (
         n_lt.join(n_class, "lang")
         .join(F.broadcast(n_term), "term")
@@ -12019,15 +12035,38 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (a1/h1/a2/h2/a3 — six scans in one plan): EAGER checkpoint so
     # the orders⋈lineitem⋈distinct build runs once, not once per
     # concurrently-scheduled consumer stage (measured 10.2s → ~3s at
-    # 16×; the same edge-checkpoint discipline as bfs/bellman-ford)
-    edges = (
-        _t(spark, sf_dir, "orders")
-        .hint("shuffle_hash")
-        .join(
-            _t(spark, sf_dir, "lineitem").hint("shuffle_hash"),
+    # 16×; the same edge-checkpoint discipline as bfs/bellman-ford).
+    # r12 (guide §3.1): the join exists only to map orderkey→custkey —
+    # BROADCAST the 2-column orders projection into the lineitem scan
+    # when Catalyst's column-width-scaled size estimate fits the
+    # conf'd safe-broadcast band, so neither big table is shuffled
+    # for the join (the only remaining exchange is the distinct's
+    # map-side-deduped (c, s) pairs); past the bound — orders at a
+    # scale where even two columns outgrow broadcast — fall back to
+    # the shuffle-hash form.
+    from pygr_spark.tuning import (
+        broadcast_bytes_threshold,
+        plan_bytes_estimate,
+    )
+
+    ok = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), F.col("l_suppkey")
+    )
+    est = plan_bytes_estimate(ok)
+    if est is not None and est <= broadcast_bytes_threshold(spark):
+        joined = li.join(
+            F.broadcast(ok), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+    else:
+        joined = li.hint("shuffle_hash").join(
+            ok.hint("shuffle_hash"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .select(
+    edges = (
+        joined.select(
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .distinct()
@@ -12280,7 +12319,11 @@ def q_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, token) covers tokens missing from either side. Scale
     shape: one explode + (lang, token) partial agg; the en-side
     counts join by token; corpus totals are a broadcast 1-row
-    cross."""
+    cross. r12 (guide §5): the (lang, token) count table feeds SIX
+    consumers (totals, en, n_en, oth, langs, both grid legs) — each
+    replayed the corpus explode+aggregate (job audit: 17 jobs, most
+    of them rebuilding this subtree); EAGER checkpoint so every
+    consumer reads the vocabulary-sized blocks instead."""
     toks = (
         _t(spark, sf_dir, "documents")
         .filter(F.length(F.trim("text")) > 0)
@@ -12291,8 +12334,10 @@ def q_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token"),
         )
     )
-    counts = toks.groupBy("lang", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    counts = (
+        toks.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     totals = counts.groupBy("lang").agg(
         F.sum("c").cast("long").alias("n")
@@ -12572,23 +12617,21 @@ def q_kcore_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both sides run IDENTICAL bounded rounds so the result is
     well-defined even pre-fixpoint; the pytest asserts the fixpoint
     is actually reached by round R at test scale. Emits surviving
-    nodes with their in-core degree. Scale shape: each round is one
-    semi-join + partial-agg degree count on the shrinking edge set —
-    the Spark loop localCheckpoints every other round to cut
-    lineage."""
-    from pygr_spark.operators.graphs import kcore_peel
+    nodes with their in-core degree. Scale shape (r12 incremental
+    degree maintenance, graphs.kcore_degrees): the loop's state is
+    the NODE-sized degree table — the original undirected pair list
+    is checkpointed once and each round subtracts the newly-removed
+    endpoints' contributions from one broadcast-probed scan of those
+    blocks; the shrinking edge set is never rematerialized
+    (tests/test_peel_knobs.py pins equivalence with the kcore_peel
+    unroll at every budget)."""
+    from pygr_spark.operators.graphs import kcore_degrees
 
     # shared frequent-pair build (same graph as ktruss_edges; the
     # basket cap / min-count knobs live in ONE place)
     pairs = _truss_pairs(spark, sf_dir).select("u", "v")
-    both = pairs.union(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    edges = kcore_peel(both, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
-    return (
-        edges.groupBy("u")
-        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
-        .select(F.col("u").cast("long").alias("part"), "core_degree")
+    return kcore_degrees(pairs, k=_KCORE_K, max_rounds=_KCORE_ROUNDS).select(
+        F.col("node").cast("long").alias("part"), "core_degree"
     )
 
 
@@ -13637,23 +13680,30 @@ _KTRUSS_K = 3
 _KTRUSS_ROUNDS = 4
 
 
-def _capped_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _capped_baskets(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Per-basket distinct-item ARRAYS under the shared skew cap — THE
     single home of the basket-cap knob for every co-purchase-graph
     consumer (truss, k-core, association rules). dedup + size-cap in
     ONE exchange: collect_set(item) per basket (partial
-    ObjectHashAggregate combines map-side), filter on set size. EAGER
-    checkpoint of the ARRAY form (one row per basket — the smallest
-    representation): every consumer derives lazily from these blocks.
+    ObjectHashAggregate combines map-side), filter on set size.
+    ``checkpoint=True`` eagerly checkpoints the ARRAY form (one row
+    per basket — the smallest representation) for MULTI-consumer
+    callers (assoc_rules: pairs + item counts + basket total);
+    ``checkpoint=False`` (r12, guide §5: caching is only worth it
+    when the frame is REUSED) leaves the build a straight pipeline
+    for single-consumer callers — the basket arrays stream into the
+    consumer's own exchange without a materialize+rescan pass.
     Cap semantics unchanged: same ≤50 distinct items per basket the
     oracles apply."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    out = (
         li.groupBy(F.col("l_orderkey").alias("bk"))
         .agg(F.collect_set("l_partkey").alias("_items"))
         .filter(F.size("_items") <= 50)
-        .localCheckpoint(eager=True)
     )
+    return out.localCheckpoint(eager=True) if checkpoint else out
 
 
 def _sized_baskets(
@@ -13661,9 +13711,11 @@ def _sized_baskets(
 ) -> DataFrame:
     """Distinct (basket, item) rows under the skew cap — the exploded
     view of :func:`_capped_baskets` (lazy: the explode is codegen over
-    the checkpointed array blocks, no shuffle)."""
+    the checkpointed array blocks, no shuffle; checkpoint-free
+    pipeline when this call builds its own baskets for one
+    consumer)."""
     if capped is None:
-        capped = _capped_baskets(spark, sf_dir)
+        capped = _capped_baskets(spark, sf_dir, checkpoint=False)
     return capped.select("bk", F.explode("_items").alias("item"))
 
 
@@ -13678,9 +13730,16 @@ def _truss_pairs(
     shuffle_hash self-join on bk re-exchanged both exploded legs; the
     array rows already hold every pair). One exchange total (the
     final (u, v) count); fan-out stays ≤ C(50,2) per basket under the
-    shared cap, exactly the skew bound the join form had."""
+    shared cap, exactly the skew bound the join form had.
+
+    r12: when this function builds its own baskets (``capped=None``)
+    the basket build is NOT checkpointed — the whole chain is one
+    straight 2-exchange pipeline (bk agg → pair agg) with no
+    materialize+rescan of the basket arrays (guide §5: the arrays
+    had exactly one consumer here). Callers that reuse the baskets
+    (assoc_rules) pass their own checkpointed ``capped``."""
     if capped is None:
-        capped = _capped_baskets(spark, sf_dir)
+        capped = _capped_baskets(spark, sf_dir, checkpoint=False)
     return (
         capped.select(F.explode("_items").alias("u"), "_items")
         .select("u", F.explode("_items").alias("v"))
@@ -14120,10 +14179,14 @@ def q_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     teleport mass and initial rank go ONLY to seed nodes
     (node % 37 == 0), so rank measures proximity to the seeds rather
     than global centrality. Scale shape: identical to pagerank — one
-    join + partial agg per iteration on the distinct edge list."""
+    join + partial agg per iteration on the distinct edge list.
+    r12 (guide §5): the distinct edge table is EAGERLY checkpointed
+    here because THREE subtrees consumed it (both seed-union legs +
+    pagerank_exact's own edge leg) — each replayed the orders scan +
+    distinct (job audit: 18 jobs, 4 at build)."""
     from pygr_spark.operators.graphs import pagerank_exact
 
-    edges = _pr_edges(spark, sf_dir)
+    edges = _pr_edges(spark, sf_dir).localCheckpoint(eager=True)
     seeds = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

@@ -100,6 +100,25 @@ def materialized_bytes(df) -> int | None:
     return None
 
 
+def plan_bytes_estimate(df) -> int | None:
+    """Catalyst's size estimate of a (usually projected) scan — the
+    optimizer's own sizeInBytes after column-width scaling, read off
+    the optimized plan DRIVER-SIDE (no job). Use for broadcast-vs-
+    shuffle decisions on PLAIN projections of parquet tables, where
+    the estimate is file-bytes × column-width ratio and therefore
+    trustworthy; do NOT use it downstream of filters/aggregates/UDFs
+    (guide §3.1: estimates there are often badly wrong — that case
+    wants :func:`materialized_bytes` on a checkpoint instead).
+    Returns None when the estimate is absent or the sentinel max."""
+    try:
+        v = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    if v <= 0 or v >= (1 << 62):
+        return None
+    return v
+
+
 def broadcast_bytes_threshold(
     spark: SparkSession,
     key: str = "spark.pygr.broadcastSide.maxBytes",

@@ -175,7 +175,12 @@ vecs = st.lists(
 
 
 @given(vecs)
-@SET
+@settings(
+    # r12 pytest-budget trim (32.2s at 10 examples)
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 def test_kmeans_total_assignment_and_row_order_invariance(spark, rows):
     from pygr_spark.operators.clustering import kmeans_spherical
 
