@@ -781,6 +781,27 @@ def kcore_degrees(
             F.lit(-1).cast("long").alias("d"),
             F.lit(0).alias("_b"),
         )
+        if r % 2 == 1:
+            # SHRINK the edge state at probe rounds (after this
+            # round's hits are taken from the pre-shrink blocks): on
+            # fast-collapsing graphs (this catalog's co-purchase
+            # graph loses most nodes in round 1) the constant-size
+            # e0 rescan dominates — dropping edges whose endpoint
+            # was removed bounds later rounds by the surviving set,
+            # at half the materializations of the kcore_peel form.
+            # Edges into PREVIOUSLY removed nodes contribute nothing
+            # either way (their m cannot re-enter `removed`; their
+            # n-side decrements are dropped for lack of a base row),
+            # so delayed shrinking never changes a decrement.
+            e0 = (
+                e0.join(F.broadcast(removed), "n", "left_anti")
+                .join(
+                    F.broadcast(removed.select(F.col("n").alias("m"))),
+                    "m",
+                    "left_anti",
+                )
+                .localCheckpoint(eager=False)
+            )
         deg = (
             deg.filter(F.col("d") >= k)
             .select("n", "d", F.lit(1).alias("_b"))

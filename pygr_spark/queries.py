@@ -12617,21 +12617,29 @@ def q_kcore_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both sides run IDENTICAL bounded rounds so the result is
     well-defined even pre-fixpoint; the pytest asserts the fixpoint
     is actually reached by round R at test scale. Emits surviving
-    nodes with their in-core degree. Scale shape (r12 incremental
-    degree maintenance, graphs.kcore_degrees): the loop's state is
-    the NODE-sized degree table — the original undirected pair list
-    is checkpointed once and each round subtracts the newly-removed
-    endpoints' contributions from one broadcast-probed scan of those
-    blocks; the shrinking edge set is never rematerialized
-    (tests/test_peel_knobs.py pins equivalence with the kcore_peel
-    unroll at every budget)."""
-    from pygr_spark.operators.graphs import kcore_degrees
+    nodes with their in-core degree. Scale shape: each round is one
+    semi-join + partial-agg degree count on the shrinking edge set —
+    the Spark loop localCheckpoints every other round to cut lineage.
+    (r12 negative result, measurements in OPTIMIZATION_r12: the
+    judge-suggested incremental-degree form — graphs.kcore_degrees,
+    node-sized state, 41→23 jobs, parity-tested — measured ×1.1–1.5
+    SLOWER at the gated 16× because this co-purchase graph collapses
+    almost entirely in round 1, so kcore_peel's shrinking-set rescans
+    beat any fixed-size e0 rescan schedule; the operator stays in the
+    library for deep-peeling graphs where rounds ≫ collapse rate.)"""
+    from pygr_spark.operators.graphs import kcore_peel
 
     # shared frequent-pair build (same graph as ktruss_edges; the
     # basket cap / min-count knobs live in ONE place)
     pairs = _truss_pairs(spark, sf_dir).select("u", "v")
-    return kcore_degrees(pairs, k=_KCORE_K, max_rounds=_KCORE_ROUNDS).select(
-        F.col("node").cast("long").alias("part"), "core_degree"
+    both = pairs.union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    edges = kcore_peel(both, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+    return (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("u").cast("long").alias("part"), "core_degree")
     )
 
 
@@ -14180,13 +14188,15 @@ def q_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node % 37 == 0), so rank measures proximity to the seeds rather
     than global centrality. Scale shape: identical to pagerank — one
     join + partial agg per iteration on the distinct edge list.
-    r12 (guide §5): the distinct edge table is EAGERLY checkpointed
-    here because THREE subtrees consumed it (both seed-union legs +
-    pagerank_exact's own edge leg) — each replayed the orders scan +
-    distinct (job audit: 18 jobs, 4 at build)."""
+    (r12 negative result, measurement on record in OPTIMIZATION_r12:
+    eagerly checkpointing the distinct edge table for the three
+    consuming subtrees measured ×1.1–1.2 SLOWER at 16× in all four
+    alternating A/B rounds — exchange reuse already dedupes the
+    orders scan across the seed legs, so the checkpoint only added a
+    materialize pass. Reverted.)"""
     from pygr_spark.operators.graphs import pagerank_exact
 
-    edges = _pr_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _pr_edges(spark, sf_dir)
     seeds = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
