@@ -11355,54 +11355,66 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     is NEW to the corpus?): over distinct character 8-grams, each
     gram's first introduction is min(doc_id); a doc's novelty is the
     exact pair (n_first = grams it introduces, n_grams = its distinct
-    grams). Single-pass shape: the distinct gram table flows through
-    ONE per-gram min window (is_first = doc_id equals the gram's
-    min) straight into the per-doc aggregate — no checkpoint, no
-    join, and the gram table is consumed exactly once; it stays
-    linear in corpus chars, the same shape fingerprint_chars/winnow
-    already carry. (r9 negative result, kept on purpose: rewriting
-    the window as checkpointed sibling hash-aggregates — the oracle's
-    formulation — was 1s SLOWER at the gated 16× and OOMed outright
-    at 256× on local[32] (AGGREGATE_OUT_OF_MEMORY: 32 concurrent
-    per-task hash maps vs one spillable sort); the window's sort
-    spills gracefully, making it the plan that actually survives the
-    single-JVM wall. See SCALING.md r9.)"""
+    grams). r12 shape (guide §2.3/§2.4 — shuffle partial aggregates,
+    not raw gram rows): n_grams is computed entirely map-side as
+    size(array_distinct(...)) — every gram of a doc lives in the
+    doc's own row, so the per-doc dedup needs no exchange at all —
+    while the per-gram min(doc_id) rides a map-side-combinable
+    aggregate (in-task duplicate grams collapse before the shuffle;
+    the r10/r11 form repartition()'d RAW gram rows, which blocks
+    partial aggregation, then paid a full per-partition window sort).
+    Both legs share one scan via the reused _spread exchange, and the
+    stitch is a union-aggregate keyed doc_id (≤ n_docs rows per leg —
+    no broadcast, so the shape holds when n_docs itself is huge).
+    (r9 negative result superseded: the r9 attempt kept the distinct
+    gram table materialized via checkpoint and re-aggregated it
+    twice; this form never materializes the gram table and its only
+    wide state is the spillable hash aggregate.)"""
     docs = _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.lower("text").alias("s")
     ).filter(F.length("s") >= 8)
-    grams = (
+    # leg 1 — per-doc distinct-gram count, zero shuffles: the HOF is
+    # interpreted per element but runs ONCE per doc row, not per
+    # shuffled gram row
+    per_doc = docs.select(
+        F.col("doc_id"),
+        F.expr(
+            "CAST(size(array_distinct(transform("
+            "sequence(1, length(s) - 7), p -> substring(s, p, 8)"
+            "))) AS BIGINT)"
+        ).alias("n_grams"),
+        F.lit(0).cast("long").alias("one"),
+    )
+    # leg 2 — gram introductions: codegen explode+substring feeding a
+    # partially-aggregated min; only (g, min_doc) partials cross the
+    # wire
+    firsts = (
         docs.select(
             "doc_id",
             F.explode(F.sequence(F.lit(1), F.length("s") - 7)).alias("p"),
             "s",
         )
         .select("doc_id", F.expr("substring(s, p, 8)").alias("g"))
-        # ONE exchange for the whole plan: hash-partitioning on g
-        # satisfies the (doc_id, g) clustering the distinct needs AND
-        # the per-gram window below, so neither inserts its own
-        # 15M-row shuffle (two big exchanges -> one at 16x). Width
-        # follows the SORT-SCALED rule (pygr_spark/tuning.py — this
-        # entry's declared class): partitions ∝ input bytes so the
-        # per-partition gram sort stays spill-free; ≤16× resolves to
-        # the 32 floor (identical plan to r10's gated bench), 256×
-        # resolves to ~113 ≈ the measured-good 128 (278.9s → 88.7s).
-        .repartition(
-            _sort_scaled_partitions(spark, sf_dir, ("documents",)), "g"
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_grams"),
+            F.lit(1).cast("long").alias("one"),
         )
-        .distinct()
     )
-    wg = Window.partitionBy("g")
-    flagged = grams.withColumn(
-        "is_first",
-        (F.col("doc_id") == F.min("doc_id").over(wg)).cast("long"),
-    )
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
-        F.sum("is_first").cast("long").alias("n_first"),
-    ).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "n_grams",
-        "n_first",
+    return (
+        per_doc.unionByName(firsts)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("one").cast("long").alias("n_first"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_grams",
+            "n_first",
+        )
     )
 
 
@@ -13845,68 +13857,68 @@ def q_haar_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum/difference produce EXACT integer approximation and detail
     coefficients (the √2 normalization is deferred — every
     coefficient stays a bigint). Emits all detail coefficients plus
-    the level-5 total. Scale shape: the day rollup is one partial
-    agg; each level halves a ≤32-row-per-type table (grouped sums,
-    map-side combinable)."""
+    the level-5 total. r12 shape (guide §2.4/§5 — the pyramid is 32
+    numbers per type, so it belongs in expressions, not operators):
+    ONE map-side-combinable aggregate pivots each type's series into
+    its 32 dyadic slots (sum(CASE idx=i) — missing days aggregate to
+    0), every level's sum/difference is then a pure column expression
+    over those 32 longs, and one literal-array explode emits the 32
+    coefficient rows. The r10 form ran the densifying grid join plus
+    5 chained tiny aggregates under a 6-leg union — a ~79 KB plan,
+    15 Spark jobs and 7 exchanges for a few-hundred-row pyramid."""
     ev = read_events(spark, sf_dir).select(
         "event_type",
         F.expr("CAST(ts_sec DIV 86400 AS BIGINT)").alias("day"),
         F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("c"),
     )
     d0 = ev.agg(F.min("day").alias("dmin"))
-    sparse = (
+    slots = (
         ev.crossJoin(F.broadcast(d0))
         .withColumn("idx", F.col("day") - F.col("dmin"))
         .filter(F.col("idx") < 32)
-        .groupBy("event_type", "idx")
-        .agg(F.sum("c").cast("long").alias("a0"))
-    )
-    # densify to the full 32-slot dyadic grid (missing days = 0) so
-    # every level emits its complete coefficient set
-    grid = (
-        sparse.select("event_type")
-        .distinct()
-        .crossJoin(
-            spark.range(32).select(F.col("id").cast("long").alias("idx"))
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.sum(F.when(F.col("idx") == i, F.col("c")).otherwise(0))
+                .cast("long")
+                .alias(f"_a{i}")
+                for i in range(32)
+            ]
         )
     )
-    daily = grid.join(sparse, ["event_type", "idx"], "left").select(
-        "event_type",
-        "idx",
-        F.coalesce("a0", F.lit(0)).cast("long").alias("a"),
-    )
-    out = None
-    cur = daily
+    a = [F.col(f"_a{i}") for i in range(32)]
+    rows = []
     for level in range(1, 6):
-        nxt = cur.groupBy(
-            "event_type", F.expr("idx DIV 2").alias("idx")
-        ).agg(
-            F.sum(
-                F.when(F.col("idx") % 2 == 0, F.col("a")).otherwise(0)
-            ).cast("long").alias("even"),
-            F.sum(
-                F.when(F.col("idx") % 2 == 1, F.col("a")).otherwise(0)
-            ).cast("long").alias("odd"),
+        nxt = []
+        for j in range(len(a) // 2):
+            even, odd = a[2 * j], a[2 * j + 1]
+            rows.append(
+                F.struct(
+                    F.lit(level).cast("long").alias("level"),
+                    F.lit(j).cast("long").alias("idx"),
+                    (even - odd).cast("long").alias("coef"),
+                    F.lit("detail").alias("kind"),
+                )
+            )
+            nxt.append(even + odd)
+        a = nxt
+    rows.append(
+        F.struct(
+            F.lit(5).cast("long").alias("level"),
+            F.lit(0).cast("long").alias("idx"),
+            a[0].cast("long").alias("coef"),
+            F.lit("approx").alias("kind"),
         )
-        detail = nxt.select(
-            "event_type",
-            F.lit(level).cast("long").alias("level"),
-            F.col("idx").cast("long").alias("idx"),
-            (F.col("even") - F.col("odd")).cast("long").alias("coef"),
-            F.lit("detail").alias("kind"),
-        )
-        out = detail if out is None else out.unionByName(detail)
-        cur = nxt.select(
-            "event_type", "idx", (F.col("even") + F.col("odd")).alias("a")
-        )
-    approx = cur.select(
-        "event_type",
-        F.lit(5).cast("long").alias("level"),
-        F.col("idx").cast("long").alias("idx"),
-        F.col("a").cast("long").alias("coef"),
-        F.lit("approx").alias("kind"),
     )
-    return out.unionByName(approx)
+    return slots.select(
+        "event_type", F.explode(F.array(*rows)).alias("_r")
+    ).select(
+        "event_type",
+        F.col("_r.level").alias("level"),
+        F.col("_r.idx").alias("idx"),
+        F.col("_r.coef").alias("coef"),
+        F.col("_r.kind").alias("kind"),
+    )
 
 
 def _haar_sql() -> str:
