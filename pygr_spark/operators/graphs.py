@@ -657,6 +657,7 @@ def kcore_peel(
     max_rounds: int = 8,
     src: str = "u",
     dst: str = "v",
+    driver_finish_max_rows: int | None = None,
 ) -> DataFrame:
     """Bounded synchronized k-core peel: repeatedly drop nodes with
     degree < ``k`` from an undirected graph given as a DIRECTED edge
@@ -679,7 +680,27 @@ def kcore_peel(
     Scale shape per round: one partial-agg degree count + two
     semi-joins on the shrinking edge set, localCheckpointed so plans
     stay flat (reference analog: pygr prunes per-object through dict
-    degree lookups, mapping.py:688-750)."""
+    degree lookups, mapping.py:688-750).
+
+    ``driver_finish_max_rows`` (r12, guide §5 job-floor): peeling
+    typically collapses the graph in the first round or two and then
+    trickles through a long tail of near-empty rounds — each a fixed
+    ~4-5 Spark jobs (degree agg + probe + two broadcast-built
+    semi-joins) on a few hundred surviving rows. When a probe sees
+    the surviving DIRECTED edge count at or below this bound (None →
+    conf ``spark.pygr.peel.driverFinishMaxRows``, default 200000 ≈ a
+    few MB; 0 disables), the remaining rounds of the SAME bounded
+    unroll run on the driver over the collected edge list — identical
+    early-exit rule, identical final edge set (pinned by
+    tests/test_peel_knobs.py parity across forced-on/forced-off
+    bounds). Size-triggered like the broadcast bounds: at scales
+    where the core never shrinks below the bound, every round stays
+    distributed."""
+    spark = edges.sparkSession
+    if driver_finish_max_rows is None:
+        driver_finish_max_rows = int(
+            spark.conf.get("spark.pygr.peel.driverFinishMaxRows", "200000")
+        )
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
@@ -703,13 +724,36 @@ def kcore_peel(
             .localCheckpoint(eager=False)
         )
         if r % 2 == 1 or r == max_rounds - 1:
-            min_d = deg.agg(F.min("d")).first()[0]
+            probe = deg.agg(
+                F.min("d").alias("_m"), F.sum("d").alias("_s")
+            ).first()
+            min_d, n_rows = probe[0], probe[1]
             # early exit when a round removes nothing: the remaining
             # rounds are no-ops, so the result is IDENTICAL to the
             # full unroll the oracle runs — this just skips their
             # fixed job overhead (rounds don't shrink with data size)
             if min_d is None or min_d >= k:
                 break
+            # the probe's sum(d) IS the surviving directed edge count
+            # (no extra job): at or below the bound, finish the
+            # bounded unroll on the driver — rounds r..max_rounds-1,
+            # same every-round early exit (checking more often than
+            # the distributed alternation only skips no-op rounds)
+            if 0 < n_rows <= driver_finish_max_rows:
+                from collections import Counter
+
+                local = [(row[0], row[1]) for row in e.collect()]
+                for _ in range(r, max_rounds):
+                    degs = Counter(u for u, _v in local)
+                    if not local or min(degs.values()) >= k:
+                        break
+                    alive = {u for u, d in degs.items() if d >= k}
+                    local = [
+                        (u, v)
+                        for u, v in local
+                        if u in alive and v in alive
+                    ]
+                return spark.createDataFrame(local, schema=e.schema)
         keep = deg.filter(F.col("d") >= k).select("u")
         # lazy: materialized by the NEXT probe (or the caller's first
         # action), whose scan covers all of e
@@ -842,12 +886,27 @@ def _truss_support(edges: DataFrame) -> DataFrame:
     )
 
 
+def _local_truss_support(edge_set: set) -> dict:
+    """Per-edge triangle support of an oriented u<v edge set, driver
+    side: support(a,b) = |N(a) ∩ N(b)| over the UNDIRECTED adjacency
+    of the set — each common neighbor closes one surviving triangle
+    (both closing edges are set members by construction of N)."""
+    from collections import defaultdict
+
+    nbr = defaultdict(set)
+    for a, b in edge_set:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    return {(a, b): len(nbr[a] & nbr[b]) for a, b in edge_set}
+
+
 def ktruss_peel(
     edges: DataFrame,
     k: int = 3,
     max_rounds: int = 4,
     src: str = "u",
     dst: str = "v",
+    driver_finish_max_rows: int | None = None,
 ) -> DataFrame:
     """Bounded synchronized k-truss peel on a u<v ORIENTED edge list:
     an edge survives iff it participates in >= k-2 triangles among
@@ -875,13 +934,47 @@ def ktruss_peel(
     full triangle pass (wedge join + closure join + agg — the most
     expensive stage in the plan) now runs only on the
     budget-exhausted-pre-fixpoint path, where the oracle's trailing
-    sup_f pass genuinely requires it."""
+    sup_f pass genuinely requires it.
+
+    ``driver_finish_max_rows`` (r12, guide §5 — same size-triggered
+    discipline as kcore_peel): the per-round count action already
+    knows the surviving edge count for free; at or below the bound
+    (None → conf ``spark.pygr.truss.driverFinishMaxRows``, default
+    50000 — lower than the core peel's because the per-edge driver
+    work is a neighbor-set intersection, not a counter; 0 disables)
+    the remaining rounds of the identical bounded unroll run on the
+    driver. Each distributed truss round is two self-joins + an agg
+    (~6-8 fixed jobs) regardless of how few edges survive — the tail
+    rounds are where the entry's job floor lives."""
     t = k - 2
+    spark = edges.sparkSession
+    if driver_finish_max_rows is None:
+        driver_finish_max_rows = int(
+            spark.conf.get("spark.pygr.truss.driverFinishMaxRows", "50000")
+        )
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=False)
     n_edges = e.count()
-    for _ in range(max_rounds):
+    for r in range(max_rounds):
+        if 0 < n_edges <= driver_finish_max_rows:
+            local = {(row[0], row[1]) for row in e.collect()}
+            for _ in range(r, max_rounds):
+                sup = _local_truss_support(local)
+                kept_l = {ed for ed in local if sup[ed] >= t}
+                if kept_l == local:
+                    rows = [(a, b, sup[(a, b)]) for a, b in local]
+                    break
+                local = kept_l
+            else:
+                # budget exhausted pre-fixpoint: trailing support pass
+                # on the surviving set, exactly the distributed tail
+                sup = _local_truss_support(local)
+                rows = [
+                    (a, b, s) for (a, b), s in sup.items() if s >= t
+                ]
+            schema = e.schema.add("support", "long", False)
+            return spark.createDataFrame(rows, schema=schema)
         # ONE job per round: the count action that follows is the
         # lazy checkpoint's only consumer at that point, so it
         # materializes kept exactly once and the next round's support
