@@ -11105,14 +11105,31 @@ def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same one-shuffle shared-shingle equi-join as jaccard_join; the
     predicate 10*inter >= 8*least(size_a, size_b) is exact-integer.
     Cites the reference's all-pairs NLMSA coverage filters
-    (nlmsa_test.py) as the semantics model at interval level."""
-    from pygr_spark.operators.dedup import shingle_rows
-
-    docs = _t(spark, sf_dir, "documents")
-    # EAGER: the self-join's two legs and the size agg are three
-    # sibling consumers of one job — a lazy checkpoint materializes
-    # the shingle build once per concurrently-scheduled consumer
-    sh = shingle_rows(docs, "doc_id", "text", 5).localCheckpoint(eager=True)
+    (nlmsa_test.py) as the semantics model at interval level.
+    r12 build (guide §1.2/§2.4): the distinct shingle SET of a doc is
+    computed in the doc's own row (array_distinct over a token-window
+    transform) — no exchange, no window sort, no 4M-row dedup
+    aggregate — and the checkpoint holds one array row per doc; sizes
+    read off the array map-side. The shingle_rows window form paid a
+    corpus-token shuffle + per-doc sort + dedup agg before its
+    checkpoint (the build was ~everything this entry cost at 16×)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.expr(r"split(trim(lower(text)), '\\s+')").alias("_t"),
+    ).filter(F.size("_t") >= 5)
+    # EAGER: the self-join's two legs and the size projection are
+    # three sibling consumers — materialize the per-doc shingle sets
+    # once
+    sh_arr = toks.select(
+        F.col("doc_id").alias("_id"),
+        F.expr(
+            "array_distinct(transform(sequence(0, size(_t) - 5), "
+            "i -> concat_ws(' ', _t[i], _t[i+1], _t[i+2], _t[i+3],"
+            " _t[i+4])))"
+        ).alias("_sh"),
+    ).localCheckpoint(eager=True)
+    sh = sh_arr.select("_id", F.explode("_sh").alias("_s"))
     pairs = (
         # shuffle_hash: SMJ would sort the multi-million-row shingle
         # legs by their ~5-word string key; hash join streams them
@@ -11122,7 +11139,7 @@ def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("_sz"))
+    sizes = sh_arr.select("_id", F.size("_sh").cast("long").alias("_sz"))
     out = pairs.join(
         F.broadcast(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("size_a"))),
         "id_a",
