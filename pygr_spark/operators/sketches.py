@@ -155,13 +155,23 @@ def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     )
 
 
-def hll_estimate_terms(registers: DataFrame, group_cols: list[str], m: int = 64) -> DataFrame:
+def hll_estimate_terms(
+    registers: DataFrame,
+    group_cols: list[str],
+    m: int = 64,
+    keep_n_regs: bool = False,
+) -> DataFrame:
     """Reduce a register state to the exact-integer estimate pair
     (hll_l, hll_num): L = max_j M_j and num = Σ_j 2^(L−M_j), with the
     m − |hit registers| missing registers contributing 2^L each. The
     raw HLL estimate is alpha_m·m²·2^L / num — a float; the pair is
     its integer-exact carrier, so it sits under a value-hash oracle
     gate (see the ``hll_distinct`` catalog entry for the SQL mirror).
+
+    ``keep_n_regs`` (r12) additionally emits the per-group hit
+    register count as ``n_regs`` — it is already an internal term of
+    this aggregate, so callers that want it (hll_windows) skip a
+    second pass over the register state plus a join.
     """
     from pyspark.sql import Window
 
@@ -174,8 +184,12 @@ def hll_estimate_terms(registers: DataFrame, group_cols: list[str], m: int = 64)
         F.count(F.lit(1)).alias("_n_regs"),
         F.sum("_term").cast("long").alias("_hit_num"),
     )
+    extra = (
+        [F.col("_n_regs").cast("long").alias("n_regs")] if keep_n_regs else []
+    )
     return agg.select(
         *group_cols,
+        *extra,
         F.col("hll_l").cast("long").alias("hll_l"),
         (
             F.col("_hit_num")

@@ -10682,11 +10682,11 @@ def q_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("week", F.expr("CAST(day DIV 7 AS BIGINT)")).drop("day"),
         ["week"],
     )
-    est = hll_estimate_terms(weekly_regs, ["week"], m=64)
-    n_regs = weekly_regs.groupBy("week").agg(
-        F.count(F.lit(1)).cast("long").alias("n_regs")
-    )
-    return est.join(n_regs, "week").select(
+    # r12: n_regs is an internal term of the estimate aggregate
+    # (keep_n_regs) — the separate per-week count pass over the
+    # register state and its join are gone; one chain, one events scan
+    est = hll_estimate_terms(weekly_regs, ["week"], m=64, keep_n_regs=True)
+    return est.select(
         F.col("week").cast("long").alias("week"), "n_regs", "hll_l", "hll_num"
     )
 
@@ -14873,7 +14873,13 @@ def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part dim BEFORE broadcast (the fact side semi-reduces on the
     join), supplier→nation is a second broadcast chain, and the only
     fact-fact shuffle is lineitem⋈orders on the order key for the
-    year column."""
+    year column. (r12 negative result, on record in
+    OPTIMIZATION_r12: forcing the supplier chain — and, separately,
+    the 2-col orders projection — through the conf'd broadcast band
+    to skip the lineitem exchange+sort measured ×1.08 SLOWER at 16×
+    in both variants across 4 alternating rounds each; on local[32]
+    the broadcast build's serial collect costs more than the
+    in-process shuffle it removes. The estimator's SMJ stands.)"""
     part = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_name").contains("gear"))
