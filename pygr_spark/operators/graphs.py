@@ -126,6 +126,7 @@ def pagerank_exact(
     dst: str = "dst",
     seeds: DataFrame | None = None,
     broadcast_ranks: bool = False,
+    seed_expr: str | None = None,
 ) -> DataFrame:
     """PageRank in exact scaled-integer arithmetic: ranks are bigints
     in units of 1/scale, per-edge contributions use truncating integer
@@ -144,6 +145,14 @@ def pagerank_exact(
     initial rank go ONLY to seed nodes, so rank measures proximity
     to the seed set rather than global centrality.
 
+    ``seed_expr`` (r12, guide §2.4): when seed membership is a pure
+    function of the node id (ppr_seeds: ``node % 37 = 0``), pass it
+    as a SQL boolean expression instead of a ``seeds`` frame — the
+    flag becomes a projection on the node table, skipping the
+    caller's extra edge scan + distinct + the membership join
+    (identical _is_seed column by construction). Mutually exclusive
+    with ``seeds``.
+
     ``broadcast_ranks`` (default False): broadcast the node-sized
     rank vector into each iteration's edge join instead of shuffling
     the edge table. Measured at 16x this LOSES on local[32] — each
@@ -158,7 +167,13 @@ def pagerank_exact(
     out_deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     e = e.join(out_deg, src).localCheckpoint(eager=False)
     nodes = nodes_of(e, src, dst)
-    if seeds is not None:
+    if seed_expr is not None:
+        assert seeds is None, "pass seeds OR seed_expr, not both"
+        nodes = nodes.select(
+            "node", F.expr(seed_expr).cast("int").alias("_is_seed")
+        )
+        seeds = nodes  # non-None: selects the seeded arithmetic below
+    elif seeds is not None:
         # personalized PageRank: teleport mass (the base term) and the
         # initial rank go ONLY to seed nodes — the standard seeded
         # relevance-propagation variant, same integer arithmetic
@@ -167,6 +182,7 @@ def pagerank_exact(
             "node",
             "left",
         ).select("node", F.coalesce("_is_seed", F.lit(0)).alias("_is_seed"))
+    if seeds is not None:
         ranks = nodes.select(
             "node", (F.col("_is_seed") * scale).cast("long").alias("rank")
         )

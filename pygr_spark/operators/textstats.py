@@ -586,24 +586,30 @@ def champion_topk(
     the FULL postings, idf = (N·scale) DIV df) so the only difference
     vs exact retrieval is the champion restriction. Scale shape: the
     champion cut is a per-term window over the query-term postings;
-    everything downstream runs on <= r rows per term.
+    everything downstream runs on <= r rows per term. r12 (guide
+    §2.4): df rides the SAME per-term window exchange as the champion
+    rank (an unordered count over the partition) — the separate
+    full-postings aggregate, its broadcast build, its join and the
+    dual-consumer checkpoint of the postings are gone; the postings
+    are now one straight single-consumer pipeline.
     """
     from pyspark.sql import Window
 
     base = df.filter(F.length(F.trim(F.col(text))) > 0)
     qterms = queries.select("query_id", F.lower(F.col("term")).alias("term"))
-    # dual-consumed (dfreq + champion window): checkpoint so the
-    # corpus explode runs once, not once per consumer
-    tf = query_tf(df, queries, id_col, text).localCheckpoint(eager=False)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tf = query_tf(df, queries, id_col, text)
     n_docs = base.agg(F.count_distinct(F.col(id_col)).cast("long").alias("_n"))
     wch = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col(id_col))
-    champs = tf.withColumn("_r", F.row_number().over(wch)).filter(
-        F.col("_r") <= r
+    champs = (
+        tf.withColumn("_r", F.row_number().over(wch))
+        .withColumn(
+            "df",
+            F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long"),
+        )
+        .filter(F.col("_r") <= r)
     )
     scored = (
-        champs.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n_docs))
+        champs.crossJoin(F.broadcast(n_docs))
         .withColumn("idf", F.expr(f"(_n * {TFIDF_SCALE}) DIV df"))
         .join(F.broadcast(qterms), "term")
         .groupBy("query_id", id_col)

@@ -14226,13 +14226,11 @@ def q_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygr_spark.operators.graphs import pagerank_exact
 
     edges = _pr_edges(spark, sf_dir)
-    seeds = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .filter(F.col("node") % 37 == 0)
-    )
-    out = pagerank_exact(edges, n_iter=6, seeds=seeds)
+    # r12 (guide §2.4): seed membership is a pure function of the
+    # node id, so it rides the operator's own node table as an
+    # expression — the old seeds frame re-scanned the edge list,
+    # ran a distinct, and joined back for the identical column
+    out = pagerank_exact(edges, n_iter=6, seed_expr="node % 37 = 0")
     # drop never-reached nodes (rank exactly 0) so the output carries
     # the personalized neighborhood, not the whole node set
     return out.filter(F.col("rank") > 0).select(
