@@ -10731,7 +10731,13 @@ def q_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     float) ever crosses the gate. Scale shape: token explode → two
     keyed count aggregates (map-side combinable) + one broadcast of
     the 20-term vocabulary; training IS these counts, so the
-    'model fit' is one pass."""
+    'model fit' is one pass. r12 (guide §2.4): ONE (lang, term)
+    count aggregate over a single corpus explode is the sufficient
+    statistic for all three readouts — the vocabulary top-20
+    (sum over langs), class token totals (sum over terms) and the
+    per-(lang, term) counts themselves; the r11 form re-exploded the
+    corpus once per readout. The per-class vocabulary is
+    Heaps-small, eagerly checkpointed for its three consumers."""
     from pygr_spark.operators.textstats import tokens
 
     docs = _spread(_t(spark, sf_dir, "documents")).filter(
@@ -10740,26 +10746,29 @@ def q_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "lang", F.explode(tokens(F.col("text"))).alias("term")
     ).filter(F.length("term") > 0)
+    lt = (
+        tok.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
     # distributed top-k (TakeOrderedAndProject) — never a global
     # window over the data-sized vocabulary (same discipline as
     # token_topk)
     top = (
-        tok.groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        lt.groupBy("term")
+        .agg(F.sum("_c").cast("long").alias("n"))
         .orderBy(F.col("n").desc(), F.col("term"))
         .limit(20)
         .select("term")
     )
-    cls = tok.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("class_tokens")
+    cls = lt.groupBy("lang").agg(
+        F.sum("_c").cast("long").alias("class_tokens")
     )
     ndocs = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("class_docs")
     )
-    tc = (
-        tok.join(F.broadcast(top), "term")
-        .groupBy("lang", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("term_count"))
+    tc = lt.join(F.broadcast(top), "term").select(
+        "lang", "term", F.col("_c").alias("term_count")
     )
     return (
         tc.join(cls, "lang")
@@ -11030,6 +11039,10 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents")).filter(
         F.length(F.trim("text")) > 0
     )
+    # (r12 negative result: eagerly checkpointing _ws so the bigram
+    # and unigram legs tokenize once measured ×1.007 at 16× — the
+    # materialize+rescan pass costs what the second tokenize costs.
+    # Reverted; two straight scan legs stay.)
     ws = docs.select(word_tokens("text").alias("_ws"))
     tail_len = F.greatest(F.size("_ws") - 1, F.lit(0))
     bigrams = ws.select(
@@ -11898,22 +11911,24 @@ def q_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.expr("CAST(ts_sec DIV 86400 AS BIGINT)").alias("day"),
     )
-    # cohort via an rn=1 filter + equi-join rather than
-    # max(when(string)): string max forces a SortAggregate fallback,
-    # while this shape keeps both aggregates hash-based
+    # cohort via an rn=1 filter rather than max(when(string)): string
+    # max forces a SortAggregate fallback. r12 (guide §2.4): the
+    # first/last-day extrema ride the SAME user_id window exchange as
+    # the rn pass (unbounded frame), so the separate per-user
+    # aggregate and its join back are gone — one exchange, one sort,
+    # one row per user after the rn=1 filter
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    first_ev = (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("cohort"))
-    )
+    wall = Window.partitionBy("user_id")
     per_user = (
-        ev.groupBy("user_id")
-        .agg(
-            F.min("day").cast("long").alias("first_day"),
-            F.max("day").cast("long").alias("last_day"),
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("cohort"),
+            F.row_number().over(w).alias("rn"),
+            F.min("day").over(wall).cast("long").alias("first_day"),
+            F.max("day").over(wall).cast("long").alias("last_day"),
         )
-        .join(first_ev, "user_id")
+        .filter(F.col("rn") == 1)
+        .select("user_id", "cohort", "first_day", "last_day")
     )
     gmax = per_user.agg(F.max("last_day").cast("long").alias("gday"))
     u = per_user.crossJoin(F.broadcast(gmax)).select(
