@@ -150,14 +150,72 @@ def pava_isotonic(
     bin_col: str = "bin",
     tot_col: str = "tot",
     cnt_col: str = "cnt",
+    driver_max_rows: int = 512,
 ) -> DataFrame:
     """Isotonic (non-decreasing) weighted least-squares fit of
     tot/cnt on bin order via the closed-form minimax
     y*ᵢ = max_{j≤i} min_{k≥i} (T[j..k]/C[j..k]) — equivalent to
-    pool-adjacent-violators but expressed as joins over prefix sums,
-    so it runs on ANY engine without a sequential pass. Intended for
-    SMALL bin summaries (cost O(bins³)); reduce raw rows to bins
-    first. Returns (bin, cnt, y_star)."""
+    pool-adjacent-violators but expressed over prefix sums, so it
+    needs no sequential PAVA pass. Intended for SMALL bin summaries
+    (cost O(bins³)); reduce raw rows to bins first. Returns
+    (bin, cnt, y_star).
+
+    r12 (guide §5 job-floor): at or below ``driver_max_rows`` bins
+    the minimax runs on the driver over the collected summary — the
+    checkpoint + inequality joins + two aggregates (≈10 fixed jobs
+    for a ≤50-row table in the isotonic_fit entry) become one
+    collect. Same IEEE double division, min and max over the same
+    set of values, so the result is bit-identical to the join form
+    (and to the oracle's SQL mirror); above the bound the join form
+    still runs. Collection happens at CALL time (the kmeans-centroid
+    build-time-execution convention)."""
+    collected = None
+    if driver_max_rows >= 0:
+        # one action: take(bound+1) — the extra row is only the
+        # over-bound signal, so the small-summary contract costs a
+        # single job, not a count + a collect
+        collected = bins.select(bin_col, cnt_col, tot_col).take(
+            driver_max_rows + 1
+        )
+        if len(collected) > driver_max_rows:
+            collected = None
+    if collected is not None:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        field = {f.name: f for f in bins.schema.fields}
+        rows = sorted(
+            ((r[0], r[1], r[2]) for r in collected), key=lambda x: x[0]
+        )
+        n = len(rows)
+        cp, tp = [], []
+        ac = at = 0
+        for _, c, t in rows:
+            ac += c
+            at += t
+            cp.append(ac)
+            tp.append(at)
+        cp0 = [cp[i] - rows[i][1] for i in range(n)]
+        tp0 = [tp[i] - rows[i][2] for i in range(n)]
+        out = []
+        for i in range(n):
+            best = None
+            for j in range(i + 1):
+                mn = None
+                for k in range(i, n):
+                    avg = float(tp[k] - tp0[j]) / float(cp[k] - cp0[j])
+                    if mn is None or avg < mn:
+                        mn = avg
+                if best is None or mn > best:
+                    best = mn
+            out.append((rows[i][0], rows[i][1], best))
+        schema = StructType(
+            [
+                StructField("bin", field[bin_col].dataType, True),
+                StructField("cnt", field[cnt_col].dataType, True),
+                StructField("y_star", DoubleType(), True),
+            ]
+        )
+        return bins.sparkSession.createDataFrame(out, schema=schema)
     w = Window.orderBy(bin_col)
     pre = bins.select(
         F.col(bin_col).alias("bin"),
@@ -212,15 +270,20 @@ def conformal_split(
     via row_number with an id tie-break — no interpolation, so the
     result is engine-exact). α = alpha_num/alpha_den as integers to
     keep the rank computation in exact arithmetic. Returns
-    (group, n_cal, qhat)."""
-    n_cal = calib.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_cal")
-    )
+    (group, n_cal, qhat). r12 (guide §2.4): n_cal rides the rank
+    window's own per-group exchange as an unordered partition count —
+    the separate aggregate pass over the calibration rows and its
+    broadcast join are gone."""
     w = Window.partitionBy(group_col).orderBy(resid_col, id_col)
     keep = alpha_den - alpha_num
     return (
         calib.withColumn("rk", F.row_number().over(w))
-        .join(F.broadcast(n_cal), group_col)
+        .withColumn(
+            "n_cal",
+            F.count(F.lit(1))
+            .over(Window.partitionBy(group_col))
+            .cast("long"),
+        )
         .filter(
             F.col("rk")
             == F.expr(
