@@ -13025,6 +13025,10 @@ def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("variant", F.expr("CAST(user_id % 2 AS BIGINT)"))
     )
+    # (r12 negative result: deriving the 1-row global from 5-moment
+    # per-variant aggregates — exact integer regrouping — measured
+    # ×1.21 at 16×: the serial g→glob broadcast chain costs more than
+    # the parallel second moment branch it replaced. Reverted.)
     glob = per_user.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
